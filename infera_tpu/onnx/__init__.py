@@ -1,0 +1,11 @@
+"""ONNX subsystem: dependency-free protobuf codec, JAX op lowerings, and the
+XLA graph executor (replaces the reference's tract pipeline,
+/root/reference/infera/src/engine.rs)."""
+
+from . import builder, ops, proto  # noqa: F401
+from .executor import (  # noqa: F401
+    CompiledOnnxModel,
+    compile_model_bytes,
+    compile_model_file,
+    shape_rows_cols,
+)

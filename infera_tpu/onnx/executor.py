@@ -1,0 +1,209 @@
+"""ONNX graph → XLA executor.
+
+Replaces the reference's tract compile/run pipeline
+(/root/reference/infera/src/engine.rs:48-55 ``into_optimized().into_runnable()``,
+:144 ``model.run``). Design differences, TPU-first:
+
+- The whole graph traces into ONE jitted XLA computation (fused by XLA onto
+  MXU/VPU) instead of an interpreted operator plan.
+- Executables are cached per concrete input shape; callers bucket batch sizes
+  to keep the cache small (SURVEY.md §7.3 static-shape strategy).
+- Values produced only from initializers/Constants are folded to host numpy at
+  trace time so shape-carrying inputs (Reshape targets, Slice indices) are
+  static for XLA.
+- Unlike tract plans, batch size is free: a model exported with fixed batch 1
+  runs any row count (fixes the reference's unchecked ROADMAP §1 item
+  "Automatic batch splitting for models with a fixed batch size").
+"""
+
+from __future__ import annotations
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import OnnxError
+from . import proto
+from .ops import get_impl
+
+
+class _Ctx:
+    """Per-trace context handed to op impls for static-value resolution."""
+
+    def __init__(self, values: dict):
+        self._values = values
+
+    def as_static(self, value):
+        """Return a numpy array if the value is statically known, else None."""
+        if isinstance(value, str):
+            value = self._values.get(value)
+        if isinstance(value, np.ndarray):
+            return value
+        if np.isscalar(value):
+            return np.asarray(value)
+        return None
+
+
+def _toposort(graph: proto.Graph) -> list:
+    """Topologically order nodes (ONNX graphs are usually ordered, but not
+    guaranteed)."""
+    produced = set(graph.initializers)
+    produced.update(v.name for v in graph.inputs)
+    produced.add("")  # optional inputs
+    for n in graph.nodes:
+        for c in n.attributes.values():
+            pass
+    remaining = list(graph.nodes)
+    ordered = []
+    while remaining:
+        progressed = False
+        next_remaining = []
+        for n in remaining:
+            if all(i in produced for i in n.inputs):
+                ordered.append(n)
+                produced.update(n.outputs)
+                progressed = True
+            else:
+                next_remaining.append(n)
+        remaining = next_remaining
+        if not progressed:
+            missing = {i for n in remaining for i in n.inputs if i not in produced}
+            raise OnnxError(f"graph has unresolvable inputs: {sorted(missing)[:5]}")
+    return ordered
+
+
+class CompiledOnnxModel:
+    """A loaded ONNX model with shape metadata and a per-shape jit cache.
+
+    Shape metadata mirrors engine.rs:64-73: dims are ints with -1 for
+    dynamic/symbolic dims; input_shape/output_shape are the first graph
+    input/output (the reference only reads fact 0).
+    """
+
+    def __init__(self, model: proto.Model, name: str):
+        self.name = name
+        self.model = model
+        self.graph = model.graph
+        self.nodes = _toposort(model.graph)
+        # Graph inputs that are NOT initializers are runtime inputs.
+        self.runtime_inputs = [
+            v for v in self.graph.inputs if v.name not in self.graph.initializers
+        ]
+        if not self.runtime_inputs:
+            raise OnnxError(f"model '{name}' has no runtime inputs")
+        self.input_shape: list[int] = [
+            int(d) if d is not None and d > 0 else -1
+            for d in self.runtime_inputs[0].shape
+        ]
+        out0 = self.graph.outputs[0] if self.graph.outputs else None
+        if out0 is not None and out0.has_shape and out0.shape:
+            self.output_shape = [int(d) if d and d > 0 else -1 for d in out0.shape]
+        else:
+            self.output_shape = self._infer_output_shape()
+        self._jit_cache: dict = {}
+        self._cache_lock = threading.Lock()
+
+    # -- tracing ----------------------------------------------------------
+
+    def _run_graph(self, *args):
+        """Execute the graph given positional runtime inputs (traced)."""
+        values: dict = {}
+        for name, t in self.graph.initializers.items():
+            values[name] = np.asarray(t.array)
+        for vi, arr in zip(self.runtime_inputs, args):
+            values[vi.name] = arr
+        ctx = _Ctx(values)
+        for node in self.nodes:
+            impl = get_impl(node.domain, node.op_type)
+            inputs = [values[i] if i else None for i in node.inputs]
+            # Static fold: if every input is host numpy and the op is pure
+            # shape/const manipulation, results stay numpy automatically
+            # (jnp ops on numpy return jnp; we only force numpy for ops that
+            # return numpy themselves, e.g. Shape/Constant/Range).
+            outputs = impl(node, inputs, ctx)
+            for out_name, out_val in zip(node.outputs, outputs):
+                if out_name:
+                    values[out_name] = out_val
+        outs = []
+        for v in self.graph.outputs:
+            if v.name not in values:
+                raise OnnxError(f"model '{self.name}' missing output '{v.name}'")
+            outs.append(jnp.asarray(values[v.name]))
+        return outs
+
+    def _infer_output_shape(self) -> list[int]:
+        """Trace with the declared input shape (dyn dims → 1) to get the
+        output rank/shape; dims tied to the batch are reported as -1."""
+        shapes = []
+        for vi in self.runtime_inputs:
+            s = [int(d) if d and d > 0 else 1 for d in (vi.shape or [1])]
+            shapes.append(tuple(s))
+        try:
+            out = jax.eval_shape(
+                self._run_graph,
+                *[jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes],
+            )
+            return [int(d) for d in out[0].shape]
+        except Exception as e:  # pragma: no cover - surfaced as OnnxError
+            raise OnnxError(f"shape inference failed for '{self.name}': {e}")
+
+    # -- execution --------------------------------------------------------
+
+    def executable_for(self, shapes: tuple, dtypes: tuple):
+        """Return a jitted callable for the given concrete input shapes."""
+        key = (shapes, dtypes)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        with self._cache_lock:
+            fn = self._jit_cache.get(key)
+            if fn is None:
+                fn = jax.jit(self._run_graph)
+                self._jit_cache[key] = fn
+        return fn
+
+    def run(self, *arrays) -> list:
+        """Run the model on device arrays / numpy arrays; returns jnp arrays."""
+        shapes = tuple(tuple(a.shape) for a in arrays)
+        dtypes = tuple(str(np.asarray(a).dtype) if isinstance(a, np.ndarray) else str(a.dtype) for a in arrays)
+        fn = self.executable_for(shapes, dtypes)
+        try:
+            return fn(*arrays)
+        except OnnxError:
+            raise
+        except Exception as e:
+            raise OnnxError(str(e))
+
+
+def compile_model_file(path, name: str) -> CompiledOnnxModel:
+    try:
+        model = proto.load_model_file(path)
+    except FileNotFoundError as e:
+        raise OnnxError(str(e))
+    except (proto.WireError, OSError, ValueError) as e:
+        raise OnnxError(str(e))
+    return CompiledOnnxModel(model, name)
+
+
+def compile_model_bytes(data: bytes, name: str) -> CompiledOnnxModel:
+    try:
+        model = proto.load_model_bytes(data)
+    except (proto.WireError, ValueError) as e:
+        raise OnnxError(str(e))
+    return CompiledOnnxModel(model, name)
+
+
+def shape_rows_cols(shape) -> tuple[int, int]:
+    """Flatten a tensor shape to (rows, cols) — parity with
+    engine.rs:19-29: scalar→(1,1), 1-D→(n,1), N-D→(d0, prod(d1..))."""
+    shape = list(shape)
+    if len(shape) == 0:
+        return (1, 1)
+    if len(shape) == 1:
+        return (shape[0], 1)
+    cols = 1
+    for d in shape[1:]:
+        cols *= d
+    return (shape[0], max(cols, 1))
