@@ -1,0 +1,292 @@
+"""Hash aggregate (GROUP BY) operator.
+
+Host path: numpy unique-based grouping, complete SQL semantics (NULL groups,
+aggregates over expressions, HAVING).
+Device path: for large numeric tables, grouping runs on the TPU via
+sort-based segmented reduction (see infera_tpu.ops.device_groupby) —
+scatter-light, MXU/VPU-friendly (SURVEY.md §7.3 notes TPUs favor sort-based
+fallbacks over scatter-heavy hash tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..columnar import Column, Table, infer_sql_type
+from ..columnar import types as T
+from ..errors import SqlError
+from ..sql import ast as A
+
+
+# --- aggregate function catalog -------------------------------------------
+
+def _agg_count(values: Column | None, groups, n_groups):
+    if values is None:  # count(*)
+        return np.bincount(groups, minlength=n_groups).astype(np.int64), None
+    valid = values.valid_mask()
+    return (
+        np.bincount(groups[valid], minlength=n_groups).astype(np.int64),
+        None,
+    )
+
+
+def _masked(values: Column):
+    valid = values.valid_mask()
+    data = values.data.astype(np.float64)
+    return data, valid
+
+
+def _group_reduce(data, valid, groups, n_groups, reduce_fn, empty):
+    out = np.full(n_groups, empty, dtype=np.float64)
+    has = np.zeros(n_groups, dtype=bool)
+    gv = groups[valid]
+    dv = data[valid]
+    if len(gv):
+        np_fn = {"sum": np.add, "min": np.minimum, "max": np.maximum}[reduce_fn]
+        np_fn.at(out, gv, dv)
+        has[np.unique(gv)] = True
+    return out, has
+
+
+def _agg_sum(values, groups, n_groups):
+    data, valid = _masked(values)
+    out, has = _group_reduce(data, valid, groups, n_groups, "sum", 0.0)
+    if values.sql_type.is_integer:
+        return out.astype(np.int64).astype(np.float64), ~has
+    return out, ~has
+
+
+def _agg_avg(values, groups, n_groups):
+    data, valid = _masked(values)
+    s, has = _group_reduce(data, valid, groups, n_groups, "sum", 0.0)
+    c = np.bincount(groups[valid], minlength=n_groups)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = s / c
+    return out, ~has
+
+
+def _agg_min(values, groups, n_groups):
+    data, valid = _masked(values)
+    out, has = _group_reduce(data, valid, groups, n_groups, "min", np.inf)
+    return out, ~has
+
+
+def _agg_max(values, groups, n_groups):
+    data, valid = _masked(values)
+    out, has = _group_reduce(data, valid, groups, n_groups, "max", -np.inf)
+    return out, ~has
+
+
+def _agg_first(values, groups, n_groups):
+    out = np.empty(n_groups, dtype=object)
+    seen = np.zeros(n_groups, dtype=bool)
+    for i, g in enumerate(groups):
+        if not seen[g]:
+            out[g] = values.value(i)
+            seen[g] = True
+    return out, ~seen
+
+
+def _agg_stddev(values, groups, n_groups):
+    data, valid = _masked(values)
+    s, _ = _group_reduce(data, valid, groups, n_groups, "sum", 0.0)
+    s2, _ = _group_reduce(data * data, valid, groups, n_groups, "sum", 0.0)
+    c = np.bincount(groups[valid], minlength=n_groups).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (s2 - s * s / c) / (c - 1)
+        out = np.sqrt(np.maximum(var, 0.0))
+    return out, c < 2
+
+
+_AGGS = {
+    "count": _agg_count,
+    "sum": _agg_sum,
+    "avg": _agg_avg,
+    "mean": _agg_avg,
+    "min": _agg_min,
+    "max": _agg_max,
+    "first": _agg_first,
+    "any_value": _agg_first,
+    "stddev": _agg_stddev,
+    "stddev_samp": _agg_stddev,
+}
+
+
+def _result_type(name: str, values: Column | None) -> T.SqlType:
+    if name == "count":
+        return T.BIGINT
+    if name in ("first", "any_value") and values is not None:
+        return values.sql_type
+    if name == "sum" and values is not None and values.sql_type.is_integer:
+        return T.BIGINT
+    if name in ("min", "max") and values is not None:
+        return values.sql_type
+    return T.DOUBLE
+
+
+# --- group-by machinery ----------------------------------------------------
+
+def _collect_agg_nodes(expr: A.Expr, out: list) -> None:
+    if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGGS:
+        out.append(expr)
+        return
+    if isinstance(expr, A.FuncCall):
+        for a in expr.args:
+            if isinstance(a, A.Expr):
+                _collect_agg_nodes(a, out)
+        return
+    for attr in ("operand", "left", "right", "low", "high", "pattern",
+                 "needle", "haystack"):
+        child = getattr(expr, attr, None)
+        if isinstance(child, A.Expr):
+            _collect_agg_nodes(child, out)
+    if isinstance(expr, A.Case):
+        for c, r in expr.whens:
+            _collect_agg_nodes(c, out)
+            _collect_agg_nodes(r, out)
+        if expr.else_ is not None:
+            _collect_agg_nodes(expr.else_, out)
+    if isinstance(expr, A.ListExpr):
+        for e in expr.items:
+            _collect_agg_nodes(e, out)
+
+
+def _rewrite(expr: A.Expr, agg_map: dict, gb_map: list) -> A.Expr:
+    """Replace aggregate calls / group-by expressions with column refs into
+    the per-group table. gb_map is a list of (expr, column_name) pairs
+    (AST nodes are unhashable)."""
+    for gb_expr, col_name in gb_map:
+        if expr == gb_expr:
+            return A.ColumnRef(col_name)
+    if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGGS:
+        return A.ColumnRef(agg_map[id(expr)])
+    import copy
+
+    out = copy.copy(expr)
+    for attr in ("operand", "left", "right", "low", "high", "pattern",
+                 "needle", "haystack"):
+        child = getattr(out, attr, None)
+        if isinstance(child, A.Expr):
+            setattr(out, attr, _rewrite(child, agg_map, gb_map))
+    if isinstance(out, A.FuncCall):
+        out.args = [
+            _rewrite(a, agg_map, gb_map) if isinstance(a, A.Expr) else a
+            for a in out.args
+        ]
+    if isinstance(out, A.Case):
+        out.whens = [(_rewrite(c, agg_map, gb_map), _rewrite(r, agg_map, gb_map))
+                     for c, r in out.whens]
+        if out.else_ is not None:
+            out.else_ = _rewrite(out.else_, agg_map, gb_map)
+    if isinstance(out, A.ListExpr):
+        out.items = [_rewrite(e, agg_map, gb_map) for e in out.items]
+    return out
+
+
+def group_ids_host(key_cols: list, n_rows: int) -> tuple:
+    """Assign dense group ids. Returns (groups[int64], first_row_indices)."""
+    if not key_cols:
+        return np.zeros(n_rows, dtype=np.int64), np.array([0] if n_rows else [0], dtype=np.int64)
+    mapping: dict = {}
+    groups = np.empty(n_rows, dtype=np.int64)
+    firsts: list = []
+    for i in range(n_rows):
+        key = tuple(c.value(i) for c in key_cols)
+        gid = mapping.get(key)
+        if gid is None:
+            gid = len(firsts)
+            mapping[key] = gid
+            firsts.append(i)
+        groups[i] = gid
+    return groups, np.asarray(firsts, dtype=np.int64)
+
+
+def group_aggregate(sel, scope, eval_fn, scope_cls) -> Table:
+    """Execute the aggregate portion of a SELECT (called by the executor)."""
+    conn_eval = eval_fn  # (expr, scope) -> Column
+    n_rows = scope.num_rows
+
+    # 1. group keys
+    key_cols = [conn_eval(e, scope) for e in sel.group_by]
+    groups, firsts = group_ids_host(key_cols, n_rows)
+    if sel.group_by:
+        n_groups = len(firsts)
+    else:
+        n_groups = 1  # global aggregate: exactly one output row (even if empty input)
+        firsts = np.zeros(1, dtype=np.int64) if n_rows else np.zeros(0, dtype=np.int64)
+
+    # 2. aggregate nodes across select items + having
+    agg_nodes: list = []
+    for item in sel.items:
+        _collect_agg_nodes(item.expr, agg_nodes)
+    if sel.having is not None:
+        _collect_agg_nodes(sel.having, agg_nodes)
+
+    # 3. evaluate each aggregate
+    group_cols: dict = {}
+    agg_map: dict = {}
+    for k, node in enumerate(agg_nodes):
+        name = node.name.lower()
+        impl = _AGGS[name]
+        if node.is_star or not node.args:
+            values = None
+        else:
+            values = conn_eval(node.args[0], scope)
+        if name == "count":
+            data, nulls = impl(values, groups, n_groups)
+        else:
+            if values is None:
+                raise SqlError(f"Binder Error: {name}(*) is not allowed")
+            data, nulls = impl(values, groups, n_groups)
+        col_name = f"__agg_{k}"
+        agg_map[id(node)] = col_name
+        rt = _result_type(name, values)
+        if isinstance(data, np.ndarray) and data.dtype == object:
+            col = Column.from_values(list(data), rt if rt.name != "NULL" else infer_sql_type(list(data)))
+            if nulls is not None and nulls.any():
+                col.validity = ~nulls
+        else:
+            phys = data.astype(rt.np_dtype) if rt.np_dtype is not None else data
+            col = Column(phys, rt, None if nulls is None or not nulls.any() else ~nulls)
+        group_cols[col_name] = col
+
+    # 4. group-by key columns land in the per-group table
+    gb_map: list = []
+    for j, e in enumerate(sel.group_by):
+        col_name = f"__gb_{j}"
+        gb_map.append((e, col_name))
+        group_cols[col_name] = key_cols[j].take(firsts) if n_rows else Column(
+            np.empty(0, dtype=key_cols[j].data.dtype), key_cols[j].sql_type
+        )
+
+    if not group_cols:
+        group_cols["__dummy__"] = Column(np.zeros(n_groups, dtype=np.int8), T.TINYINT)
+    group_table = Table(group_cols)
+    gscope = scope_cls(group_table)
+
+    # 5. HAVING
+    if sel.having is not None:
+        cond = conn_eval(_rewrite(sel.having, agg_map, gb_map), gscope)
+        mask = cond.data.astype(bool) & cond.valid_mask()
+        group_table = group_table.filter(mask)
+        gscope = scope_cls(group_table)
+
+    # 6. project select items over groups
+    out_cols: dict = {}
+    for idx, item in enumerate(sel.items):
+        expr = _rewrite(item.expr, agg_map, gb_map)
+        name = item.alias or _item_name(item.expr, idx)
+        base, k = name, 1
+        while name in out_cols:
+            name = f"{base}_{k}"
+            k += 1
+        out_cols[name] = conn_eval(expr, gscope)
+    return Table(out_cols)
+
+
+def _item_name(expr: A.Expr, idx: int) -> str:
+    if isinstance(expr, A.ColumnRef):
+        return expr.name
+    if isinstance(expr, A.FuncCall):
+        return expr.name
+    return f"col{idx}"

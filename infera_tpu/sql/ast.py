@@ -1,0 +1,234 @@
+"""SQL abstract syntax tree.
+
+The reference exposes its engine through DuckDB's SQL planner (SURVEY.md §1
+L4); this framework carries its own SQL surface. The AST covers the dialect
+exercised by the reference's sqllogictests plus the relational constructs the
+BASELINE.json benchmark configs need (joins, group-by, order-by).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# --- expressions -----------------------------------------------------------
+
+@dataclass
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: object  # python value; None = NULL
+    type_name: str | None = None  # 'INTEGER' | 'DOUBLE' | 'VARCHAR' | ...
+
+
+@dataclass
+class ColumnRef(Expr):
+    name: str
+    table: str | None = None
+
+
+@dataclass
+class Star(Expr):
+    table: str | None = None
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str
+    args: list = field(default_factory=list)
+    distinct: bool = False
+    is_star: bool = False  # count(*)
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_name: str
+    width: int = 0
+    scale: int = 0
+
+
+@dataclass
+class Unary(Expr):
+    op: str  # '-', '+', 'NOT'
+    operand: Expr
+
+
+@dataclass
+class Binary(Expr):
+    op: str  # '+','-','*','/','%','=','<>','<','<=','>','>=','AND','OR','||'
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    operand: Expr
+    items: list = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class Like(Expr):
+    operand: Expr
+    pattern: Expr
+    negated: bool = False
+
+
+@dataclass
+class Case(Expr):
+    operand: Expr | None
+    whens: list = field(default_factory=list)  # [(cond, result)]
+    else_: Expr | None = None
+
+
+@dataclass
+class ListExpr(Expr):
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class PositionIn(Expr):
+    """position(needle IN haystack) — DuckDB/standard SQL form used by the
+    reference tests (test_core_functionality.test)."""
+
+    needle: Expr
+    haystack: Expr
+
+
+# --- statements ------------------------------------------------------------
+
+@dataclass
+class Statement:
+    pass
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: str | None = None
+
+
+@dataclass
+class TableRef:
+    pass
+
+
+@dataclass
+class BaseTable(TableRef):
+    name: str
+    alias: str | None = None
+
+
+@dataclass
+class SubqueryRef(TableRef):
+    query: "Select"
+    alias: str | None = None
+    column_aliases: list | None = None
+
+
+@dataclass
+class TableFunction(TableRef):
+    name: str
+    args: list = field(default_factory=list)
+    alias: str | None = None
+    column_aliases: list | None = None
+
+
+@dataclass
+class Join(TableRef):
+    left: TableRef
+    right: TableRef
+    kind: str = "INNER"  # INNER | LEFT | RIGHT | FULL | CROSS
+    on: Expr | None = None
+    using: list | None = None
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+    nulls_first: bool | None = None
+
+
+@dataclass
+class Select(Statement):
+    items: list = field(default_factory=list)  # SelectItem
+    from_: TableRef | None = None
+    where: Expr | None = None
+    group_by: list = field(default_factory=list)
+    having: Expr | None = None
+    order_by: list = field(default_factory=list)  # OrderItem
+    limit: int | None = None
+    offset: int | None = None
+    distinct: bool = False
+
+
+@dataclass
+class CreateTableAs(Statement):
+    name: str
+    query: Select
+    or_replace: bool = False
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    type_name: str
+    width: int = 0
+    scale: int = 0
+
+
+@dataclass
+class CreateTable(Statement):
+    name: str
+    columns: list = field(default_factory=list)
+    or_replace: bool = False
+
+
+@dataclass
+class Insert(Statement):
+    table: str
+    columns: list | None = None
+    rows: list | None = None  # list of list[Expr]
+    query: Select | None = None
+
+
+@dataclass
+class DropTable(Statement):
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class Pragma(Statement):
+    name: str
+    value: object | None = None
+
+
+@dataclass
+class Load(Statement):
+    path: str
+
+
+@dataclass
+class SetStmt(Statement):
+    name: str
+    value: object

@@ -1,0 +1,661 @@
+"""SQL execution: catalog, expression evaluation, and the relational
+operators (scan → filter → project → aggregate/join/sort) over columnar
+Tables.
+
+This is the TPU framework's replacement for DuckDB's planner/executor pair
+that hosts the reference extension (SURVEY.md §1 L4). Semantics pinned by the
+reference's sqllogictests are honored here: NULL propagation through scalar
+expressions (constant NULL model name → NULL prediction,
+test_edge_cases.test), volatile infera_* functions re-evaluated at every call
+site, and DuckDB-style value rendering for the test harness.
+
+Large numeric operators dispatch to the device kernels in infera_tpu.ops
+(hash join / hash aggregate / sort) once row counts cross a threshold; small
+relational work runs on the host path for latency.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..columnar import Column, Table, infer_sql_type
+from ..columnar import types as T
+from ..errors import SqlError, invalid_input
+from . import ast as A
+from .functions import AGGREGATE_FUNCTIONS, SCALAR_FUNCTIONS
+from .parser import parse_sql
+
+# Row-count threshold above which relational ops run on the device path.
+DEVICE_THRESHOLD = 1 << 15
+
+
+class Catalog:
+    def __init__(self):
+        self.tables: dict = {}
+
+    def get(self, name: str) -> Table:
+        t = self.tables.get(name.lower())
+        if t is None:
+            raise SqlError(f"Catalog Error: Table with name {name} does not exist!")
+        return t
+
+    def put(self, name: str, table: Table, or_replace: bool = False):
+        key = name.lower()
+        if key in self.tables and not or_replace:
+            raise SqlError(f"Catalog Error: Table with name \"{name}\" already exists!")
+        self.tables[key] = table
+
+    def drop(self, name: str, if_exists: bool = False):
+        key = name.lower()
+        if key not in self.tables:
+            if if_exists:
+                return
+            raise SqlError(f"Catalog Error: Table with name {name} does not exist!")
+        del self.tables[key]
+
+
+@dataclass
+class QueryResult:
+    table: Table | None = None
+    names: list = field(default_factory=list)
+
+    @property
+    def rows(self) -> list:
+        return [] if self.table is None else self.table.to_pylist()
+
+    def scalar(self):
+        if self.table is None or self.table.num_rows == 0:
+            return None
+        return self.table.row(0)[0]
+
+
+# ---------------------------------------------------------------------------
+# Evaluation context
+# ---------------------------------------------------------------------------
+
+class Scope:
+    """Column namespace for expression evaluation: qualified and bare names."""
+
+    def __init__(self, table: Table, qualifiers: dict | None = None):
+        self.table = table
+        # qualifiers: bare column name → list of qualified names, used to
+        # detect ambiguity. Table stores columns under 'alias.col' when
+        # joined, plus bare name when unambiguous.
+
+    @property
+    def num_rows(self) -> int:
+        return self.table.num_rows
+
+    def lookup(self, name: str, qualifier: str | None) -> Column:
+        if qualifier:
+            key = f"{qualifier}.{name}"
+            if key in self.table.columns:
+                return self.table.columns[key]
+            raise SqlError(f'Binder Error: Referenced column "{qualifier}.{name}" not found')
+        if name in self.table.columns:
+            return self.table.columns[name]
+        # case-insensitive fallback
+        for k in self.table.columns:
+            bare = k.split(".")[-1]
+            if bare.lower() == name.lower():
+                return self.table.columns[k]
+        raise SqlError(f'Binder Error: Referenced column "{name}" not found')
+
+
+def _dummy_scope() -> Scope:
+    return Scope(Table({"__dummy__": Column(np.zeros(1, dtype=np.int8), T.TINYINT)}))
+
+
+# ---------------------------------------------------------------------------
+# Connection
+# ---------------------------------------------------------------------------
+
+class Connection:
+    """An in-process SQL session (analog of a DuckDB connection running the
+    loaded infera extension)."""
+
+    def __init__(self, catalog: Catalog | None = None):
+        self.catalog = catalog or Catalog()
+
+    # -- public API -------------------------------------------------------
+
+    def execute(self, sql: str) -> QueryResult:
+        result = QueryResult()
+        for stmt in parse_sql(sql):
+            result = self._execute_statement(stmt)
+        return result
+
+    def register_table(self, name: str, table: Table) -> None:
+        self.catalog.put(name, table, or_replace=True)
+
+    # -- statements -------------------------------------------------------
+
+    def _execute_statement(self, stmt: A.Statement) -> QueryResult:
+        if isinstance(stmt, A.Select):
+            table = self._execute_select(stmt)
+            return QueryResult(table, table.names)
+        if isinstance(stmt, A.CreateTableAs):
+            table = self._execute_select(stmt.query)
+            self.catalog.put(stmt.name, table, stmt.or_replace)
+            return QueryResult()
+        if isinstance(stmt, A.CreateTable):
+            cols = {}
+            for cd in stmt.columns:
+                t = T.type_from_name(cd.type_name, cd.width, cd.scale)
+                dtype = t.np_dtype if t.np_dtype is not None else object
+                cols[cd.name] = Column(np.empty(0, dtype=dtype), t)
+            self.catalog.put(stmt.name, Table(cols), stmt.or_replace)
+            return QueryResult()
+        if isinstance(stmt, A.Insert):
+            return self._execute_insert(stmt)
+        if isinstance(stmt, A.DropTable):
+            self.catalog.drop(stmt.name, stmt.if_exists)
+            return QueryResult()
+        if isinstance(stmt, (A.Pragma, A.Load, A.SetStmt)):
+            # pragma enable_verification / load '<ext>' are DuckDB harness
+            # statements; the engine accepts and ignores them.
+            return QueryResult()
+        raise SqlError(f"unsupported statement {type(stmt).__name__}")
+
+    def _execute_insert(self, stmt: A.Insert) -> QueryResult:
+        existing = self.catalog.get(stmt.table)
+        if stmt.query is not None:
+            new = self._execute_select(stmt.query)
+            new_cols = list(new.columns.values())
+        else:
+            scope = _dummy_scope()
+            n = len(stmt.rows)
+            col_vals: list = [[] for _ in range(len(stmt.rows[0]))]
+            for row in stmt.rows:
+                if len(row) != len(col_vals):
+                    raise SqlError("Binder Error: VALUES rows have unequal lengths")
+                for j, e in enumerate(row):
+                    col_vals[j].append(self._eval(e, scope).value(0))
+            new_cols = []
+            for j, vals in enumerate(col_vals):
+                new_cols.append(Column.from_values(vals, infer_sql_type(vals)))
+            del n
+        names = stmt.columns or existing.names
+        if len(new_cols) != len(names):
+            raise SqlError("Binder Error: column count mismatch in INSERT")
+        cols = {}
+        for name in existing.names:
+            old = existing.columns[name]
+            if name in names:
+                add = new_cols[names.index(name)].cast(old.sql_type)
+            else:
+                add = Column.constant(None, old.sql_type, len(new_cols[0]))
+            data = np.concatenate([old.data, add.data])
+            if old.validity is None and add.validity is None:
+                validity = None
+            else:
+                validity = np.concatenate([old.valid_mask(), add.valid_mask()])
+            cols[name] = Column(data, old.sql_type, validity)
+        self.catalog.tables[stmt.table.lower()] = Table(cols)
+        return QueryResult()
+
+    # -- SELECT pipeline --------------------------------------------------
+
+    def _execute_select(self, sel: A.Select) -> Table:
+        # 1. FROM
+        if sel.from_ is not None:
+            scope = Scope(self._execute_from(sel.from_))
+        else:
+            scope = _dummy_scope()
+
+        # 2. WHERE
+        if sel.where is not None:
+            mask_col = self._eval(sel.where, scope)
+            mask = _as_bool_mask(mask_col)
+            scope = Scope(scope.table.filter(mask))
+
+        # 3. aggregate or plain projection
+        has_agg = any(_contains_aggregate(item.expr) for item in sel.items) or bool(
+            sel.group_by
+        )
+        if has_agg:
+            out = self._execute_aggregate(sel, scope)
+        else:
+            out = self._project(sel.items, scope)
+            if sel.distinct:
+                out = _distinct(out)
+
+        # 4. ORDER BY
+        if sel.order_by:
+            out = self._order_by(out, sel.order_by, scope if not has_agg else Scope(out))
+
+        # 5. LIMIT / OFFSET
+        if sel.offset is not None or sel.limit is not None:
+            start = sel.offset or 0
+            stop = start + sel.limit if sel.limit is not None else out.num_rows
+            out = out.slice(start, stop)
+        return out
+
+    def _execute_from(self, ref: A.TableRef) -> Table:
+        if isinstance(ref, A.BaseTable):
+            table = self.catalog.get(ref.name)
+            alias = ref.alias or ref.name
+            return _qualify(table, alias)
+        if isinstance(ref, A.SubqueryRef):
+            table = self._execute_select(ref.query)
+            if ref.column_aliases:
+                table = _rename_columns(table, ref.column_aliases)
+            return _qualify(table, ref.alias) if ref.alias else table
+        if isinstance(ref, A.TableFunction):
+            return self._table_function(ref)
+        if isinstance(ref, A.Join):
+            from ..ops.join import join_tables
+
+            left = self._execute_from(ref.left)
+            right = self._execute_from(ref.right)
+            return join_tables(
+                left, right, ref.kind, ref.on, ref.using,
+                eval_fn=self._eval, scope_cls=Scope,
+            )
+        raise SqlError(f"unsupported FROM clause {type(ref).__name__}")
+
+    def _table_function(self, ref: A.TableFunction) -> Table:
+        name = ref.name.lower()
+        scope = _dummy_scope()
+        args = [self._eval(a, scope).value(0) for a in ref.args]
+        if name in ("range", "generate_series"):
+            if len(args) == 1:
+                lo, hi, step = 0, int(args[0]), 1
+            elif len(args) == 2:
+                lo, hi, step = int(args[0]), int(args[1]), 1
+            else:
+                lo, hi, step = int(args[0]), int(args[1]), int(args[2])
+            if name == "generate_series":
+                hi += 1  # inclusive upper bound
+            data = np.arange(lo, hi, step, dtype=np.int64)
+            col_name = ref.column_aliases[0] if ref.column_aliases else "range"
+            t = Table({col_name: Column(data, T.BIGINT)})
+            return _qualify(t, ref.alias) if ref.alias else t
+        raise SqlError(f"Catalog Error: Table Function with name {ref.name} does not exist!")
+
+    def _project(self, items: list, scope: Scope) -> Table:
+        cols: dict = {}
+        for idx, item in enumerate(items):
+            if isinstance(item.expr, A.Star):
+                for name, col in scope.table.columns.items():
+                    if name == "__dummy__":
+                        continue
+                    if item.expr.table and not name.startswith(item.expr.table + "."):
+                        continue
+                    bare = name.split(".")[-1]
+                    cols[bare if bare not in cols else name] = col
+                continue
+            name = item.alias or _expr_name(item.expr, idx)
+            base, n = name, 1
+            while name in cols:
+                name = f"{base}_{n}"
+                n += 1
+            cols[name] = self._eval(item.expr, scope)
+        return Table(cols)
+
+    # -- aggregation ------------------------------------------------------
+
+    def _execute_aggregate(self, sel: A.Select, scope: Scope) -> Table:
+        from ..ops.aggregate import group_aggregate
+
+        return group_aggregate(sel, scope, self._eval, Scope)
+
+    def _order_by(self, out: Table, order_by: list, scope: Scope) -> Table:
+        out_scope = Scope(out)
+        keys = []
+        for item in reversed(order_by):
+            try:
+                col = self._eval(item.expr, out_scope)
+            except SqlError:
+                col = self._eval(item.expr, scope)
+            data = col.data
+            valid = col.valid_mask()
+            if data.dtype == object:
+                data = np.array([str(v) for v in data], dtype=object)
+                order = np.argsort(data[valid], kind="stable")
+            # numpy sorts ascending; handle NULLS LAST (asc default)
+            keys.append((data, valid, item.ascending, item.nulls_first))
+        # build a single argsort via lexsort on encoded keys
+        encoded = []
+        for data, valid, asc, nulls_first in keys:
+            if data.dtype == object:
+                ranks = np.argsort(np.argsort([str(v) for v in data]))
+                vals = ranks.astype(np.float64)
+            else:
+                vals = data.astype(np.float64)
+            if not asc:
+                vals = -vals
+            nf = nulls_first if nulls_first is not None else False
+            sentinel = -np.inf if nf else np.inf
+            vals = np.where(valid, vals, sentinel)
+            encoded.append(vals)
+        idx = np.lexsort(encoded)
+        return out.take(idx)
+
+    # -- expression evaluation -------------------------------------------
+
+    def _eval(self, expr: A.Expr, scope: Scope) -> Column:
+        n = scope.num_rows
+        if isinstance(expr, A.Literal):
+            if expr.value is None:
+                return Column.constant(None, T.SQLNULL, n)
+            tname = expr.type_name or "VARCHAR"
+            t = T.type_from_name(tname)
+            return Column.constant(expr.value, t, n)
+        if isinstance(expr, A.ColumnRef):
+            return scope.lookup(expr.name, expr.table)
+        if isinstance(expr, A.Cast):
+            return self._eval_cast(expr, scope)
+        if isinstance(expr, A.Unary):
+            return self._eval_unary(expr, scope)
+        if isinstance(expr, A.Binary):
+            return self._eval_binary(expr, scope)
+        if isinstance(expr, A.IsNull):
+            col = self._eval(expr.operand, scope)
+            valid = col.valid_mask()
+            res = valid if expr.negated else ~valid
+            return Column(res.copy(), T.BOOLEAN)
+        if isinstance(expr, A.InList):
+            return self._eval_in(expr, scope)
+        if isinstance(expr, A.Between):
+            low = A.Binary(">=", expr.operand, expr.low)
+            high = A.Binary("<=", expr.operand, expr.high)
+            combined = A.Binary("AND", low, high)
+            col = self._eval(combined, scope)
+            if expr.negated:
+                return self._eval(A.Unary("NOT", combined), scope)
+            return col
+        if isinstance(expr, A.Like):
+            return self._eval_like(expr, scope)
+        if isinstance(expr, A.Case):
+            return self._eval_case(expr, scope)
+        if isinstance(expr, A.ListExpr):
+            item_cols = [self._eval(e, scope) for e in expr.items]
+            data = np.empty(n, dtype=object)
+            for i in range(n):
+                data[i] = [c.value(i) for c in item_cols]
+            return Column(data, T.LIST_FLOAT)
+        if isinstance(expr, A.PositionIn):
+            needle = self._eval(expr.needle, scope)
+            hay = self._eval(expr.haystack, scope)
+            from .functions import _map_rows
+
+            return _map_rows([hay, needle], n,
+                             lambda h, nd: str(h).find(str(nd)) + 1, T.BIGINT)
+        if isinstance(expr, A.FuncCall):
+            return self._eval_func(expr, scope)
+        if isinstance(expr, A.Star):
+            raise SqlError("Binder Error: * not allowed here")
+        raise SqlError(f"unsupported expression {type(expr).__name__}")
+
+    def _eval_cast(self, expr: A.Cast, scope: Scope) -> Column:
+        col = self._eval(expr.operand, scope)
+        tname = expr.type_name.upper()
+        if tname == "BLOB":
+            data = np.empty(len(col), dtype=object)
+            validity = col.valid_mask().copy()
+            for i in range(len(col)):
+                if not validity[i]:
+                    continue
+                v = col.value(i)
+                if isinstance(v, (bytes, bytearray)):
+                    data[i] = bytes(v)
+                else:
+                    data[i] = str(v).encode("utf-8")
+            return Column(data, T.BLOB, None if validity.all() else validity)
+        target = T.type_from_name(tname, expr.width, expr.scale)
+        return col.cast(target)
+
+    def _eval_unary(self, expr: A.Unary, scope: Scope) -> Column:
+        col = self._eval(expr.operand, scope)
+        if expr.op == "-":
+            return Column(-col.data, col.sql_type if col.sql_type.is_numeric else T.DOUBLE, col.validity)
+        if expr.op == "NOT":
+            data = col.data.astype(bool)
+            return Column(~data, T.BOOLEAN, col.validity)
+        raise SqlError(f"unsupported unary op {expr.op}")
+
+    def _eval_binary(self, expr: A.Binary, scope: Scope) -> Column:
+        op = expr.op
+        if op in ("AND", "OR"):
+            left = self._eval(expr.left, scope)
+            right = self._eval(expr.right, scope)
+            lv = left.data.astype(bool)
+            rv = right.data.astype(bool)
+            lvalid = left.valid_mask()
+            rvalid = right.valid_mask()
+            if op == "AND":
+                data = lv & rv
+                # 3VL: NULL AND false = false; NULL AND true = NULL
+                valid = (lvalid & rvalid) | (lvalid & ~lv) | (rvalid & ~rv)
+                data = np.where(valid, data & np.where(lvalid, lv, True) & np.where(rvalid, rv, True), False)
+            else:
+                data = lv | rv
+                valid = (lvalid & rvalid) | (lvalid & lv) | (rvalid & rv)
+                data = np.where(valid, np.where(lvalid, lv, False) | np.where(rvalid, rv, False), False)
+            return Column(data, T.BOOLEAN, None if valid.all() else valid)
+
+        left = self._eval(expr.left, scope)
+        right = self._eval(expr.right, scope)
+
+        if op == "||":
+            from .functions import _map_rows
+
+            return _map_rows([left, right], scope.num_rows,
+                             lambda a, b: str(a) + str(b), T.VARCHAR)
+
+        # list / string comparisons take the host path
+        host_types = ("VARCHAR", "BLOB", "LIST_FLOAT")
+        if (left.sql_type.name in host_types or right.sql_type.name in host_types) and op in (
+            "=", "<>", "<", "<=", ">", ">="
+        ):
+            return _host_compare(op, left, right)
+
+        lt, rt = left.sql_type, right.sql_type
+        if not (lt.is_numeric or lt.name == "NULL") or not (rt.is_numeric or rt.name == "NULL"):
+            raise SqlError(f"Binder Error: cannot apply {op} to {lt} and {rt}")
+
+        valid = left.valid_mask() & right.valid_mask()
+        all_valid = bool(valid.all())
+        if op in ("=", "<>", "<", "<=", ">", ">="):
+            a = left.data.astype(np.float64)
+            b = right.data.astype(np.float64)
+            fn = {
+                "=": np.equal, "<>": np.not_equal, "<": np.less,
+                "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+            }[op]
+            return Column(fn(a, b), T.BOOLEAN, None if all_valid else valid)
+        out_type = T.common_numeric_type(lt if lt.is_numeric else T.INTEGER,
+                                         rt if rt.is_numeric else T.INTEGER)
+        if op == "/":
+            out_type = T.DOUBLE if out_type.name not in ("FLOAT",) else T.FLOAT
+            a = left.data.astype(np.float64)
+            b = right.data.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                data = a / b
+            return Column(data.astype(out_type.np_dtype), out_type, None if all_valid else valid)
+        a = left.data.astype(out_type.np_dtype)
+        b = right.data.astype(out_type.np_dtype)
+        if op == "+":
+            data = a + b
+        elif op == "-":
+            data = a - b
+        elif op == "*":
+            data = a * b
+        elif op == "%":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                data = np.mod(a, b)
+        else:
+            raise SqlError(f"unsupported binary op {op}")
+        return Column(data, out_type, None if all_valid else valid)
+
+    def _eval_in(self, expr: A.InList, scope: Scope) -> Column:
+        col = self._eval(expr.operand, scope)
+        item_cols = [self._eval(e, scope) for e in expr.items]
+        n = scope.num_rows
+        data = np.zeros(n, dtype=bool)
+        valid = col.valid_mask().copy()
+        for i in range(n):
+            if not valid[i]:
+                continue
+            v = col.value(i)
+            data[i] = any(c.value(i) == v for c in item_cols)
+        if expr.negated:
+            data = ~data
+        return Column(data, T.BOOLEAN, None if valid.all() else valid)
+
+    def _eval_like(self, expr: A.Like, scope: Scope) -> Column:
+        col = self._eval(expr.operand, scope)
+        pat_col = self._eval(expr.pattern, scope)
+        n = scope.num_rows
+        data = np.zeros(n, dtype=bool)
+        valid = col.valid_mask() & pat_col.valid_mask()
+        rx_cache: dict = {}
+        for i in range(n):
+            if not valid[i]:
+                continue
+            pat = str(pat_col.value(i))
+            rx = rx_cache.get(pat)
+            if rx is None:
+                rx = re.compile(
+                    "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$",
+                    re.DOTALL,
+                )
+                rx_cache[pat] = rx
+            data[i] = rx.match(str(col.value(i))) is not None
+        if expr.negated:
+            data = ~data
+        return Column(data, T.BOOLEAN, None if valid.all() else valid)
+
+    def _eval_case(self, expr: A.Case, scope: Scope) -> Column:
+        n = scope.num_rows
+        results: list = [None] * n
+        decided = np.zeros(n, dtype=bool)
+        for cond_e, res_e in expr.whens:
+            if expr.operand is not None:
+                cond_e = A.Binary("=", expr.operand, cond_e)
+            cond = self._eval(cond_e, scope)
+            res = self._eval(res_e, scope)
+            for i in range(n):
+                if not decided[i] and not cond.is_null(i) and cond.value(i):
+                    results[i] = res.value(i)
+                    decided[i] = True
+        if expr.else_ is not None:
+            res = self._eval(expr.else_, scope)
+            for i in range(n):
+                if not decided[i]:
+                    results[i] = res.value(i)
+        return Column.from_values(results, infer_sql_type(results))
+
+    def _eval_func(self, expr: A.FuncCall, scope: Scope) -> Column:
+        name = expr.name.lower()
+        if name == "__scalar_subquery__":
+            sub = self._execute_select(expr.args[0])
+            v = None
+            if sub.num_rows > 0:
+                v = sub.row(0)[0]
+            t = next(iter(sub.columns.values())).sql_type if sub.columns else T.SQLNULL
+            return Column.constant(v, t if v is not None else T.SQLNULL, scope.num_rows)
+        entry = SCALAR_FUNCTIONS.get(name)
+        if entry is None:
+            raise SqlError(
+                f"Catalog Error: Scalar Function with name {expr.name} does not exist!"
+            )
+        fn, _volatile = entry
+        args = [self._eval(a, scope) for a in expr.args]
+        return fn(self, args, scope.num_rows)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _as_bool_mask(col: Column) -> np.ndarray:
+    mask = col.data.astype(bool)
+    return mask & col.valid_mask()
+
+
+def _rename_columns(table: Table, names: list) -> Table:
+    cols = {}
+    for i, (old, col) in enumerate(table.columns.items()):
+        cols[names[i] if i < len(names) else old] = col
+    return Table(cols)
+
+
+def _qualify(table: Table, alias: str) -> Table:
+    """Store each column under both its bare name and alias.col."""
+    cols = {}
+    for name, col in table.columns.items():
+        bare = name.split(".")[-1]
+        cols[bare] = col
+        cols[f"{alias}.{bare}"] = col
+    return Table(cols)
+
+
+def _distinct(table: Table) -> Table:
+    seen = set()
+    keep = []
+    for i in range(table.num_rows):
+        key = table.row(i)
+        if key not in seen:
+            seen.add(key)
+            keep.append(i)
+    return table.take(np.asarray(keep, dtype=np.int64))
+
+
+def _host_compare(op: str, left: Column, right: Column) -> Column:
+    n = len(left)
+    data = np.zeros(n, dtype=bool)
+    valid = left.valid_mask() & right.valid_mask()
+    for i in range(n):
+        if not valid[i]:
+            continue
+        a, b = left.value(i), right.value(i)
+        if isinstance(a, list) or isinstance(b, list):
+            a_l = [float(x) for x in a] if isinstance(a, (list, tuple)) else a
+            b_l = [float(x) for x in b] if isinstance(b, (list, tuple)) else b
+            eq = a_l == b_l
+            data[i] = eq if op == "=" else (not eq if op == "<>" else False)
+            continue
+        if isinstance(a, (bytes, bytearray)) or isinstance(b, (bytes, bytearray)):
+            pass
+        else:
+            a, b = str(a), str(b)
+        data[i] = {
+            "=": a == b, "<>": a != b, "<": a < b,
+            "<=": a <= b, ">": a > b, ">=": a >= b,
+        }[op]
+    return Column(data, T.BOOLEAN, None if valid.all() else valid)
+
+
+def _contains_aggregate(expr: A.Expr) -> bool:
+    if isinstance(expr, A.FuncCall):
+        if expr.name.lower() in AGGREGATE_FUNCTIONS:
+            return True
+        return any(_contains_aggregate(a) for a in expr.args if isinstance(a, A.Expr))
+    for attr in ("operand", "left", "right", "low", "high", "pattern", "needle", "haystack"):
+        child = getattr(expr, attr, None)
+        if isinstance(child, A.Expr) and _contains_aggregate(child):
+            return True
+    if isinstance(expr, A.Case):
+        for c, r in expr.whens:
+            if _contains_aggregate(c) or _contains_aggregate(r):
+                return True
+        if expr.else_ is not None and _contains_aggregate(expr.else_):
+            return True
+    if isinstance(expr, A.ListExpr):
+        return any(_contains_aggregate(e) for e in expr.items)
+    return False
+
+
+def _expr_name(expr: A.Expr, idx: int) -> str:
+    if isinstance(expr, A.ColumnRef):
+        return expr.name
+    if isinstance(expr, A.FuncCall):
+        return expr.name
+    if isinstance(expr, A.Cast):
+        return _expr_name(expr.operand, idx)
+    return f"col{idx}"
