@@ -17,12 +17,11 @@ Design (SURVEY.md §7.1 distributed layer):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .shuffle import _pack_buckets
 
@@ -93,7 +92,7 @@ def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int):
         mesh=mesh,
         in_specs=(P(), P("dp", None), P("dp")),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 

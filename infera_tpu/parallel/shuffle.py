@@ -17,12 +17,11 @@ payload, so downstream operators (join/aggregate) mask them out — the same
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _pack_buckets(part: jnp.ndarray, payload: list, ndev: int, cap: int):
@@ -72,7 +71,7 @@ def make_shuffle(mesh: Mesh, num_payload: int, cap: int):
     in_specs = (P("dp"),) + tuple(P("dp") for _ in range(num_payload))
     out_specs = (P("dp"),) + tuple(P("dp") for _ in range(num_payload))
     return shard_map(local_fn, mesh=mesh, in_specs=in_specs,
-                     out_specs=out_specs, check_rep=False)
+                     out_specs=out_specs, check_vma=False)
 
 
 def shuffle_by_hash(mesh: Mesh, key_hash, payload: list, cap: int | None = None):

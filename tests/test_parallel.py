@@ -1,0 +1,125 @@
+"""Distributed-layer tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: simulated multi-chip tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infera_tpu.parallel.mesh import make_mesh
+from infera_tpu.parallel.pipeline import (
+    example_inputs,
+    make_distributed_query_step,
+    mlp_apply,
+)
+from infera_tpu.parallel.shuffle import shuffle_by_hash
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape["dp"] == 8
+    assert mesh.shape["mp"] == 1
+
+
+def test_shuffle_roundtrip(mesh):
+    """Every row must arrive exactly once at the device owning its hash."""
+    n = 8 * 64
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 1 << 30, n).astype(np.uint32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    valid, keys_out, vals_out = shuffle_by_hash(
+        mesh, jnp.asarray(keys), [jnp.asarray(keys.astype(np.int32)),
+                                  jnp.asarray(vals)]
+    )
+    valid = np.asarray(valid)
+    keys_out = np.asarray(keys_out)
+    vals_out = np.asarray(vals_out)
+
+    # collect valid rows and compare multiset against input
+    got = sorted(zip(keys_out[valid].tolist(), vals_out[valid].tolist()))
+    want = sorted(zip(keys.astype(np.int32).tolist(), vals.tolist()))
+    assert got == want
+
+    # ownership: rows on device d all have hash % 8 == d
+    ndev = 8
+    per_dev = len(valid) // ndev
+    for d in range(ndev):
+        seg_keys = keys_out[d * per_dev : (d + 1) * per_dev]
+        seg_valid = valid[d * per_dev : (d + 1) * per_dev]
+        assert (seg_keys[seg_valid].astype(np.uint32) % ndev == d).all()
+
+
+def test_distributed_step_matches_single_device(mesh):
+    """The 8-device pipeline must produce identical results to a plain
+    single-device evaluation of the same query."""
+    n_rows, in_dim, out_dim, n_groups = 8 * 32, 8, 4, 8
+    cap = n_rows // 8
+    step = make_distributed_query_step(mesh, n_groups=n_groups, cap=cap)
+    params, x, keys = example_inputs(mesh, n_rows, in_dim, out_dim, n_groups)
+    sums, counts, total = jax.block_until_ready(step(params, x, keys))
+
+    # reference: single-device numpy
+    xh = np.asarray(x)
+    kh = np.asarray(keys)
+    ph = [(np.asarray(w), np.asarray(b)) for w, b in params]
+    h = xh
+    for i, (w, b) in enumerate(ph):
+        h = h @ w + b
+        if i < len(ph) - 1:
+            h = np.maximum(h, 0)
+    sel = h[:, 0] > 0
+    exp_total = sel.sum()
+    exp_sums = np.zeros(n_groups)
+    exp_counts = np.zeros(n_groups)
+    np.add.at(exp_sums, kh % n_groups, np.where(sel, h[:, 0], 0.0))
+    np.add.at(exp_counts, kh % n_groups, sel.astype(np.float64))
+
+    assert float(total) == pytest.approx(float(exp_total))
+    np.testing.assert_allclose(np.asarray(counts), exp_counts, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), exp_sums, rtol=1e-4, atol=1e-4)
+
+
+def test_mlp_apply_precision():
+    rng = np.random.default_rng(0)
+    params = [
+        (jnp.asarray(rng.standard_normal((4, 8)), jnp.float32), jnp.zeros(8, jnp.float32)),
+        (jnp.asarray(rng.standard_normal((8, 2)), jnp.float32), jnp.zeros(2, jnp.float32)),
+    ]
+    x = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+    out = mlp_apply(params, x)
+    h = np.maximum(np.asarray(x) @ np.asarray(params[0][0]), 0)
+    expected = h @ np.asarray(params[1][0])
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_device_join_correctness():
+    from infera_tpu.ops.device_join import inner_join_indices_device
+
+    rng = np.random.default_rng(1)
+    lk = rng.integers(0, 50, 300).astype(np.int64)
+    rk = rng.integers(0, 50, 200).astype(np.int64)
+    li, ri = inner_join_indices_device(lk, rk)
+    got = sorted(zip(lk[li].tolist(), li.tolist(), ri.tolist()))
+    # reference nested loop
+    want = sorted(
+        (int(lk[i]), i, j)
+        for i in range(len(lk))
+        for j in range(len(rk))
+        if lk[i] == rk[j]
+    )
+    assert [(k, i) for k, i, _ in got] == [(k, i) for k, i, _ in want]
+    assert all(lk[i] == rk[j] for _, i, j in got)
+    assert len(got) == len(want)
+
+
+def test_device_join_empty():
+    from infera_tpu.ops.device_join import inner_join_indices_device
+
+    li, ri = inner_join_indices_device(
+        np.array([1, 2, 3], np.int64), np.array([7, 8], np.int64)
+    )
+    assert len(li) == 0 and len(ri) == 0
