@@ -1,0 +1,110 @@
+"""Observability: tracing, per-query metrics, persistent compilation cache.
+
+The reference has no tracing/profiling subsystem (SURVEY.md §5 row 1 —
+ABSENT; only leveled stderr logging). The TPU-native equivalents provided
+here:
+
+- ``trace(dir)``: jax.profiler trace collection (TensorBoard/Perfetto
+  viewable), wrapping any query or benchmark region.
+- ``annotate(name)``: jax.profiler.TraceAnnotation / named_scope for
+  per-operator attribution inside compiled programs.
+- ``QueryMetrics`` + ``measure()``: rows/s, wall time, bytes — the
+  "explain analyze"-style per-query metrics surface (SURVEY.md §5 metrics
+  row).
+- ``enable_persistent_compilation_cache()``: the checkpoint/resume analog
+  (SURVEY.md §5): compiled executables persist across restarts keyed on
+  (program, shapes, mesh), complementing the ONNX byte cache.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass, field
+
+from . import log
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, create_perfetto_link: bool = False):
+    """Collect a jax.profiler trace for the enclosed region."""
+    import jax
+
+    jax.profiler.start_trace(log_dir, create_perfetto_link=create_perfetto_link)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log.info(f"profiler trace written to {log_dir}")
+
+
+def annotate(name: str):
+    """Annotation context for profiler attribution (host + device)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+@dataclass
+class QueryMetrics:
+    name: str
+    rows: int = 0
+    wall_s: float = 0.0
+    bytes_in: int = 0
+
+    @property
+    def rows_per_s(self) -> float:
+        return self.rows / self.wall_s if self.wall_s > 0 else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "rows": self.rows,
+            "wall_ms": round(self.wall_s * 1e3, 3),
+            "rows_per_s": round(self.rows_per_s, 1),
+            "bytes_in": self.bytes_in,
+        }
+
+
+@dataclass
+class MetricsRegistry:
+    """Process-wide query metrics ring (most recent first)."""
+
+    entries: list = field(default_factory=list)
+    capacity: int = 256
+
+    def record(self, m: QueryMetrics) -> None:
+        self.entries.insert(0, m)
+        del self.entries[self.capacity:]
+
+    def summary(self) -> list:
+        return [m.as_dict() for m in self.entries]
+
+
+METRICS = MetricsRegistry()
+
+
+@contextlib.contextmanager
+def measure(name: str, rows: int = 0, bytes_in: int = 0):
+    """Record wall time + rows/s for a query region into METRICS."""
+    m = QueryMetrics(name=name, rows=rows, bytes_in=bytes_in)
+    t0 = time.perf_counter()
+    try:
+        yield m
+    finally:
+        m.wall_s = time.perf_counter() - t0
+        METRICS.record(m)
+
+
+def enable_persistent_compilation_cache(cache_dir: str | None = None) -> str:
+    """Persist compiled XLA executables across process restarts."""
+    import jax
+
+    from .config import get_config
+
+    if cache_dir is None:
+        cache_dir = str(get_config().cache_dir / "xla_compile_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    log.info(f"persistent compilation cache at {cache_dir}")
+    return cache_dir

@@ -404,7 +404,7 @@ class Connection:
                 if isinstance(v, (bytes, bytearray)):
                     data[i] = bytes(v)
                 else:
-                    data[i] = str(v).encode("utf-8")
+                    data[i] = _str_to_blob(str(v))
             return Column(data, T.BLOB, None if validity.all() else validity)
         target = T.type_from_name(tname, expr.width, expr.scale)
         return col.cast(target)
@@ -572,6 +572,24 @@ class Connection:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _str_to_blob(s: str) -> bytes:
+    """VARCHAR → BLOB cast with DuckDB-style ``\\xHH`` escapes."""
+    if "\\x" not in s:
+        return s.encode("utf-8")
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 3 < len(s) + 1 and s[i + 1] in "xX" and i + 3 < len(s) + 1:
+            hex_part = s[i + 2 : i + 4]
+            if len(hex_part) == 2 and all(c in "0123456789abcdefABCDEF" for c in hex_part):
+                out.append(int(hex_part, 16))
+                i += 4
+                continue
+        out.extend(s[i].encode("utf-8"))
+        i += 1
+    return bytes(out)
+
 
 def _as_bool_mask(col: Column) -> np.ndarray:
     mask = col.data.astype(bool)
