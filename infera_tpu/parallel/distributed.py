@@ -1,0 +1,132 @@
+"""Multi-host control plane: process-group init, replicated model registry,
+failure recovery.
+
+The reference is single-process (SURVEY.md §2.4): its only fault handling is
+HTTP retry + atomic cache commits. For a pod slice this module provides the
+TPU-native equivalents named in SURVEY.md §5:
+
+- ``initialize()``: jax.distributed process-group bring-up (no-op
+  single-host).
+- ``ReplicatedModelOps``: the registry control plane. Queries execute on
+  every host, so load/unload/autoload must be applied on every host.
+  Model *bytes* travel through the shared model cache (each host fetches
+  the same URL through its own ETag-validated cache — content-addressed by
+  SHA-256(url), so all hosts converge); the control-plane broadcast of
+  (op, name, path) rides jax's coordination service when
+  ``jax.process_count() > 1``; compilation is always per-host.
+- ``run_partitions_with_retry``: stateless query restart — inference is
+  pure, so recovering from a lost worker means re-running its partition
+  (SURVEY.md §5 failure-detection row). A fault-injection hook supports the
+  kill-a-worker-mid-query test tier.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from .. import api, log
+from ..errors import InferaError
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """jax.distributed.initialize when running multi-process; returns True
+    if a multi-process group is live."""
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    return jax.process_count() > 1
+
+
+def _broadcast_ops(ops: list) -> list:
+    """Broadcast a control-plane op list from host 0 to all hosts."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return ops
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(ops)
+
+
+@dataclass
+class ReplicatedModelOps:
+    """Apply registry mutations host-locally and (when multi-process)
+    through the coordination broadcast so every host stays in sync."""
+
+    applied: list = field(default_factory=list)
+
+    def load(self, name: str, path_or_url: str) -> None:
+        for op in _broadcast_ops([("load", name, path_or_url)]):
+            self._apply(op)
+
+    def unload(self, name: str) -> None:
+        for op in _broadcast_ops([("unload", name, "")]):
+            self._apply(op)
+
+    def autoload(self, path: str) -> str:
+        result = None
+        for op in _broadcast_ops([("autoload", path, "")]):
+            result = self._apply(op)
+        return result
+
+    def _apply(self, op):
+        kind, a, b = op
+        self.applied.append(tuple(op))
+        if kind == "load":
+            api.load_model(a, b)
+        elif kind == "unload":
+            api.unload_model(a)
+        elif kind == "autoload":
+            return api.set_autoload_dir(a)
+        return None
+
+
+class PartitionFailure(Exception):
+    def __init__(self, partition: int, cause: Exception):
+        self.partition = partition
+        self.cause = cause
+        super().__init__(f"partition {partition} failed: {cause}")
+
+
+def run_partitions_with_retry(partition_fn, n_partitions: int,
+                              max_attempts: int = 3,
+                              retry_delay_s: float = 0.0,
+                              fault_hook=None) -> list:
+    """Execute ``partition_fn(p)`` for every partition with per-partition
+    retry — the stateless-recovery model: inference carries no state, so a
+    lost worker's partition is simply re-run (SURVEY.md §5).
+
+    ``fault_hook(p, attempt)`` (test injection) may raise to simulate a
+    worker loss; real failures are any exception from partition_fn.
+    Returns the list of per-partition results; raises PartitionFailure when
+    a partition exhausts its attempts.
+    """
+    results = [None] * n_partitions
+    for p in range(n_partitions):
+        last = None
+        for attempt in range(1, max_attempts + 1):
+            try:
+                if fault_hook is not None:
+                    fault_hook(p, attempt)
+                results[p] = partition_fn(p)
+                last = None
+                break
+            except InferaError as e:
+                raise  # engine errors are deterministic; retrying can't help
+            except Exception as e:  # noqa: BLE001 - worker loss is arbitrary
+                last = e
+                log.warn(f"partition {p} attempt {attempt}/{max_attempts} failed: {e}")
+                if attempt < max_attempts and retry_delay_s:
+                    time.sleep(retry_delay_s)
+        if last is not None:
+            raise PartitionFailure(p, last)
+    return results
