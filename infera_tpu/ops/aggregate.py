@@ -17,6 +17,9 @@ from ..columnar import types as T
 from ..errors import SqlError
 from ..sql import ast as A
 
+# rows above which numeric GROUP BY keys use the device sort path
+DEVICE_GROUPBY_THRESHOLD = 1 << 15
+
 
 # --- aggregate function catalog -------------------------------------------
 
@@ -206,9 +209,19 @@ def group_aggregate(sel, scope, eval_fn, scope_cls) -> Table:
     conn_eval = eval_fn  # (expr, scope) -> Column
     n_rows = scope.num_rows
 
-    # 1. group keys
+    # 1. group keys — device sort-based path for large all-numeric keys,
+    # host dict path otherwise (group output order is unspecified in SQL)
     key_cols = [conn_eval(e, scope) for e in sel.group_by]
-    groups, firsts = group_ids_host(key_cols, n_rows)
+    if (
+        key_cols
+        and n_rows >= DEVICE_GROUPBY_THRESHOLD
+        and all(k.sql_type.is_numeric and k.validity is None for k in key_cols)
+    ):
+        from .device_groupby import group_ids_device
+
+        groups, firsts = group_ids_device(key_cols, n_rows)
+    else:
+        groups, firsts = group_ids_host(key_cols, n_rows)
     if sel.group_by:
         n_groups = len(firsts)
     else:
