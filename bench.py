@@ -47,10 +47,13 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
     # NOTE: jax_compilation_cache_dir is deliberately NOT enabled here — on
     # the tunneled remote-compile TPU platform, persisting executables makes
     # every compile ~100x slower (serialization over the tunnel).
+    print(f"devices: {jax.devices()}", file=sys.stderr)
     jparams = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    t0 = time.perf_counter()
     x = jax.block_until_ready(
         jax.random.normal(jax.random.PRNGKey(1), (rows, IN_DIM), jnp.float32)
     )
+    print(f"on-device data gen: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def mlp_xla(x):
         h = x
