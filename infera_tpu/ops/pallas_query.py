@@ -1,0 +1,114 @@
+"""Fully-fused inference-query Pallas kernel.
+
+BASELINE.json's north star is a fused scan → batched-inference → filter →
+hash-aggregate operator. This kernel IS that operator for the MLP-classifier
+query: one grid pass over row tiles computes the whole MLP on the MXU while
+the tile is VMEM-resident, applies the filter predicate, and accumulates the
+per-class grouped aggregate into VMEM-resident accumulators — the only HBM
+traffic is reading X once and writing the [n_classes] outputs.
+
+Measured motivation (BASELINE.md): under XLA the aggregate tail
+(argmax + segment_sum scatter) costs ~17 ms of the 23 ms query at 1M rows
+because TPU scatter is slow; here the aggregate is an MXU one-hot matmul
+accumulated on-chip, and the inter-layer activations never touch HBM.
+
+Grid iterations on TPU run sequentially, so output blocks with a constant
+index_map act as accumulators across tiles (standard reduction pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_N = 1024
+
+
+def _query_kernel(n_layers, x_ref, *refs):
+    # refs: w0, b0, ..., counts_ref, sums_ref
+    counts_ref = refs[-2]
+    sums_ref = refs[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    h = x_ref[:]
+    for li in range(n_layers):
+        w = refs[2 * li][:]
+        b = refs[2 * li + 1][:]
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b[0, :]
+        if li < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+
+    n_classes = h.shape[1]
+    pred = jnp.argmax(h, axis=-1)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, h.shape, 1) == pred[:, None]
+    ).astype(jnp.float32)
+    sel = (h[:, 0] > 0.0).astype(jnp.float32)
+    # [tile] x [tile, classes] contractions ride the MXU
+    counts_ref[0, :] += jnp.dot(sel, onehot, preferred_element_type=jnp.float32)
+    sums_ref[0, :] += jnp.dot(h[:, 0] * sel, onehot,
+                              preferred_element_type=jnp.float32)
+    del n_classes
+
+
+def fused_mlp_query(params: list, x: jnp.ndarray,
+                    tile_n: int = DEFAULT_TILE_N,
+                    interpret: bool = False):
+    """Run predict→filter→group-by-class aggregate in one kernel.
+
+    params: [(w [din, dout] f32, b [dout] f32), ...] ReLU MLP.
+    x: [N, d0] f32, N % tile_n == 0.
+    Returns (counts [n_classes], sums [n_classes]):
+      counts[c] = #rows with argmax class c and score0 > 0
+      sums[c]   = sum of score0 over those rows
+    """
+    n, d0 = x.shape
+    assert n % tile_n == 0
+    n_layers = len(params)
+    n_classes = params[-1][0].shape[1]
+
+    weight_specs = []
+    weight_args = []
+    for w, b in params:
+        weight_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        weight_args.append(w)
+        b2 = b.reshape(1, -1)
+        weight_specs.append(pl.BlockSpec(b2.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        weight_args.append(b2)
+
+    flops = 2 * n * sum(w.shape[0] * w.shape[1] for w, _ in params)
+    counts, sums = pl.pallas_call(
+        functools.partial(_query_kernel, n_layers),
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, d0), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_classes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_classes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_classes), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_classes), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x, *weight_args)
+    return counts[0], sums[0]

@@ -37,7 +37,9 @@ def mlp_apply(params: list, x: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
-def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int):
+def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int,
+                                skew_split: bool = False,
+                                hot_factor: float = 4.0):
     """Build the jitted distributed step.
 
     fn(params, x, keys) -> (group_sums[n_groups], group_counts[n_groups],
@@ -59,8 +61,14 @@ def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int):
         # 2. filter → selection mask (static shapes: mask, don't compact)
         sel = score0 > 0.0
 
-        # 3. shuffle rows to the owner of their group key
+        # 3. shuffle rows to the owner of their group key; optional
+        # histogram-based hot-partition splitting (final psum merges the
+        # split partials, so decomposable aggregates stay exact)
         part = (keys % ndev).astype(jnp.int32)
+        if skew_split:
+            from .shuffle import skew_split_partitions
+
+            part = skew_split_partitions(part, ndev, "dp", hot_factor)
         payload = [
             keys.astype(jnp.int32),
             jnp.where(sel, score0, 0.0),

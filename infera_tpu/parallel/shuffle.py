@@ -45,6 +45,29 @@ def _pack_buckets(part: jnp.ndarray, payload: list, ndev: int, cap: int):
     return packed, send_valid.reshape(ndev, cap)
 
 
+def skew_split_partitions(part: jnp.ndarray, ndev: int,
+                          axis_name: str = "dp",
+                          hot_factor: float = 4.0) -> jnp.ndarray:
+    """Histogram-based skew mitigation (SURVEY.md §7.3): partitions whose
+    GLOBAL row count exceeds ``hot_factor ×`` the mean partition load are
+    spread round-robin across all devices instead of hashing to one owner.
+
+    Correct for decomposable aggregates: the pipeline's final psum merges the
+    per-device partials of a split partition. Must run inside shard_map
+    (uses a psum over ``axis_name``)."""
+    n_local = part.shape[0]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(part, jnp.float32), part, num_segments=ndev
+    )
+    global_counts = jax.lax.psum(counts, axis_name)
+    mean_load = jnp.sum(global_counts) / ndev
+    hot_parts = global_counts > hot_factor * mean_load  # [ndev] bool
+    is_hot = hot_parts[part]
+    spread = (part + jax.lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)
+              .reshape(n_local)) % ndev
+    return jnp.where(is_hot, spread, part)
+
+
 def make_shuffle(mesh: Mesh, num_payload: int, cap: int):
     """Build a jittable shuffle fn over `mesh`'s dp axis.
 

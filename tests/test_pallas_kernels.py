@@ -1,0 +1,65 @@
+"""Pallas kernel tests (interpret mode on CPU; the compiled path runs on the
+real chip via bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infera_tpu.ops.pallas_mlp import fused_mlp_padded, vmem_fits
+from infera_tpu.ops.pallas_query import fused_mlp_query
+
+
+@pytest.fixture(scope="module")
+def mlp_params():
+    rng = np.random.default_rng(0)
+    dims = [32, 128, 128, 16]
+    params = []
+    for i in range(len(dims) - 1):
+        params.append((
+            jnp.asarray(rng.standard_normal((dims[i], dims[i + 1])), jnp.float32) * 0.2,
+            jnp.asarray(rng.standard_normal(dims[i + 1]), jnp.float32) * 0.1,
+        ))
+    return params
+
+
+def _ref_mlp(params, x):
+    h = np.asarray(x)
+    for i, (w, b) in enumerate(params):
+        h = h @ np.asarray(w) + np.asarray(b)
+        if i < len(params) - 1:
+            h = np.maximum(h, 0)
+    return h
+
+
+def test_fused_mlp_matches_reference(mlp_params):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1000, 32)), jnp.float32)
+    out = fused_mlp_padded(mlp_params, x, tile_n=256, interpret=True)
+    want = _ref_mlp(mlp_params, x)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+    assert out.shape == (1000, 16)
+
+
+def test_fused_query_matches_reference(mlp_params):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2048, 32)), jnp.float32)
+    counts, sums = fused_mlp_query(mlp_params, x, tile_n=256, interpret=True)
+    h = _ref_mlp(mlp_params, x)
+    pred = h.argmax(-1)
+    sel = h[:, 0] > 0
+    ec = np.zeros(16)
+    es = np.zeros(16)
+    np.add.at(ec, pred, sel.astype(float))
+    np.add.at(es, pred, np.where(sel, h[:, 0], 0.0))
+    np.testing.assert_allclose(np.asarray(counts), ec, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sums), es, rtol=1e-3, atol=1e-3)
+    assert float(counts.sum()) == float(sel.sum())
+
+
+def test_vmem_budget_check(mlp_params):
+    small = [(np.asarray(w), np.asarray(b)) for w, b in mlp_params]
+    assert vmem_fits(small, 1024, 32)
+    rng = np.random.default_rng(0)
+    huge = [(rng.standard_normal((4096, 4096)).astype(np.float32),
+             np.zeros(4096, np.float32))]
+    assert not vmem_fits(huge, 1024, 4096)

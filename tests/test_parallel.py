@@ -123,3 +123,38 @@ def test_device_join_empty():
         np.array([1, 2, 3], np.int64), np.array([7, 8], np.int64)
     )
     assert len(li) == 0 and len(ri) == 0
+
+
+def test_skewed_keys_with_split_matches_reference(mesh):
+    """90%-hot-key distribution: hot-partition splitting must keep results
+    exact (final psum merges split partials) and balance the receive load."""
+    import jax
+
+    n_rows, in_dim, out_dim, n_groups = 8 * 64, 8, 4, 8
+    cap = n_rows // 8
+    step = make_distributed_query_step(mesh, n_groups=n_groups, cap=cap,
+                                       skew_split=True, hot_factor=2.0)
+    params, x, _ = example_inputs(mesh, n_rows, in_dim, out_dim, n_groups)
+    rng = np.random.default_rng(7)
+    raw = np.where(rng.random(n_rows) < 0.9, 3, rng.integers(0, n_groups, n_rows))
+    keys = jax.device_put(
+        jnp.asarray(raw.astype(np.int32)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp")),
+    )
+    sums, counts, total = jax.block_until_ready(step(params, x, keys))
+
+    xh = np.asarray(x)
+    ph = [(np.asarray(w), np.asarray(b)) for w, b in params]
+    h = xh
+    for i, (w, b) in enumerate(ph):
+        h = h @ w + b
+        if i < len(ph) - 1:
+            h = np.maximum(h, 0)
+    sel = h[:, 0] > 0
+    exp_sums = np.zeros(n_groups)
+    exp_counts = np.zeros(n_groups)
+    np.add.at(exp_sums, raw % n_groups, np.where(sel, h[:, 0], 0.0))
+    np.add.at(exp_counts, raw % n_groups, sel.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(counts), exp_counts, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sums), exp_sums, rtol=1e-4, atol=1e-4)
+    assert float(total) == pytest.approx(float(sel.sum()))
