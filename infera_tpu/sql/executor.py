@@ -304,35 +304,22 @@ class Connection:
         return group_aggregate(sel, scope, self._eval, Scope)
 
     def _order_by(self, out: Table, order_by: list, scope: Scope) -> Table:
+        from ..ops.sort import sort_rows
+
         out_scope = Scope(out)
-        keys = []
-        for item in reversed(order_by):
+        keys, asc, nf, valids = [], [], [], []
+        for item in order_by:
             try:
                 col = self._eval(item.expr, out_scope)
             except SqlError:
                 col = self._eval(item.expr, scope)
-            data = col.data
-            valid = col.valid_mask()
-            if data.dtype == object:
-                data = np.array([str(v) for v in data], dtype=object)
-                order = np.argsort(data[valid], kind="stable")
-            # numpy sorts ascending; handle NULLS LAST (asc default)
-            keys.append((data, valid, item.ascending, item.nulls_first))
-        # build a single argsort via lexsort on encoded keys
-        encoded = []
-        for data, valid, asc, nulls_first in keys:
-            if data.dtype == object:
-                ranks = np.argsort(np.argsort([str(v) for v in data]))
-                vals = ranks.astype(np.float64)
-            else:
-                vals = data.astype(np.float64)
-            if not asc:
-                vals = -vals
-            nf = nulls_first if nulls_first is not None else False
-            sentinel = -np.inf if nf else np.inf
-            vals = np.where(valid, vals, sentinel)
-            encoded.append(vals)
-        idx = np.lexsort(encoded)
+            keys.append(col.data)
+            asc.append(item.ascending)
+            # DuckDB default: NULLS LAST for ASC, NULLS FIRST for DESC
+            nf.append(item.nulls_first if item.nulls_first is not None
+                      else not item.ascending)
+            valids.append(col.validity)
+        idx = sort_rows(keys, asc, nf, valids, out.num_rows)
         return out.take(idx)
 
     # -- expression evaluation -------------------------------------------

@@ -51,3 +51,44 @@ def test_sql_join_large_numeric_device_path():
     xs = np.arange(n, dtype=np.int64)
     assert res[0][0] == n
     assert res[0][1] == int((xs * 5).sum())
+
+
+def test_streaming_query_matches_batch():
+    import jax
+    import jax.numpy as jnp
+
+    from infera_tpu.ops.streaming import chunked, stream_query
+
+    rng = np.random.default_rng(0)
+    n, chunk = 10_000, 1024
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    w = jnp.asarray(rng.standard_normal((8, 1)), jnp.float32)
+
+    @jax.jit
+    def step(xc, mc):
+        y = jnp.dot(xc, w)[:, 0] * mc
+        return jnp.sum(y), jnp.sum(mc)
+
+    def combine(acc, p):
+        return (acc[0] + p[0], acc[1] + p[1])
+
+    total, count = stream_query(
+        chunked((x, mask), chunk), step, combine, (jnp.float32(0), jnp.float32(0))
+    )
+    expected = (x @ np.asarray(w))[:, 0].sum()
+    assert float(count) == n
+    np.testing.assert_allclose(float(total), expected, rtol=1e-4)
+
+
+def test_sql_orderby_large_device_sort():
+    conn = Connection()
+    n = 1 << 16
+    conn.execute(
+        f"create table s as select (x * 2654435761) % 1000003 as k, x as v "
+        f"from range({n}) r(x)"
+    )
+    rows = conn.execute("select k from s order by k desc limit 5").rows
+    ks = (np.arange(n, dtype=np.int64) * 2654435761) % 1000003
+    want = sorted(ks.tolist(), reverse=True)[:5]
+    assert [r[0] for r in rows] == want
