@@ -53,9 +53,11 @@ def _query_kernel(n_layers, x_ref, *refs):
         jax.lax.broadcasted_iota(jnp.int32, h.shape, 1) == pred[:, None]
     ).astype(jnp.float32)
     sel = (h[:, 0] > 0.0).astype(jnp.float32)
-    # [tile] x [tile, classes] contractions ride the MXU
-    counts_ref[0, :] += jnp.dot(sel, onehot, preferred_element_type=jnp.float32)
-    sums_ref[0, :] += jnp.dot(h[:, 0] * sel, onehot,
+    # [1, tile] x [tile, classes] contractions ride the MXU (operands must
+    # stay 2-D: Mosaic cannot lower vector-matrix dots)
+    counts_ref[:, :] += jnp.dot(sel[None, :], onehot,
+                                preferred_element_type=jnp.float32)
+    sums_ref[:, :] += jnp.dot((h[:, 0] * sel)[None, :], onehot,
                               preferred_element_type=jnp.float32)
     del n_classes
 

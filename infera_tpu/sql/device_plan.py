@@ -1,0 +1,360 @@
+"""Fused device execution of SQL queries (SURVEY.md §7.2 M2).
+
+For the query shapes the benchmarks care about — aggregates over a scan of
+one table with a numeric WHERE filter, optional numeric GROUP BY, and
+``infera_predict`` calls in expressions — the whole plan lowers to ONE
+jitted XLA program: columns move to HBM once, the model graph inlines into
+the same program (so XLA fuses cast → matmul → filter → segment-reduce),
+and only the per-group results return to the host.
+
+Anything outside the supported shape returns None and the generic executor
+path runs instead, so semantics never regress. Constraints for eligibility:
+
+- single base table, all referenced columns numeric with no NULLs
+- WHERE/expressions: numeric arithmetic/comparison/boolean, abs/sqrt/...,
+  infera_predict with a constant model name
+- select items: count/sum/avg/min/max aggregates over such expressions,
+  plus (with GROUP BY) the group key expression itself
+- no HAVING/DISTINCT/subqueries (host path handles those)
+
+The compiled program is cached per (SQL shape, column set, row bucket) so
+repeated queries skip tracing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..columnar import Column, Table
+from ..columnar import types as T
+from ..registry import MODELS
+from . import ast as A
+
+# row count below which fusion isn't worth the compile
+MIN_DEVICE_ROWS = 1 << 14
+
+_AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max"}
+_SCALAR_FNS = {"abs", "sqrt", "floor", "ceil", "round", "exp", "log"}
+
+# group-count cap for the segment reduction (static shape requirement)
+MAX_GROUPS = 1 << 16
+
+
+class _Unsupported(Exception):
+    pass
+
+
+class _Lowerer:
+    """AST → jnp closure over a dict of device columns."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self.used_columns: dict = {}
+        self.models: dict = {}
+
+    def _column(self, name: str, qualifier):
+        key = f"{qualifier}.{name}" if qualifier else name
+        col = self.table.columns.get(key)
+        if col is None:
+            for k in self.table.columns:
+                if k.split(".")[-1].lower() == name.lower():
+                    col = self.table.columns[k]
+                    key = k
+                    break
+        if col is None:
+            raise _Unsupported(f"unknown column {name}")
+        if not col.sql_type.is_numeric or col.validity is not None:
+            raise _Unsupported(f"column {name} not device-eligible")
+        self.used_columns[key] = col
+        return key
+
+    def lower(self, expr: A.Expr):
+        """Return fn(cols: dict[str, jnp.ndarray]) -> jnp array [n]."""
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(expr, A.Literal):
+            if expr.value is None or isinstance(expr.value, str):
+                raise _Unsupported("non-numeric literal")
+            v = float(expr.value) if not isinstance(expr.value, bool) else bool(expr.value)
+            return lambda cols: v
+        if isinstance(expr, A.ColumnRef):
+            key = self._column(expr.name, expr.table)
+            return lambda cols: cols[key]
+        if isinstance(expr, A.Cast):
+            if expr.type_name.upper() not in (
+                "FLOAT", "REAL", "DOUBLE", "INTEGER", "INT", "BIGINT", "DECIMAL",
+            ):
+                raise _Unsupported(f"cast to {expr.type_name}")
+            inner = self.lower(expr.operand)
+            dt = {"FLOAT": jnp.float32, "REAL": jnp.float32}.get(
+                expr.type_name.upper(), jnp.float32
+            )
+            return lambda cols: jnp.asarray(inner(cols)).astype(dt)
+        if isinstance(expr, A.Unary):
+            inner = self.lower(expr.operand)
+            if expr.op == "-":
+                return lambda cols: -inner(cols)
+            if expr.op == "NOT":
+                return lambda cols: jnp.logical_not(inner(cols))
+            raise _Unsupported(f"unary {expr.op}")
+        if isinstance(expr, A.Binary):
+            left = self.lower(expr.left)
+            right = self.lower(expr.right)
+            ops = {
+                "+": jnp.add, "-": jnp.subtract, "*": jnp.multiply,
+                "%": jnp.mod,
+                "=": jnp.equal, "<>": jnp.not_equal, "<": jnp.less,
+                "<=": jnp.less_equal, ">": jnp.greater, ">=": jnp.greater_equal,
+                "AND": jnp.logical_and, "OR": jnp.logical_or,
+            }
+            if expr.op == "/":
+                return lambda cols: jnp.asarray(left(cols), jnp.float32) / jnp.asarray(right(cols), jnp.float32)
+            fn = ops.get(expr.op)
+            if fn is None:
+                raise _Unsupported(f"binary {expr.op}")
+            return lambda cols: fn(left(cols), right(cols))
+        if isinstance(expr, A.Between):
+            inner = self.lower(expr.operand)
+            lo = self.lower(expr.low)
+            hi = self.lower(expr.high)
+            if expr.negated:
+                return lambda cols: jnp.logical_not(
+                    (inner(cols) >= lo(cols)) & (inner(cols) <= hi(cols)))
+            return lambda cols: (inner(cols) >= lo(cols)) & (inner(cols) <= hi(cols))
+        if isinstance(expr, A.FuncCall):
+            name = expr.name.lower()
+            if name == "infera_predict":
+                return self._lower_predict(expr)
+            if name in _SCALAR_FNS:
+                inner = self.lower(expr.args[0])
+                fn = {
+                    "abs": jnp.abs, "sqrt": jnp.sqrt, "floor": jnp.floor,
+                    "ceil": jnp.ceil, "round": jnp.round, "exp": jnp.exp,
+                    "log": jnp.log,
+                }[name]
+                return lambda cols: fn(jnp.asarray(inner(cols), jnp.float32))
+            raise _Unsupported(f"function {name}")
+        raise _Unsupported(type(expr).__name__)
+
+    def _lower_predict(self, expr: A.FuncCall):
+        import jax.numpy as jnp
+
+        if not expr.args or not isinstance(expr.args[0], A.Literal) or not isinstance(
+            expr.args[0].value, str
+        ):
+            raise _Unsupported("infera_predict needs a constant model name")
+        model_name = expr.args[0].value
+        model = MODELS.get(model_name)
+        if model is None:
+            raise _Unsupported(f"model {model_name} not loaded at plan time")
+        feature_fns = [self.lower(a) for a in expr.args[1:]]
+        ishape = model.input_shape
+        inner = ishape[1:] if ishape else []
+        if any(d <= 0 for d in inner) and inner:
+            pass
+        if inner and all(d > 0 for d in inner):
+            expected = 1
+            for d in inner:
+                expected *= d
+            if expected != len(feature_fns):
+                raise _Unsupported("feature count mismatch (host path reports it)")
+        self.models[model_name] = model
+
+        def run(cols):
+            feats = jnp.stack(
+                [jnp.asarray(f(cols), jnp.float32) for f in feature_fns], axis=1
+            )
+            out = model._run_graph(feats)[0]
+            if out.ndim > 1:
+                if out.shape[1] != 1:
+                    raise _Unsupported("multi-output model under infera_predict")
+                out = out[:, 0]
+            return out
+
+        return run
+
+
+def _find_aggs(expr: A.Expr, out: list):
+    if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGG_NAMES:
+        out.append(expr)
+        return
+    for attr in ("operand", "left", "right", "low", "high"):
+        child = getattr(expr, attr, None)
+        if isinstance(child, A.Expr):
+            _find_aggs(child, out)
+    if isinstance(expr, A.FuncCall):
+        for a in expr.args:
+            if isinstance(a, A.Expr):
+                _find_aggs(a, out)
+
+
+def try_execute_on_device(conn, sel: A.Select, table: Table):
+    """Compile + run the SELECT on device; returns a Table or None."""
+    if (
+        sel.from_ is None
+        or table.num_rows < MIN_DEVICE_ROWS
+        or table.num_rows >= (1 << 24)  # f32 count exactness bound
+        or sel.having is not None
+        or sel.distinct
+        or len(sel.group_by) > 1
+    ):
+        return None
+
+    agg_nodes: list = []
+    for item in sel.items:
+        _find_aggs(item.expr, agg_nodes)
+    if not agg_nodes:
+        return None
+    # every select item must be exactly one aggregate call or the group key
+    items_plan = []
+    for item in sel.items:
+        e = item.expr
+        if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
+            items_plan.append(("agg", e))
+        elif sel.group_by and e == sel.group_by[0]:
+            items_plan.append(("key", e))
+        else:
+            return None
+
+    import jax
+    import jax.numpy as jnp
+
+    lowerer = _Lowerer(table)
+
+    def _float_only(expr: A.Expr) -> bool:
+        """sum/avg/min/max run in f32 on device — only allow when every
+        referenced column is already a float type (integer sums need exact
+        arithmetic; the host path keeps those)."""
+        ok = True
+
+        def walk(e):
+            nonlocal ok
+            if isinstance(e, A.ColumnRef):
+                try:
+                    key = lowerer._column(e.name, e.table)
+                except _Unsupported:
+                    ok = False
+                    return
+                t = table.columns[key].sql_type
+                if not (t.is_float or t.name == "DECIMAL"):
+                    ok = False
+            if isinstance(e, A.FuncCall):
+                if e.name.lower() == "infera_predict":
+                    return  # prediction output is f32 by construction
+                for a in e.args:
+                    if isinstance(a, A.Expr):
+                        walk(a)
+                return
+            for attr in ("operand", "left", "right", "low", "high"):
+                child = getattr(e, attr, None)
+                if isinstance(child, A.Expr):
+                    walk(child)
+
+        walk(expr)
+        return ok
+
+    try:
+        where_fn = lowerer.lower(sel.where) if sel.where is not None else None
+        key_fn = lowerer.lower(sel.group_by[0]) if sel.group_by else None
+        agg_plans = []
+        for kind, node in items_plan:
+            if kind == "key":
+                agg_plans.append(("key", None))
+                continue
+            name = node.name.lower()
+            if node.is_star or not node.args:
+                if name != "count":
+                    return None
+                agg_plans.append(("count_star", None))
+            else:
+                if name != "count" and not _float_only(node.args[0]):
+                    return None
+                agg_plans.append((name, lowerer.lower(node.args[0])))
+    except _Unsupported:
+        return None
+
+    n = table.num_rows
+    n_groups = MAX_GROUPS if key_fn is not None else 1
+
+    def program(cols):
+        mask = None
+        if where_fn is not None:
+            mask = jnp.asarray(where_fn(cols), bool)
+        if key_fn is not None:
+            keys_raw = jnp.asarray(key_fn(cols), jnp.int32)
+            keys = jnp.asarray(jnp.mod(keys_raw, MAX_GROUPS), jnp.int32)
+        else:
+            keys_raw = None
+            keys = jnp.zeros(n, jnp.int32)
+        w = jnp.ones(n, jnp.float32) if mask is None else mask.astype(jnp.float32)
+        outs = []
+        key_min = key_max = None
+        if keys_raw is not None:
+            # collision guard: a modulo bucket holding two distinct raw keys
+            # is detected host-side (min != max) → fall back to host path
+            big = jnp.int32(2**31 - 1)
+            key_min = jax.ops.segment_min(
+                jnp.where(w > 0, keys_raw, big), keys, num_segments=n_groups)
+            key_max = jax.ops.segment_max(
+                jnp.where(w > 0, keys_raw, -big - 1), keys, num_segments=n_groups)
+        for name, fn in agg_plans:
+            if name == "key":
+                outs.append(("key", key_max))
+                continue
+            if name == "count_star":
+                outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+                continue
+            vals = jnp.asarray(fn(cols), jnp.float32)
+            if name == "count":
+                outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+            elif name in ("sum",):
+                outs.append(("v", jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)))
+            elif name in ("avg", "mean"):
+                s = jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)
+                c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+                outs.append(("v", s / jnp.where(c == 0, 1.0, c)))
+            elif name == "min":
+                masked = jnp.where(w > 0, vals, jnp.inf)
+                outs.append(("v", jax.ops.segment_min(masked, keys, num_segments=n_groups)))
+            elif name == "max":
+                masked = jnp.where(w > 0, vals, -jnp.inf)
+                outs.append(("v", jax.ops.segment_max(masked, keys, num_segments=n_groups)))
+        group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+        return [o for _, o in outs], group_count, key_min, key_max
+
+    device_cols = {k: jnp.asarray(c.data) for k, c in lowerer.used_columns.items()}
+    try:
+        results, group_count, key_min, key_max = jax.jit(program)(device_cols)
+        results = [np.asarray(r) for r in results]
+        group_count = np.asarray(group_count)
+    except _Unsupported:
+        return None
+    except Exception:
+        return None  # any trace/compile issue → host path
+
+    live = group_count > 0 if key_fn is not None else np.array([True])
+    if key_fn is not None:
+        kmin = np.asarray(key_min)[live]
+        kmax = np.asarray(key_max)[live]
+        if (kmin != kmax).any():
+            return None  # modulo bucket held distinct keys — host path
+    out_cols: dict = {}
+    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
+        idx = len(out_cols)
+        item = sel.items[idx]
+        name = item.alias or (node.name if isinstance(node, A.FuncCall) else f"col{idx}")
+        base, k = name, 1
+        while name in out_cols:
+            name = f"{base}_{k}"
+            k += 1
+        vals = res[live]
+        if pname in ("count", "count_star"):
+            out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
+        elif pname == "key":
+            out_cols[name] = Column(vals.astype(np.int64)
+                                    if np.all(vals == np.round(vals)) else vals,
+                                    T.BIGINT if np.all(vals == np.round(vals)) else T.DOUBLE)
+        else:
+            out_cols[name] = Column(vals.astype(np.float64), T.DOUBLE)
+    return Table(out_cols)

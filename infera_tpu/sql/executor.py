@@ -206,6 +206,27 @@ class Connection:
         else:
             scope = _dummy_scope()
 
+        # 1b. fused device path: aggregates over a single large numeric scan
+        # (incl. infera_predict) compile to one XLA program (SURVEY.md §7.2
+        # M2); ineligible/failed plans fall through to the host operators.
+        if isinstance(sel.from_, A.BaseTable):
+            from .device_plan import try_execute_on_device
+
+            fused = try_execute_on_device(self, sel, scope.table)
+            if fused is not None:
+                try:
+                    if sel.order_by:
+                        fused = self._order_by(fused, sel.order_by, Scope(fused))
+                except SqlError:
+                    fused = None  # ORDER BY outside the output → host path
+                if fused is not None:
+                    if sel.offset is not None or sel.limit is not None:
+                        start = sel.offset or 0
+                        stop = (start + sel.limit if sel.limit is not None
+                                else fused.num_rows)
+                        fused = fused.slice(start, stop)
+                    return fused
+
         # 2. WHERE
         if sel.where is not None:
             mask_col = self._eval(sel.where, scope)
