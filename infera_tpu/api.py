@@ -34,7 +34,7 @@ import numpy as np
 from . import cache, engine
 from .config import get_config
 from .engine import InferenceResult
-from .errors import InferaError, IoError, ModelNotFound
+from .errors import InferaError, IoError
 from .registry import MODELS
 from .version import ONNX_BACKEND, VERSION
 

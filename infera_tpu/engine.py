@@ -28,7 +28,6 @@ from .errors import (
     InvalidBlobSize,
     InvalidInputShape,
     ModelNotFound,
-    OnnxError,
 )
 from .onnx.executor import CompiledOnnxModel, compile_model_file, shape_rows_cols
 from .registry import MODELS

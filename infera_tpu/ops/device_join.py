@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..columnar import Column
 
 
 def _encode_keys(cols: list) -> np.ndarray:

@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..columnar import Column, Table
-from ..columnar import types as T
 from ..errors import SqlError
 from ..sql import ast as A
 

@@ -10,7 +10,6 @@ device compute remains XLA/Pallas.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

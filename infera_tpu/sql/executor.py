@@ -23,7 +23,7 @@ import numpy as np
 
 from ..columnar import Column, Table, infer_sql_type
 from ..columnar import types as T
-from ..errors import SqlError, invalid_input
+from ..errors import SqlError
 from . import ast as A
 from .functions import AGGREGATE_FUNCTIONS, SCALAR_FUNCTIONS
 from .parser import parse_sql

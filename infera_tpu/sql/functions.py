@@ -23,9 +23,9 @@ from __future__ import annotations
 import numpy as np
 
 from .. import api
-from ..columnar import Column, format_float
+from ..columnar import Column
 from ..columnar import types as T
-from ..errors import InferaError, SqlError, inference_failed, invalid_input
+from ..errors import InferaError, inference_failed, invalid_input
 
 # registry: name → (fn, volatile)
 SCALAR_FUNCTIONS: dict = {}

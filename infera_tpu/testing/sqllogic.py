@@ -21,7 +21,6 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from ..columnar import Column
 from ..errors import SqlError
 from ..sql import Connection
 
