@@ -179,12 +179,48 @@ def bench_config5_distributed(rows_per_dev: int = 65_536,
     )
 
 
+def bench_scaling(rows_per_dev: int = 32_768, device_counts=(1, 2, 4, 8)) -> list:
+    """Scaling-efficiency harness (BASELINE.md target metric): run the
+    distributed query step at several dp sizes with FIXED rows/device (weak
+    scaling) and report efficiency = T(1) / T(n).
+
+    On the single-real-chip environment this runs on the virtual CPU mesh —
+    it validates the mechanism and the collective overhead profile, not TPU
+    wall-clock; on a real pod slice the same harness measures ICI scaling.
+    """
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.pipeline import example_inputs, make_distributed_query_step
+
+    results = []
+    t1 = None
+    for ndev in device_counts:
+        if ndev > len(jax.devices()) and ndev > len(jax.devices("cpu")):
+            break
+        mesh = make_mesh(ndev)
+        rows = rows_per_dev * ndev
+        step = make_distributed_query_step(mesh, n_groups=64, cap=rows_per_dev)
+        params, x, keys = example_inputs(mesh, rows, in_dim=32, out_dim=16,
+                                         n_groups=64)
+        dt = _time(lambda: step(params, x, keys))
+        if t1 is None:
+            t1 = dt
+        eff = t1 / dt
+        results.append(BenchResult(
+            f"scaling_dp{ndev}", rows / dt, rows, dt,
+            detail=f"weak-scaling efficiency {eff:.2f}",
+        ))
+    return results
+
+
 ALL_BENCHMARKS = {
     "config1": bench_config1_linear,
     "config2": bench_config2_mlp,
     "config3": bench_config3_join,
     "config4": bench_config4_gbt,
     "config5": bench_config5_distributed,
+    "scaling": bench_scaling,
 }
 
 
@@ -195,9 +231,10 @@ def main(argv=None):
     names = [a for a in argv if not a.startswith("-")] or list(ALL_BENCHMARKS)
     for name in names:
         fn = ALL_BENCHMARKS[name]
-        res = fn()
-        print(f"{res.name}: {res.rows_per_s:,.0f} rows/s "
-              f"({res.rows:,} rows, {res.seconds * 1e3:.2f} ms/iter) {res.detail}")
+        out = fn()
+        for res in out if isinstance(out, list) else [out]:
+            print(f"{res.name}: {res.rows_per_s:,.0f} rows/s "
+                  f"({res.rows:,} rows, {res.seconds * 1e3:.2f} ms/iter) {res.detail}")
 
 
 if __name__ == "__main__":
