@@ -182,6 +182,25 @@ class Select(Statement):
 
 
 @dataclass
+class SetOp(Statement):
+    """UNION / UNION ALL / EXCEPT / INTERSECT between two selects."""
+
+    left: Statement  # Select or SetOp
+    right: Statement
+    kind: str = "UNION"  # UNION | EXCEPT | INTERSECT
+    all: bool = False
+    order_by: list = field(default_factory=list)
+    limit: int | None = None
+
+
+@dataclass
+class ValuesRef(TableRef):
+    rows: list = field(default_factory=list)  # list[list[Expr]]
+    alias: str | None = None
+    column_aliases: list | None = None
+
+
+@dataclass
 class CreateTableAs(Statement):
     name: str
     query: Select

@@ -134,11 +134,11 @@ class Connection:
     # -- statements -------------------------------------------------------
 
     def _execute_statement(self, stmt: A.Statement) -> QueryResult:
-        if isinstance(stmt, A.Select):
-            table = self._execute_select(stmt)
+        if isinstance(stmt, (A.Select, A.SetOp)):
+            table = self._execute_query(stmt)
             return QueryResult(table, table.names)
         if isinstance(stmt, A.CreateTableAs):
-            table = self._execute_select(stmt.query)
+            table = self._execute_query(stmt.query)
             self.catalog.put(stmt.name, table, stmt.or_replace)
             return QueryResult()
         if isinstance(stmt, A.CreateTable):
@@ -198,6 +198,60 @@ class Connection:
         return QueryResult()
 
     # -- SELECT pipeline --------------------------------------------------
+
+    def _execute_query(self, stmt) -> Table:
+        if isinstance(stmt, A.SetOp):
+            return self._execute_setop(stmt)
+        return self._execute_select(stmt)
+
+    def _execute_setop(self, op: A.SetOp) -> Table:
+        left = self._execute_query(op.left)
+        right = self._execute_query(op.right)
+        if len(left.columns) != len(right.columns):
+            raise SqlError(
+                "Binder Error: set operations require matching column counts"
+            )
+        lcols = list(left.columns.items())
+        rcols = list(right.columns.values())
+        if op.kind == "UNION":
+            cols = {}
+            for (name, lc), rc in zip(lcols, rcols):
+                t = lc.sql_type if lc.sql_type.name != "NULL" else rc.sql_type
+                if lc.sql_type.np_dtype != rc.sql_type.np_dtype:
+                    lc = lc.cast(T.DOUBLE) if lc.sql_type.is_numeric else lc
+                    rc = rc.cast(T.DOUBLE) if rc.sql_type.is_numeric else rc
+                    t = lc.sql_type
+                data = np.concatenate([
+                    lc.data if lc.data.dtype == rc.data.dtype else lc.data.astype(object),
+                    rc.data if lc.data.dtype == rc.data.dtype else rc.data.astype(object),
+                ])
+                validity = None
+                if lc.validity is not None or rc.validity is not None:
+                    validity = np.concatenate([lc.valid_mask(), rc.valid_mask()])
+                cols[name] = Column(data, t, validity)
+            out = Table(cols)
+            if not op.all:
+                out = _distinct(out)
+        else:
+            lrows = {left.row(i) for i in range(left.num_rows)}
+            rrows = {right.row(i) for i in range(right.num_rows)}
+            if op.kind == "EXCEPT":
+                keep = lrows - rrows
+            else:  # INTERSECT
+                keep = lrows & rrows
+            seen = set()
+            idx = []
+            for i in range(left.num_rows):
+                r = left.row(i)
+                if r in keep and r not in seen:
+                    seen.add(r)
+                    idx.append(i)
+            out = left.take(np.asarray(idx, dtype=np.int64))
+        if op.order_by:
+            out = self._order_by(out, op.order_by, Scope(out))
+        if op.limit is not None:
+            out = out.slice(0, op.limit)
+        return out
 
     def _execute_select(self, sel: A.Select) -> Table:
         # 1. FROM
@@ -261,9 +315,24 @@ class Connection:
             alias = ref.alias or ref.name
             return _qualify(table, alias)
         if isinstance(ref, A.SubqueryRef):
-            table = self._execute_select(ref.query)
+            table = self._execute_query(ref.query)
             if ref.column_aliases:
                 table = _rename_columns(table, ref.column_aliases)
+            return _qualify(table, ref.alias) if ref.alias else table
+        if isinstance(ref, A.ValuesRef):
+            scope = _dummy_scope()
+            col_vals: list = [[] for _ in range(len(ref.rows[0]))]
+            for row in ref.rows:
+                if len(row) != len(col_vals):
+                    raise SqlError("Binder Error: VALUES rows have unequal lengths")
+                for j, e in enumerate(row):
+                    col_vals[j].append(self._eval(e, scope).value(0))
+            cols = {}
+            for j, vals in enumerate(col_vals):
+                name = (ref.column_aliases[j] if ref.column_aliases and
+                        j < len(ref.column_aliases) else f"col{j}")
+                cols[name] = Column.from_values(vals, infer_sql_type(vals))
+            table = Table(cols)
             return _qualify(table, ref.alias) if ref.alias else table
         if isinstance(ref, A.TableFunction):
             return self._table_function(ref)

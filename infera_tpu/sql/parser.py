@@ -83,7 +83,7 @@ class Parser:
 
     def parse_statement(self) -> A.Statement:
         if self.at_kw("SELECT"):
-            return self.parse_select()
+            return self.parse_query()
         if self.at_kw("CREATE"):
             return self._parse_create()
         if self.at_kw("INSERT"):
@@ -120,7 +120,7 @@ class Parser:
             self.expect_kw("EXISTS")
         name = self.expect_ident()
         if self.accept_kw("AS"):
-            return A.CreateTableAs(name, self.parse_select(), or_replace)
+            return A.CreateTableAs(name, self.parse_query(), or_replace)
         self.expect_op("(")
         cols = []
         while True:
@@ -181,6 +181,20 @@ class Parser:
         return A.DropTable(self.expect_ident(), if_exists)
 
     # -- SELECT -----------------------------------------------------------
+
+    def parse_query(self):
+        """SELECT optionally chained with UNION [ALL] / EXCEPT / INTERSECT."""
+        left = self.parse_select()
+        while self.at_kw("UNION", "EXCEPT", "INTERSECT"):
+            kind = self.next().upper
+            all_ = self.accept_kw("ALL")
+            right = self.parse_select()
+            # ORDER BY / LIMIT written after the final select bind to the
+            # whole compound
+            order_by, limit = right.order_by, right.limit
+            right.order_by, right.limit = [], None
+            left = A.SetOp(left, right, kind, all_, order_by, limit)
+        return left
 
     def parse_select(self) -> A.Select:
         self.expect_kw("SELECT")
@@ -281,7 +295,23 @@ class Parser:
 
     def _parse_table_primary(self) -> A.TableRef:
         if self.accept_op("("):
-            q = self.parse_select()
+            if self.accept_kw("VALUES"):
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = []
+                    while True:
+                        row.append(self.parse_expr())
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                alias, col_aliases = self._maybe_alias_with_columns()
+                return A.ValuesRef(rows, alias, col_aliases)
+            q = self.parse_query()
             self.expect_op(")")
             alias, col_aliases = self._maybe_alias_with_columns()
             return A.SubqueryRef(q, alias, col_aliases)
