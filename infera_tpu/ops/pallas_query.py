@@ -46,19 +46,16 @@ def _query_kernel(n_layers, x_ref, *refs):
         if li < n_layers - 1:
             h = jnp.maximum(h, 0.0)
 
-    n_classes = h.shape[1]
     pred = jnp.argmax(h, axis=-1)
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, h.shape, 1) == pred[:, None]
     ).astype(jnp.float32)
     sel = (h[:, 0] > 0.0).astype(jnp.float32)
-    # [1, tile] x [tile, classes] contractions ride the MXU (operands must
-    # stay 2-D: Mosaic cannot lower vector-matrix dots)
-    counts_ref[:, :] += jnp.dot(sel[None, :], onehot,
-                                preferred_element_type=jnp.float32)
-    sums_ref[:, :] += jnp.dot((h[:, 0] * sel)[None, :], onehot,
-                              preferred_element_type=jnp.float32)
-    del n_classes
+    # masked VPU column reductions (a [1, tile]x[tile, C] MXU matmul has
+    # M=1 — pathological utilization; the VPU sum is strictly better here)
+    counts_ref[:, :] += jnp.sum(onehot * sel[:, None], axis=0, keepdims=True)
+    sums_ref[:, :] += jnp.sum(onehot * (h[:, 0] * sel)[:, None], axis=0,
+                              keepdims=True)
 
 
 def fused_mlp_query(params: list, x: jnp.ndarray,

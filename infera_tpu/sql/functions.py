@@ -119,7 +119,7 @@ def _run_predict(fname: str, args: list, n_rows: int):
 
 @scalar("infera_load_model", volatile=True)
 def _f_load_model(ctx, args, n_rows):
-    _require_args("infera_load_model(model_name, model_path)", args, 2)
+    _require_args("infera_load_model(model_name, path)", args, 2)
     if args[0].is_null(0) or args[1].is_null(0):
         return Column.constant(None, T.BOOLEAN, n_rows)
     name = args[0].value(0)
@@ -199,7 +199,11 @@ def _f_predict_multi_list(ctx, args, n_rows):
 
 @scalar("infera_predict_from_blob", volatile=True)
 def _f_predict_from_blob(ctx, args, n_rows):
-    _require_args("infera_predict_from_blob(model_name, input_blob)", args, 2)
+    if len(args) != 2:
+        # exact reference message (infera_extension.cpp:299-300)
+        raise invalid_input(
+            "infera_predict_from_blob(model_name, input_blob) requires 2 arguments"
+        )
     # Row-at-a-time like the reference (model name may vary per row;
     # NULL name/blob → NULL row, not an error — infera_extension.cpp:303-310).
     names, blobs = args
