@@ -111,8 +111,16 @@ class SqlLogicRunner:
             if not stripped or stripped.startswith("#"):
                 i += 1
                 continue
+            if stripped.startswith("--"):  # .slt SQL-style comment line
+                i += 1
+                continue
             if stripped.startswith("require "):
                 i += 1
+                continue
+            if stripped == "----":  # stray separator: skip it + its block
+                i += 1
+                while i < len(lines) and lines[i].strip():
+                    i += 1
                 continue
             m = re.match(r"statement\s+(ok|error)\s*$", stripped)
             if m:
@@ -126,7 +134,11 @@ class SqlLogicRunner:
                 result.records.append(rec)
                 continue
             # loose statement (pragma / load on their own)
+            start_i = i
             i, rec = self._run_loose(lines, i)
+            if i == start_i:  # defensive: never loop in place
+                i += 1
+                continue
             result.records.append(rec)
         return result
 
