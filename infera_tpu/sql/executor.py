@@ -376,6 +376,8 @@ class Connection:
                     if item.expr.table and not name.startswith(item.expr.table + "."):
                         continue
                     bare = name.split(".")[-1]
+                    if "." in name and scope.table.columns.get(bare) is col:
+                        continue  # alias.col duplicate of an emitted bare col
                     cols[bare if bare not in cols else name] = col
                 continue
             name = item.alias or _expr_name(item.expr, idx)

@@ -1,0 +1,70 @@
+"""Transformer-block ONNX coverage: attention expressed with the core op set
+(MatMul/Transpose/Softmax/Add/Mul/ReduceMean/Sqrt...) must match torch."""
+
+import numpy as np
+import torch
+
+from infera_tpu.onnx.executor import compile_model_bytes
+from infera_tpu.onnx.proto import (
+    Attribute,
+    DataType,
+    Graph,
+    Model,
+    Node,
+    Tensor,
+    ValueInfo,
+)
+
+
+def test_single_head_attention_block():
+    """softmax(QK^T/sqrt(d)) V with residual + layernorm-lite (mean/var via
+    ReduceMean), all through the ONNX op set."""
+    rng = np.random.default_rng(0)
+    seq, d = 16, 32
+    wq = rng.standard_normal((d, d)).astype(np.float32) * 0.2
+    wk = rng.standard_normal((d, d)).astype(np.float32) * 0.2
+    wv = rng.standard_normal((d, d)).astype(np.float32) * 0.2
+    scale = np.float32(1.0 / np.sqrt(d))
+
+    nodes = [
+        Node(op_type="MatMul", inputs=["X", "WQ"], outputs=["Q"]),
+        Node(op_type="MatMul", inputs=["X", "WK"], outputs=["K"]),
+        Node(op_type="MatMul", inputs=["X", "WV"], outputs=["V"]),
+        Node(op_type="Transpose", inputs=["K"], outputs=["KT"],
+             attributes={"perm": Attribute.make("perm", [1, 0])}),
+        Node(op_type="MatMul", inputs=["Q", "KT"], outputs=["QK"]),
+        Node(op_type="Mul", inputs=["QK", "scale"], outputs=["QKs"]),
+        Node(op_type="Softmax", inputs=["QKs"], outputs=["A"],
+             attributes={"axis": Attribute.make("axis", -1)}),
+        Node(op_type="MatMul", inputs=["A", "V"], outputs=["AV"]),
+        Node(op_type="Add", inputs=["AV", "X"], outputs=["R"]),
+        # mean-center (layernorm-lite)
+        Node(op_type="ReduceMean", inputs=["R"], outputs=["mu"],
+             attributes={"axes": Attribute.make("axes", [-1]),
+                         "keepdims": Attribute.make("keepdims", 1)}),
+        Node(op_type="Sub", inputs=["R", "mu"], outputs=["Y"]),
+    ]
+    g = Graph(
+        name="attn",
+        nodes=nodes,
+        initializers={
+            "WQ": Tensor.from_array("WQ", wq),
+            "WK": Tensor.from_array("WK", wk),
+            "WV": Tensor.from_array("WV", wv),
+            "scale": Tensor.from_array("scale", np.asarray(scale)),
+        },
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT, shape=[seq, d])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[seq, d])],
+    )
+    compiled = compile_model_bytes(Model(graph=g).serialize(), "attn")
+    x = rng.standard_normal((seq, d)).astype(np.float32)
+    got = np.asarray(compiled.run(x)[0])
+
+    t = torch.from_numpy(x)
+    q = t @ torch.from_numpy(wq)
+    k = t @ torch.from_numpy(wk)
+    v = t @ torch.from_numpy(wv)
+    a = torch.softmax((q @ k.T) * scale, dim=-1)
+    r = a @ v + t
+    want = (r - r.mean(dim=-1, keepdim=True)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
