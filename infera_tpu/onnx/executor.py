@@ -151,6 +151,11 @@ class CompiledOnnxModel:
 
     # -- execution --------------------------------------------------------
 
+    # Bound on retained executables per model: power-of-two batch bucketing
+    # keeps the practical population tiny, but an adversarial mix of shapes
+    # must not grow memory without limit.
+    MAX_CACHED_EXECUTABLES = 32
+
     def executable_for(self, shapes: tuple, dtypes: tuple):
         """Return a jitted callable for the given concrete input shapes."""
         key = (shapes, dtypes)
@@ -160,6 +165,9 @@ class CompiledOnnxModel:
         with self._cache_lock:
             fn = self._jit_cache.get(key)
             if fn is None:
+                if len(self._jit_cache) >= self.MAX_CACHED_EXECUTABLES:
+                    # drop the oldest entry (dict preserves insertion order)
+                    self._jit_cache.pop(next(iter(self._jit_cache)))
                 fn = jax.jit(self._run_graph)
                 self._jit_cache[key] = fn
         return fn

@@ -208,16 +208,14 @@ def _tree_classifier(node, inputs, ctx):
     return [label, scores]
 
 
-_PACK_CACHE: dict = {}
-
-
 def _cached_pack(node, n_out: int, key: str) -> _PackedTrees:
-    cache_key = id(node)
-    entry = _PACK_CACHE.get(cache_key)
-    if entry is None:
-        entry = _PackedTrees(node, n_out, key)
-        _PACK_CACHE[cache_key] = entry
-    return entry
+    # cache on the Node object itself: id()-keyed global dicts can collide
+    # when ids are reused after garbage collection
+    entry = getattr(node, "_infera_packed_trees", None)
+    if entry is None or entry[0] != (n_out, key):
+        entry = ((n_out, key), _PackedTrees(node, n_out, key))
+        node._infera_packed_trees = entry
+    return entry[1]
 
 
 @register("LinearRegressor", domain="ai.onnx.ml")
