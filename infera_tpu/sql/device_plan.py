@@ -323,9 +323,38 @@ def try_execute_on_device(conn, sel: A.Select, table: Table):
         group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
         return [o for _, o in outs], group_count, key_min, key_max
 
-    device_cols = {k: jnp.asarray(c.data) for k, c in lowerer.used_columns.items()}
+    # --- caching ---------------------------------------------------------
+    # jit caches by function identity; `program` is a fresh closure per
+    # call, so an explicit plan cache keyed by (AST, column layout, model
+    # identities) avoids a retrace+compile per execution. Device arrays are
+    # cached on the Column objects (immutable data → upload once).
+    plan_key = (
+        repr(sel),
+        tuple(sorted((k, c.data.dtype.str, len(c))
+                     for k, c in lowerer.used_columns.items())),
+        tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
+        n,
+    )
+    cache = getattr(conn, "_device_plan_cache", None)
+    if cache is None:
+        cache = {}
+        conn._device_plan_cache = cache
+    compiled = cache.get(plan_key)
+    if compiled is None:
+        compiled = jax.jit(program)
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        cache[plan_key] = compiled
+
+    device_cols = {}
+    for k, c in lowerer.used_columns.items():
+        dev = getattr(c, "_device_array", None)
+        if dev is None:
+            dev = jnp.asarray(c.data)
+            c._device_array = dev
+        device_cols[k] = dev
     try:
-        results, group_count, key_min, key_max = jax.jit(program)(device_cols)
+        results, group_count, key_min, key_max = compiled(device_cols)
         results = [np.asarray(r) for r in results]
         group_count = np.asarray(group_count)
     except _Unsupported:
