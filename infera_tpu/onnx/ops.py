@@ -599,6 +599,35 @@ def _dropout(node, inputs, ctx):
     return outs
 
 
+@register("LayerNormalization")
+def _layernorm(node, inputs, ctx):
+    x = inputs[0]
+    scale = inputs[1]
+    bias = inputs[2] if len(inputs) > 2 and inputs[2] is not None else None
+    axis = node.attr("axis", -1)
+    eps = node.attr("epsilon", 1e-5)
+    axes = tuple(range(axis % x.ndim, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=axes, keepdims=True)
+    y = (x - mean) * lax.rsqrt(var + eps) * scale
+    if bias is not None:
+        y = y + bias
+    outs = [y]
+    if len(node.outputs) > 1:
+        outs.append(mean)
+    if len(node.outputs) > 2:
+        outs.append(lax.rsqrt(var + eps))
+    return outs
+
+
+@register("Gelu")
+def _gelu(node, inputs, ctx):
+    approx = node.attr("approximate", "none")
+    if isinstance(approx, bytes):
+        approx = approx.decode()
+    return [jax.nn.gelu(inputs[0], approximate=(approx == "tanh"))]
+
+
 @register("LRN")
 def _lrn(node, inputs, ctx):
     x = inputs[0]

@@ -68,3 +68,32 @@ def test_single_head_attention_block():
     r = a @ v + t
     want = (r - r.mean(dim=-1, keepdim=True)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_layernorm_and_gelu_ops():
+    rng = np.random.default_rng(0)
+    d = 16
+    scale = rng.standard_normal(d).astype(np.float32)
+    bias = rng.standard_normal(d).astype(np.float32)
+    g = Graph(
+        name="ln",
+        nodes=[
+            Node(op_type="LayerNormalization", inputs=["X", "S", "B"],
+                 outputs=["L"],
+                 attributes={"axis": Attribute.make("axis", -1),
+                             "epsilon": Attribute.make("epsilon", 1e-5)}),
+            Node(op_type="Gelu", inputs=["L"], outputs=["Y"]),
+        ],
+        initializers={"S": Tensor.from_array("S", scale),
+                      "B": Tensor.from_array("B", bias)},
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT, shape=[-1, d])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[-1, d])],
+    )
+    compiled = compile_model_bytes(Model(graph=g).serialize(), "ln")
+    x = rng.standard_normal((8, d)).astype(np.float32)
+    got = np.asarray(compiled.run(x)[0])
+    t = torch.from_numpy(x)
+    ln = torch.nn.functional.layer_norm(
+        t, (d,), torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-5)
+    want = torch.nn.functional.gelu(ln).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
