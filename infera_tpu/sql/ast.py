@@ -237,6 +237,11 @@ class DropTable(Statement):
 
 
 @dataclass
+class Explain(Statement):
+    query: Statement = None
+
+
+@dataclass
 class Pragma(Statement):
     name: str
     value: object | None = None

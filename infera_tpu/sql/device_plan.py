@@ -189,8 +189,12 @@ def _find_aggs(expr: A.Expr, out: list):
                 _find_aggs(a, out)
 
 
-def try_execute_on_device(conn, sel: A.Select, table: Table):
-    """Compile + run the SELECT on device; returns a Table or None."""
+def try_execute_on_device(conn, sel: A.Select, table: Table,
+                          analyze_only: bool = False):
+    """Compile + run the SELECT on device; returns a Table or None.
+
+    With ``analyze_only`` returns True/None after eligibility checking +
+    lowering, without touching the device (used by EXPLAIN)."""
     if (
         sel.from_ is None
         or table.num_rows < MIN_DEVICE_ROWS
@@ -273,6 +277,9 @@ def try_execute_on_device(conn, sel: A.Select, table: Table):
                 agg_plans.append((name, lowerer.lower(node.args[0])))
     except _Unsupported:
         return None
+
+    if analyze_only:
+        return True
 
     n = table.num_rows
     n_groups = MAX_GROUPS if key_fn is not None else 1

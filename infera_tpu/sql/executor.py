@@ -154,6 +154,11 @@ class Connection:
         if isinstance(stmt, A.DropTable):
             self.catalog.drop(stmt.name, stmt.if_exists)
             return QueryResult()
+        if isinstance(stmt, A.Explain):
+            lines = self._explain(stmt.query)
+            col = Column.from_values(lines, T.VARCHAR)
+            t = Table({"explain": col})
+            return QueryResult(t, t.names)
         if isinstance(stmt, (A.Pragma, A.Load, A.SetStmt)):
             # pragma enable_verification / load '<ext>' are DuckDB harness
             # statements; the engine accepts and ignores them.
@@ -196,6 +201,69 @@ class Connection:
             cols[name] = Column(data, old.sql_type, validity)
         self.catalog.tables[stmt.table.lower()] = Table(cols)
         return QueryResult()
+
+    # -- EXPLAIN ----------------------------------------------------------
+
+    def _explain(self, stmt, depth: int = 0) -> list:
+        pad = "  " * depth
+        lines: list = []
+        if isinstance(stmt, A.SetOp):
+            lines.append(f"{pad}{stmt.kind}{' ALL' if stmt.all else ''}")
+            lines += self._explain(stmt.left, depth + 1)
+            lines += self._explain(stmt.right, depth + 1)
+            return lines
+        sel = stmt
+        has_agg = bool(sel.group_by) or any(
+            _contains_aggregate(i.expr) for i in sel.items
+        )
+        device = False
+        if isinstance(sel.from_, A.BaseTable):
+            from .device_plan import try_execute_on_device
+
+            try:
+                table = _qualify(self.catalog.get(sel.from_.name),
+                                 sel.from_.alias or sel.from_.name)
+                device = bool(
+                    try_execute_on_device(self, sel, table, analyze_only=True)
+                )
+            except SqlError:
+                pass
+        lines.append(f"{pad}PROJECT [{len(sel.items)} exprs]"
+                     + (" (DISTINCT)" if sel.distinct else ""))
+        if has_agg:
+            keys = len(sel.group_by)
+            lines.append(f"{pad}  AGGREGATE [group keys: {keys}]"
+                         + (" ← fused device plan (single XLA program)"
+                            if device else " ← host/hybrid operators"))
+        if sel.order_by:
+            lines.append(f"{pad}  ORDER BY [{len(sel.order_by)} keys]")
+        if sel.where is not None:
+            lines.append(f"{pad}  FILTER")
+        lines += self._explain_from(sel.from_, depth + 1)
+        return lines
+
+    def _explain_from(self, ref, depth: int) -> list:
+        pad = "  " * depth
+        if ref is None:
+            return [f"{pad}DUAL"]
+        if isinstance(ref, A.BaseTable):
+            try:
+                n = self.catalog.get(ref.name).num_rows
+                return [f"{pad}SCAN {ref.name} [{n} rows]"]
+            except SqlError:
+                return [f"{pad}SCAN {ref.name}"]
+        if isinstance(ref, A.Join):
+            lines = [f"{pad}{ref.kind} JOIN"]
+            lines += self._explain_from(ref.left, depth + 1)
+            lines += self._explain_from(ref.right, depth + 1)
+            return lines
+        if isinstance(ref, A.SubqueryRef):
+            return [f"{pad}SUBQUERY"] + self._explain(ref.query, depth + 1)
+        if isinstance(ref, A.TableFunction):
+            return [f"{pad}TABLE FUNCTION {ref.name}"]
+        if isinstance(ref, A.ValuesRef):
+            return [f"{pad}VALUES [{len(ref.rows)} rows]"]
+        return [f"{pad}{type(ref).__name__}"]
 
     # -- SELECT pipeline --------------------------------------------------
 

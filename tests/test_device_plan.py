@@ -93,3 +93,18 @@ def test_fused_matches_volatile_semantics(conn_big):
     with pytest.raises(Exception) as ei:
         conn.execute("select avg(infera_predict('linear', f1, f2, f3)) from big")
     assert "Model not found: linear" in str(ei.value)
+
+
+def test_explain_reports_fused_plan(conn_big):
+    conn, n = conn_big
+    rows = conn.execute(
+        "explain select g, count(*), avg(infera_predict('linear', f1, f2, f3)) "
+        "from big where f1 > 5.0 group by g"
+    ).rows
+    text = "\n".join(r[0] for r in rows)
+    assert "fused device plan" in text
+    assert "SCAN big" in text
+    # integer sum → host operators
+    rows = conn.execute("explain select sum(g) from big").rows
+    text = "\n".join(r[0] for r in rows)
+    assert "host/hybrid operators" in text
