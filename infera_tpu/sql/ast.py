@@ -44,6 +44,14 @@ class FuncCall(Expr):
 
 
 @dataclass
+class WindowFunc(Expr):
+    name: str
+    args: list = field(default_factory=list)
+    partition_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # OrderItem
+
+
+@dataclass
 class Cast(Expr):
     operand: Expr
     type_name: str

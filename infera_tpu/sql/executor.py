@@ -532,6 +532,10 @@ class Connection:
 
             return _map_rows([hay, needle], n,
                              lambda h, nd: str(h).find(str(nd)) + 1, T.BIGINT)
+        if isinstance(expr, A.WindowFunc):
+            from ..ops.window import eval_window
+
+            return eval_window(expr, scope, self._eval)
         if isinstance(expr, A.FuncCall):
             return self._eval_func(expr, scope)
         if isinstance(expr, A.Star):

@@ -537,7 +537,10 @@ class Parser:
             self.expect_op("(")
             if self.accept_op("*"):
                 self.expect_op(")")
-                return A.FuncCall(t.text.lower(), [], is_star=True)
+                call = A.FuncCall(t.text.lower(), [], is_star=True)
+                if self.at_kw("OVER"):
+                    return self._parse_over(call)
+                return call
             args = []
             distinct = self.accept_kw("DISTINCT")
             if not self.at_op(")"):
@@ -546,7 +549,10 @@ class Parser:
                     if not self.accept_op(","):
                         break
             self.expect_op(")")
-            return A.FuncCall(t.text.lower(), args, distinct=distinct)
+            call = A.FuncCall(t.text.lower(), args, distinct=distinct)
+            if self.at_kw("OVER"):
+                return self._parse_over(call)
+            return call
         if self.at_op(".") and self.peek(1).kind == "IDENT":
             self.next()
             col = self.next()
@@ -558,6 +564,32 @@ class Parser:
             self.next()
             return A.Star(table=t.text)
         return A.ColumnRef(t.text)
+
+    def _parse_over(self, call: A.FuncCall) -> A.WindowFunc:
+        self.expect_kw("OVER")
+        self.expect_op("(")
+        partition_by: list = []
+        order_by: list = []
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            while True:
+                partition_by.append(self.parse_expr())
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expr()
+                asc = True
+                if self.accept_kw("DESC"):
+                    asc = False
+                elif self.accept_kw("ASC"):
+                    pass
+                order_by.append(A.OrderItem(e, asc))
+                if not self.accept_op(","):
+                    break
+        self.expect_op(")")
+        return A.WindowFunc(call.name, call.args, partition_by, order_by)
 
     def _parse_case(self) -> A.Expr:
         self.expect_kw("CASE")
