@@ -104,6 +104,13 @@ class CompiledOnnxModel:
             self.output_shape = self._infer_output_shape()
         self._jit_cache: dict = {}
         self._cache_lock = threading.Lock()
+        # MLP pattern plan for the fused Pallas kernel (None if no match)
+        from .fusion import detect_mlp
+
+        try:
+            self.mlp_plan = detect_mlp(model.graph)
+        except Exception:  # detection is best-effort
+            self.mlp_plan = None
 
     # -- tracing ----------------------------------------------------------
 
@@ -174,6 +181,12 @@ class CompiledOnnxModel:
 
     def run(self, *arrays) -> list:
         """Run the model on device arrays / numpy arrays; returns jnp arrays."""
+        if len(arrays) == 1 and self.mlp_plan is not None:
+            from .fusion import maybe_run_fused
+
+            fused = maybe_run_fused(self, np.asarray(arrays[0]))
+            if fused is not None:
+                return [fused]
         shapes = tuple(tuple(a.shape) for a in arrays)
         dtypes = tuple(str(np.asarray(a).dtype) if isinstance(a, np.ndarray) else str(a.dtype) for a in arrays)
         fn = self.executable_for(shapes, dtypes)
