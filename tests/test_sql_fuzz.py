@@ -1,0 +1,59 @@
+"""Parser/executor robustness: malformed SQL must raise SqlError (or parse
+cleanly), never crash with arbitrary exceptions."""
+
+import numpy as np
+import pytest
+
+from infera_tpu.errors import SqlError
+from infera_tpu.sql import Connection
+
+
+BAD_INPUTS = [
+    "", ";;;", "select", "select from", "select * from",
+    "select 1 +", "select (1", "select [1,", "select 'abc",
+    "create table", "create table t (", "insert into", "drop",
+    "select * from nonexistent_table_xyz",
+    "select unknown_func(1)",
+    "select unknown_column",
+    "select 1 union select 1, 2",
+    "select count(*) over from t",
+    "select a.b.c.d", "select ~1", "select 1 ::",
+    "explain", "select }{",
+    "select * from t1 join",
+    "select case when 1 then 2",
+]
+
+
+@pytest.mark.parametrize("sql", BAD_INPUTS)
+def test_bad_sql_raises_sqlerror_only(sql):
+    conn = Connection()
+    try:
+        conn.execute(sql)
+    except SqlError:
+        pass  # expected failure mode
+    # a clean parse+execute is also acceptable for near-valid inputs
+
+
+def test_random_token_soup_never_crashes():
+    rng = np.random.default_rng(0)
+    tokens = ["select", "from", "where", "group", "by", "order", "1", "'x'",
+              "(", ")", ",", "+", "*", "=", "t", "f1", "::", "float",
+              "count", "[", "]", "and", "null", "case", "union", "join",
+              "over", "partition", ";", ".", "--", "0x", "1.5e", '"q"']
+    conn = Connection()
+    conn.execute("create table t as select 1.0::float as f1")
+    for _ in range(300):
+        n = rng.integers(1, 12)
+        sql = " ".join(rng.choice(tokens, n))
+        try:
+            conn.execute(sql)
+        except SqlError:
+            pass
+        except RecursionError:
+            pytest.fail(f"recursion blowup on: {sql}")
+
+
+def test_deeply_nested_expression():
+    conn = Connection()
+    sql = "select " + "(" * 50 + "1" + ")" * 50
+    assert conn.execute(sql).rows == [(1,)]
