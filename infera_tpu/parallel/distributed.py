@@ -46,15 +46,41 @@ def initialize(coordinator_address: str | None = None,
     return jax.process_count() > 1
 
 
+_BCAST_BUF = 1 << 16
+
+
 def _broadcast_ops(ops: list) -> list:
-    """Broadcast a control-plane op list from host 0 to all hosts."""
+    """Replication consistency guard. Queries execute SPMD — every host runs
+    the same statement stream, so each host reaches this point with the same
+    op. Host 0's op is broadcast (JSON in a fixed uint8 buffer; collectives
+    move arrays, not strings) and every host verifies its local op matches
+    before applying — catching divergent registries early instead of at
+    result-mismatch time."""
     import jax
 
     if jax.process_count() <= 1:
         return ops
+    import json
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(ops)
+    payload = json.dumps(ops).encode("utf-8")
+    if len(payload) > _BCAST_BUF - 4:
+        raise ValueError("control-plane op too large to broadcast")
+    buf = np.zeros(_BCAST_BUF, np.uint8)
+    buf[:4] = np.frombuffer(np.int32(len(payload)).tobytes(), np.uint8)
+    buf[4 : 4 + len(payload)] = np.frombuffer(payload, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(out[:4].tobytes(), np.int32)[0])
+    canonical = json.loads(out[4 : 4 + n].tobytes().decode("utf-8"))
+    canonical = [tuple(op) for op in canonical]
+    if canonical != [tuple(op) for op in ops]:
+        raise RuntimeError(
+            f"registry op divergence across hosts: host0={canonical} "
+            f"local={ops}"
+        )
+    return ops
 
 
 @dataclass
