@@ -87,3 +87,101 @@ def test_two_process_group(tmp_path, model_dir):
     assert codes == [0, 0], "\n".join(outputs)
     assert "proc0 OK" in outputs[0]
     assert "proc1 OK" in outputs[1]
+
+
+PIPELINE_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from infera_tpu.parallel.pipeline import make_distributed_query_step
+
+    ndev = 4  # 2 processes x 2 local devices
+    rows_per_dev, in_dim, out_dim, n_groups = 16, 8, 4, 8
+    n = rows_per_dev * ndev
+    mesh = Mesh(np.asarray(jax.devices()).reshape(ndev, 1), ("dp", "mp"))
+
+    rng = np.random.default_rng(0)  # same seed everywhere -> same globals
+    x_all = rng.standard_normal((n, in_dim)).astype(np.float32)
+    keys_all = rng.integers(0, n_groups, n).astype(np.int32)
+    params = [
+        (jnp.asarray(rng.standard_normal((in_dim, 16)), jnp.float32) * 0.3,
+         jnp.zeros((16,), jnp.float32)),
+        (jnp.asarray(rng.standard_normal((16, out_dim)), jnp.float32) * 0.3,
+         jnp.zeros((out_dim,), jnp.float32)),
+    ]
+
+    def to_global(host_np, spec):
+        sharding = NamedSharding(mesh, spec)
+        shards = []
+        for d, idx in sharding.addressable_devices_indices_map((n,) + host_np.shape[1:]).items():
+            shards.append(jax.device_put(host_np[idx], d))
+        return jax.make_array_from_single_device_arrays(
+            host_np.shape, sharding, shards)
+
+    x = to_global(x_all, P("dp", None))
+    keys = to_global(keys_all, P("dp"))
+
+    step = make_distributed_query_step(mesh, n_groups=n_groups,
+                                       cap=rows_per_dev)
+    sums, counts, total = jax.block_until_ready(step(params, x, keys))
+    sums = np.asarray(sums.addressable_data(0))
+    counts = np.asarray(counts.addressable_data(0))
+
+    # reference on host
+    h = x_all
+    for i, (w, b) in enumerate(params):
+        h = h @ np.asarray(w) + np.asarray(b)
+        if i < len(params) - 1:
+            h = np.maximum(h, 0)
+    sel = h[:, 0] > 0
+    exp_s = np.zeros(n_groups); exp_c = np.zeros(n_groups)
+    np.add.at(exp_s, keys_all % n_groups, np.where(sel, h[:, 0], 0.0))
+    np.add.at(exp_c, keys_all % n_groups, sel.astype(np.float64))
+    assert np.allclose(counts, exp_c, atol=1e-5), (counts, exp_c)
+    assert np.allclose(sums, exp_s, rtol=1e-4, atol=1e-4)
+    print(f"proc{pid} PIPELINE OK", flush=True)
+""")
+
+
+def test_two_process_distributed_pipeline(tmp_path):
+    """The full distributed query step — sharded inference, all_to_all
+    shuffle, psum — executed across TWO OS processes (4 global devices)."""
+    worker_py = tmp_path / "pipeline_worker.py"
+    worker_py.write_text(PIPELINE_WORKER)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker_py), str(i), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs, codes = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outputs.append(out)
+        codes.append(p.returncode)
+    assert codes == [0, 0], "\n".join(outputs)
+    assert all("PIPELINE OK" in o for o in outputs)
