@@ -194,7 +194,7 @@ def main():
     params = _build_params()
 
     result = _run_tpu_subprocess(rows, timeout_s=int(
-        os.environ.get("INFERA_BENCH_TIMEOUT", "420")))
+        os.environ.get("INFERA_BENCH_TIMEOUT", "540")))
     if result is None and rows > (1 << 17):
         result = _run_tpu_subprocess(1 << 17, timeout_s=240)
 

@@ -37,6 +37,35 @@ def mlp_apply(params: list, x: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
+def mlp_apply_tp(params: list, x: jnp.ndarray, axis_name: str = "mp") -> jnp.ndarray:
+    """Tensor-parallel 2-layer MLP block (Megatron layout) for models too
+    large to replicate: layer-1 weights column-sharded over ``mp`` (each
+    device computes a hidden slice, no comms), layer-2 weights row-sharded
+    with one psum to reassemble the output. Runs inside shard_map; weights
+    arrive pre-sharded (w1 [d_in, h/mp], w2 [h/mp, d_out])."""
+    (w1, b1), (w2, b2) = params
+    h = jax.nn.relu(
+        jnp.dot(x, w1, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32) + b1
+    )
+    partial = jnp.dot(h, w2, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    out = jax.lax.psum(partial, axis_name)
+    return out + b2
+
+
+def make_tp_inference_step(mesh: Mesh):
+    """jitted TP inference: x row-sharded on dp, weights sharded on mp."""
+    fn = shard_map(
+        lambda p, x: mlp_apply_tp(p, x),
+        mesh=mesh,
+        in_specs=(((P(None, "mp"), P("mp")), (P("mp", None), P())), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int,
                                 skew_split: bool = False,
                                 hot_factor: float = 4.0):

@@ -158,3 +158,33 @@ def test_skewed_keys_with_split_matches_reference(mesh):
     np.testing.assert_allclose(np.asarray(counts), exp_counts, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sums), exp_sums, rtol=1e-4, atol=1e-4)
     assert float(total) == pytest.approx(float(sel.sum()))
+
+
+def test_tensor_parallel_mlp_matches_replicated():
+    """(dp=4, mp=2) mesh: column/row-sharded weights + psum must equal the
+    replicated single-device MLP."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from infera_tpu.parallel.pipeline import make_tp_inference_step
+
+    mesh = make_mesh(8, mp=2)
+    rng = np.random.default_rng(0)
+    d_in, hidden, d_out, n = 8, 32, 4, 4 * 16
+    w1 = rng.standard_normal((d_in, hidden)).astype(np.float32) * 0.3
+    b1 = rng.standard_normal(hidden).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((hidden, d_out)).astype(np.float32) * 0.3
+    b2 = rng.standard_normal(d_out).astype(np.float32) * 0.1
+    x = rng.standard_normal((n, d_in)).astype(np.float32)
+
+    params = (
+        (jax.device_put(jnp.asarray(w1), NamedSharding(mesh, P(None, "mp"))),
+         jax.device_put(jnp.asarray(b1), NamedSharding(mesh, P("mp")))),
+        (jax.device_put(jnp.asarray(w2), NamedSharding(mesh, P("mp", None))),
+         jax.device_put(jnp.asarray(b2), NamedSharding(mesh, P()))),
+    )
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("dp", None)))
+    step = make_tp_inference_step(mesh)
+    out = np.asarray(jax.block_until_ready(step(params, xs)))
+
+    want = np.maximum(x @ w1 + b1, 0) @ w2 + b2
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
