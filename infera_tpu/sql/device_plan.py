@@ -282,7 +282,34 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         return True
 
     n = table.num_rows
-    n_groups = MAX_GROUPS if key_fn is not None else 1
+    n_groups = 1
+    if key_fn is not None:
+        # Adaptive segment count: scatters cost per-row work per segment
+        # table, so size it to the actual key domain (one cheap device max,
+        # bucketed to a power of two and cached in the plan key). Keys
+        # beyond MAX_GROUPS wrap and rely on the collision guard.
+        try:
+            kmax_fn = getattr(conn, "_device_plan_kmax", None)
+            if kmax_fn is None:
+                import jax as _jax
+
+                kmax_fn = _jax.jit(
+                    lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
+                )
+                conn._device_plan_kmax = kmax_fn
+            probe_cols = {}
+            for k, c in lowerer.used_columns.items():
+                dev = getattr(c, "_device_array", None)
+                if dev is None:
+                    dev = jnp.asarray(c.data)
+                    c._device_array = dev
+                probe_cols[k] = dev
+            kmax = int(kmax_fn(jnp.asarray(key_fn(probe_cols))))
+            n_groups = 8
+            while n_groups <= kmax and n_groups < MAX_GROUPS:
+                n_groups <<= 1
+        except Exception:
+            n_groups = MAX_GROUPS
 
     def program(cols):
         mask = None
@@ -290,7 +317,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             mask = jnp.asarray(where_fn(cols), bool)
         if key_fn is not None:
             keys_raw = jnp.asarray(key_fn(cols), jnp.int32)
-            keys = jnp.asarray(jnp.mod(keys_raw, MAX_GROUPS), jnp.int32)
+            keys = jnp.asarray(jnp.mod(keys_raw, n_groups), jnp.int32)
         else:
             keys_raw = None
             keys = jnp.zeros(n, jnp.int32)
@@ -341,6 +368,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                      for k, c in lowerer.used_columns.items())),
         tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
         n,
+        n_groups,
     )
     cache = getattr(conn, "_device_plan_cache", None)
     if cache is None:
