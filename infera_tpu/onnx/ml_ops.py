@@ -81,6 +81,17 @@ class _PackedTrees:
         self.max_depth = self._compute_depth(max_nodes)
         self.max_nodes = max_nodes
 
+        # Heap-layout detection: when every internal node's children are
+        # 2i+1 / 2i+2 (complete trees — the layout xgboost/sklearn exports
+        # and our builder emit), child ids come from arithmetic instead of
+        # two table gathers per level (~40% of traversal gathers saved).
+        internal = self.mode != _MODES["LEAF"]
+        idx = np.arange(max_nodes)[None, :]
+        self.heap_layout = bool(
+            np.all(np.where(internal, self.true_child == 2 * idx + 1, True))
+            and np.all(np.where(internal, self.false_child == 2 * idx + 2, True))
+        )
+
     def _compute_depth(self, max_nodes: int) -> int:
         depth = np.zeros((self.n_trees, max_nodes), np.int32)
         maxd = 0
@@ -120,18 +131,25 @@ class _PackedTrees:
         def flat_gather(table, cur):
             return jnp.take(table.reshape(-1), tree_off[None, :] + cur)
 
+        only_leq = bool((self.mode[self.mode != _MODES["LEAF"]] == 0).all())
         for _ in range(self.max_depth):
             f = flat_gather(t_feature, cur)          # [N, T]
             th = flat_gather(t_threshold, cur)
             md = flat_gather(t_mode, cur)
             xv = jnp.take_along_axis(x, f.astype(jnp.int32), axis=1)
-            go_true = jnp.select(
-                [md == 0, md == 1, md == 2, md == 3, md == 4, md == 5],
-                [xv <= th, xv < th, xv >= th, xv > th, xv == th, xv != th],
-                default=jnp.zeros_like(xv, dtype=bool),
-            )
-            nxt = jnp.where(go_true, flat_gather(t_true, cur),
-                            flat_gather(t_false, cur))
+            if only_leq:
+                go_true = xv <= th  # single-comparison fast path
+            else:
+                go_true = jnp.select(
+                    [md == 0, md == 1, md == 2, md == 3, md == 4, md == 5],
+                    [xv <= th, xv < th, xv >= th, xv > th, xv == th, xv != th],
+                    default=jnp.zeros_like(xv, dtype=bool),
+                )
+            if self.heap_layout:
+                nxt = 2 * cur + jnp.where(go_true, 1, 2)
+            else:
+                nxt = jnp.where(go_true, flat_gather(t_true, cur),
+                                flat_gather(t_false, cur))
             cur = jnp.where(md == _MODES["LEAF"], cur, nxt)
         return cur
 
