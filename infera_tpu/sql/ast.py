@@ -250,6 +250,12 @@ class Explain(Statement):
 
 
 @dataclass
+class CopyTo(Statement):
+    source: object = None  # table name (str) or Select/SetOp
+    path: str = ""
+
+
+@dataclass
 class Pragma(Statement):
     name: str
     value: object | None = None

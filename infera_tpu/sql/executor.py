@@ -154,6 +154,16 @@ class Connection:
         if isinstance(stmt, A.DropTable):
             self.catalog.drop(stmt.name, stmt.if_exists)
             return QueryResult()
+        if isinstance(stmt, A.CopyTo):
+            from .csv_io import write_csv
+
+            if isinstance(stmt.source, str):
+                table = self.catalog.get(stmt.source)
+            else:
+                table = self._execute_query(stmt.source)
+            n = write_csv(table, stmt.path)
+            count = Table({"Count": Column(np.asarray([n], np.int64), T.BIGINT)})
+            return QueryResult(count, count.names)
         if isinstance(stmt, A.Explain):
             lines = self._explain(stmt.query)
             col = Column.from_values(lines, T.VARCHAR)
@@ -431,6 +441,13 @@ class Connection:
             data = np.arange(lo, hi, step, dtype=np.int64)
             col_name = ref.column_aliases[0] if ref.column_aliases else "range"
             t = Table({col_name: Column(data, T.BIGINT)})
+            return _qualify(t, ref.alias) if ref.alias else t
+        if name == "read_csv" or name == "read_csv_auto":
+            from .csv_io import read_csv
+
+            t = read_csv(str(args[0]))
+            if ref.column_aliases:
+                t = _rename_columns(t, ref.column_aliases)
             return _qualify(t, ref.alias) if ref.alias else t
         raise SqlError(f"Catalog Error: Table Function with name {ref.name} does not exist!")
 

@@ -94,6 +94,18 @@ class Parser:
             return self._parse_insert()
         if self.at_kw("DROP"):
             return self._parse_drop()
+        if self.at_kw("COPY"):
+            self.next()
+            if self.accept_op("("):
+                source = self.parse_query()
+                self.expect_op(")")
+            else:
+                source = self.expect_ident()
+            self.expect_kw("TO")
+            t = self.next()
+            if t.kind != "STRING":
+                raise SqlError("Parser Error: COPY ... TO expects a path string")
+            return A.CopyTo(source, t.text)
         if self.at_kw("PRAGMA"):
             self.next()
             name = self.expect_ident()
