@@ -289,14 +289,6 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         # bucketed to a power of two and cached in the plan key). Keys
         # beyond MAX_GROUPS wrap and rely on the collision guard.
         try:
-            kmax_fn = getattr(conn, "_device_plan_kmax", None)
-            if kmax_fn is None:
-                import jax as _jax
-
-                kmax_fn = _jax.jit(
-                    lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
-                )
-                conn._device_plan_kmax = kmax_fn
             probe_cols = {}
             for k, c in lowerer.used_columns.items():
                 dev = getattr(c, "_device_array", None)
@@ -304,7 +296,28 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                     dev = jnp.asarray(c.data)
                     c._device_array = dev
                 probe_cols[k] = dev
-            kmax = int(kmax_fn(jnp.asarray(key_fn(probe_cols))))
+            # probe result cached per (key expr, column buffers) — repeated
+            # executions of the same query skip the eager evaluation + sync
+            probe_key = (repr(sel.group_by[0]),
+                         tuple(sorted((k, id(v)) for k, v in probe_cols.items())))
+            kmax_cache = getattr(conn, "_device_plan_kmax_cache", None)
+            if kmax_cache is None:
+                kmax_cache = {}
+                conn._device_plan_kmax_cache = kmax_cache
+            kmax = kmax_cache.get(probe_key)
+            if kmax is None:
+                kmax_fn = getattr(conn, "_device_plan_kmax", None)
+                if kmax_fn is None:
+                    import jax as _jax
+
+                    kmax_fn = _jax.jit(
+                        lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
+                    )
+                    conn._device_plan_kmax = kmax_fn
+                kmax = int(kmax_fn(jnp.asarray(key_fn(probe_cols))))
+                if len(kmax_cache) >= 64:
+                    kmax_cache.pop(next(iter(kmax_cache)))
+                kmax_cache[probe_key] = kmax
             n_groups = 8
             while n_groups <= kmax and n_groups < MAX_GROUPS:
                 n_groups <<= 1
