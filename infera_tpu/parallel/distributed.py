@@ -116,6 +116,76 @@ class ReplicatedModelOps:
         return None
 
 
+class Heartbeat:
+    """Worker liveness monitor (SURVEY.md §5 failure-detection row).
+
+    Each worker calls ``beat(worker_id)`` periodically (in a pod this is
+    driven by the per-host control loop over the coordination service); the
+    monitor thread flags workers whose last beat is older than the deadline
+    and invokes ``on_dead`` once per transition, enabling the stateless
+    partition restart path (run_partitions_with_retry)."""
+
+    def __init__(self, deadline_s: float = 5.0, interval_s: float = 1.0,
+                 on_dead=None):
+        import threading
+
+        self.deadline_s = deadline_s
+        self.interval_s = interval_s
+        self.on_dead = on_dead
+        self._last: dict = {}
+        self._dead: set = set()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = None
+
+    def beat(self, worker_id) -> None:
+        with self._lock:
+            self._last[worker_id] = time.monotonic()
+            if worker_id in self._dead:
+                self._dead.discard(worker_id)  # recovered
+
+    def dead_workers(self) -> set:
+        with self._lock:
+            return set(self._dead)
+
+    def _scan(self) -> None:
+        now = time.monotonic()
+        newly_dead = []
+        with self._lock:
+            for worker_id, last in self._last.items():
+                if worker_id not in self._dead and now - last > self.deadline_s:
+                    self._dead.add(worker_id)
+                    newly_dead.append(worker_id)
+        for worker_id in newly_dead:
+            log.warn(f"worker {worker_id} missed heartbeat deadline "
+                     f"({self.deadline_s}s)")
+            if self.on_dead is not None:
+                self.on_dead(worker_id)
+
+    def start(self) -> None:
+        import threading
+
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            self._scan()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
 class PartitionFailure(Exception):
     def __init__(self, partition: int, cause: Exception):
         self.partition = partition

@@ -30,6 +30,25 @@ class BenchResult:
     detail: str = ""
 
 
+# TPU v5e (per-chip) roofline constants for speed-of-light reporting
+V5E_PEAK_BF16_FLOPS = 394e12
+V5E_PEAK_F32_FLOPS = 98.5e12  # bf16/4 (f32 via MXU passes)
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def roofline(flops: int, bytes_moved: int, seconds: float,
+             f32: bool = True) -> str:
+    """Fraction of chip speed-of-light achieved: max of compute-bound and
+    memory-bound utilization (SURVEY.md §7.2 M6)."""
+    peak = V5E_PEAK_F32_FLOPS if f32 else V5E_PEAK_BF16_FLOPS
+    compute_frac = (flops / seconds) / peak if seconds > 0 else 0.0
+    mem_frac = (bytes_moved / seconds) / V5E_HBM_BYTES_PER_S if seconds > 0 else 0.0
+    bound = "compute" if compute_frac >= mem_frac else "memory"
+    return (f"SOL: {max(compute_frac, mem_frac) * 100:.1f}% ({bound}-bound; "
+            f"{flops / seconds / 1e12:.2f} TFLOP/s, "
+            f"{bytes_moved / seconds / 1e9:.1f} GB/s)")
+
+
 def _time(fn, iters=3, warmup=1):
     import jax
 
@@ -102,9 +121,12 @@ def bench_config2_mlp(rows: int = 1_000_000, use_pallas: bool = True) -> BenchRe
         return counts, sums
 
     dt = _time(lambda: q(x))
+    flops = 2 * rows * sum(d1 * d2 for d1, d2 in zip(dims[:-1], dims[1:]))
+    bytes_moved = rows * (in_dim + 2 * sum(hidden) + out_dim) * 4
     return BenchResult(
         "config2_mlp_filter_agg", rows / dt, rows, dt,
-        detail="pallas-fused" if pallas_ok else "xla",
+        detail=("pallas-fused" if pallas_ok else "xla") + " | " +
+               roofline(flops, bytes_moved, dt),
     )
 
 

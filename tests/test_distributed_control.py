@@ -67,3 +67,35 @@ def test_engine_errors_not_retried(model_dir, clean_registry):
     with pytest.raises(ModelNotFound):
         run_partitions_with_retry(run_part, 2, max_attempts=5)
     assert attempts == [0]
+
+
+def test_heartbeat_detects_and_recovers():
+    import time as _time
+
+    from infera_tpu.parallel.distributed import Heartbeat
+
+    dead_events = []
+    hb = Heartbeat(deadline_s=0.2, interval_s=0.05,
+                   on_dead=dead_events.append)
+    with hb:
+        hb.beat("w0")
+        hb.beat("w1")
+        # w1 keeps beating; w0 goes silent
+        for _ in range(8):
+            _time.sleep(0.05)
+            hb.beat("w1")
+        assert "w0" in hb.dead_workers()
+        assert "w1" not in hb.dead_workers()
+        assert dead_events == ["w0"]
+        # w0 comes back
+        hb.beat("w0")
+        assert "w0" not in hb.dead_workers()
+
+
+def test_roofline_formatting():
+    from infera_tpu.testing.benchmarks import roofline
+
+    out = roofline(flops=98.5e12, bytes_moved=0, seconds=1.0)
+    assert "100.0%" in out and "compute-bound" in out
+    out = roofline(flops=0, bytes_moved=819e9 // 2, seconds=1.0)
+    assert "50.0%" in out and "memory-bound" in out
