@@ -10,9 +10,11 @@ of the same query — a stand-in for the reference's tract-CPU execution model
 (single-process CPU inference, SURVEY.md §6).
 
 Input rows are generated on-device (the table is HBM-resident, as it would
-be mid-pipeline in the query engine); timing excludes compilation, and a
-persistent compilation cache under .xla_cache amortizes Pallas compiles
-across runs.
+be mid-pipeline in the query engine); timing excludes compilation. The TPU
+attempt runs in a subprocess with a timeout because the tunneled platform's
+first compile can take minutes (see CLAUDE.md); the child emits a JSON line
+after every improving implementation so a timed-out run still yields the
+XLA number.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": N}
@@ -72,18 +74,15 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
         return counts, sums
 
     # XLA path first: fast, reliable compile → a number is guaranteed even
-    # if the driver kills the run during the slower Pallas compile.
+    # if the run is killed during the slower Pallas compile. The child
+    # prints a JSON line after EVERY improvement, so a parent that times us
+    # out mid-Pallas still salvages the XLA number from partial stdout.
     impls = [("xla", jax.jit(lambda x: query_tail(mlp_xla(x))))]
-    if use_pallas and rows % 1024 == 0:
-        from infera_tpu.ops.pallas_mlp import fused_mlp
+    if use_pallas and rows % 4096 == 0:
+        from infera_tpu.ops.pallas_query import fused_mlp_query
 
-        # Split jits: composing the Pallas custom call with the aggregate
-        # tail in one program makes the remote Mosaic compile pathological;
-        # as separate programs the kernel compiles in ~2 min and the extra
-        # dispatch is amortized at 1M rows.
-        mlp_pallas = jax.jit(lambda x: fused_mlp(jparams, x))
-        tail = jax.jit(query_tail)
-        impls.append(("pallas", lambda x: tail(mlp_pallas(x))))
+        impls.append(("pallas_query", jax.jit(
+            lambda x: fused_mlp_query(jparams, x, tile_n=4096))))
 
     best = None
     for name, fn in impls:
@@ -103,6 +102,7 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
                   file=sys.stderr)
             if best is None or rps > best[1]:
                 best = (name, rps)
+                print(json.dumps({"impl": name, "rows_per_s": rps}), flush=True)
         except Exception as e:  # pragma: no cover - pallas fallback
             print(f"{name} path failed: {type(e).__name__}: {e}", file=sys.stderr)
     if best is None:
@@ -150,12 +150,12 @@ def _parse_rows(argv):
 
 
 def _child_main():
-    """Subprocess entry: run the TPU measurement, print one JSON line."""
+    """Subprocess entry: run the TPU measurement; bench_tpu prints a JSON
+    line after each improving implementation."""
     rows = _parse_rows(sys.argv)
-    use_pallas = os.environ.get("INFERA_BENCH_PALLAS") == "1"
+    use_pallas = os.environ.get("INFERA_BENCH_NO_PALLAS") != "1"
     params = _build_params()
-    impl, rps = bench_tpu(params, rows, use_pallas=use_pallas)
-    print(json.dumps({"impl": impl, "rows_per_s": rps}))
+    bench_tpu(params, rows, use_pallas=use_pallas)
 
 
 def _run_tpu_subprocess(rows: int, timeout_s: int):
@@ -166,24 +166,35 @@ def _run_tpu_subprocess(rows: int, timeout_s: int):
 
     cmd = [sys.executable, "-u", os.path.abspath(__file__), "--tpu-child",
            "--rows", str(rows)]
+    def best_line(stdout: str):
+        best = None
+        for line in (stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if best is None or cand.get("rows_per_s", 0) > best.get("rows_per_s", 0):
+                    best = cand
+        return best
+
     try:
         res = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         print(f"TPU attempt at {rows} rows timed out after {timeout_s}s",
               file=sys.stderr)
-        return None
+        # salvage any result the child printed before the timeout (the XLA
+        # number lands before the slower Pallas attempt)
+        partial = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        return best_line(partial)
     sys.stderr.write(res.stderr)
-    for line in res.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    print(f"TPU attempt produced no result (exit {res.returncode})",
-          file=sys.stderr)
-    return None
+    result = best_line(res.stdout)
+    if result is None:
+        print(f"TPU attempt produced no result (exit {res.returncode})",
+              file=sys.stderr)
+    return result
 
 
 def main():
