@@ -464,6 +464,168 @@ def _f_hash(ctx, args, n_rows):
     return Column(hash_columns_host([a for a in args]).astype(np.int64), T.BIGINT)
 
 
+@scalar("trim")
+def _f_trim(ctx, args, n_rows):
+    return _map_rows(args, n_rows, lambda s: str(s).strip(), T.VARCHAR)
+
+
+@scalar("ltrim")
+def _f_ltrim(ctx, args, n_rows):
+    return _map_rows(args, n_rows, lambda s: str(s).lstrip(), T.VARCHAR)
+
+
+@scalar("rtrim")
+def _f_rtrim(ctx, args, n_rows):
+    return _map_rows(args, n_rows, lambda s: str(s).rstrip(), T.VARCHAR)
+
+
+@scalar("replace")
+def _f_replace(ctx, args, n_rows):
+    return _map_rows(args, n_rows,
+                     lambda s, a, b: str(s).replace(str(a), str(b)), T.VARCHAR)
+
+
+@scalar("reverse")
+def _f_reverse(ctx, args, n_rows):
+    return _map_rows(args, n_rows, lambda s: str(s)[::-1], T.VARCHAR)
+
+
+@scalar("split_part")
+def _f_split_part(ctx, args, n_rows):
+    def sp(s, sep, idx):
+        parts = str(s).split(str(sep))
+        i = int(idx)
+        return parts[i - 1] if 1 <= i <= len(parts) else ""
+
+    return _map_rows(args, n_rows, sp, T.VARCHAR)
+
+
+@scalar("starts_with")
+def _f_starts_with(ctx, args, n_rows):
+    return _map_rows(args, n_rows,
+                     lambda s, p: str(s).startswith(str(p)), T.BOOLEAN)
+
+
+@scalar("ends_with")
+def _f_ends_with(ctx, args, n_rows):
+    return _map_rows(args, n_rows,
+                     lambda s, p: str(s).endswith(str(p)), T.BOOLEAN)
+
+
+@scalar("lpad")
+def _f_lpad(ctx, args, n_rows):
+    return _map_rows(args, n_rows,
+                     lambda s, n, c=" ": str(s).rjust(int(n), str(c)[:1] or " "),
+                     T.VARCHAR)
+
+
+@scalar("regexp_matches")
+def _f_regexp_matches(ctx, args, n_rows):
+    import re as _re
+
+    cache: dict = {}
+
+    def rm(s, pat):
+        rx = cache.get(pat)
+        if rx is None:
+            rx = _re.compile(str(pat))
+            cache[pat] = rx
+        return rx.search(str(s)) is not None
+
+    return _map_rows(args, n_rows, rm, T.BOOLEAN)
+
+
+@scalar("pow")
+def _f_pow(ctx, args, n_rows):
+    a, b = args[0], args[1]
+    valid = a.valid_mask() & b.valid_mask()
+    with np.errstate(invalid="ignore"):
+        data = np.power(a.data.astype(np.float64), b.data.astype(np.float64))
+    return Column(data, T.DOUBLE, None if valid.all() else valid)
+
+
+@scalar("power")
+def _f_power(ctx, args, n_rows):
+    return _f_pow(ctx, args, n_rows)
+
+
+@scalar("exp")
+def _f_exp(ctx, args, n_rows):
+    c = args[0]
+    return Column(np.exp(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+
+
+@scalar("ln")
+def _f_ln(ctx, args, n_rows):
+    c = args[0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return Column(np.log(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+
+
+@scalar("log")
+def _f_log(ctx, args, n_rows):
+    if len(args) == 1:
+        c = args[0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return Column(np.log10(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+    base, c = args
+    with np.errstate(invalid="ignore", divide="ignore"):
+        data = np.log(c.data.astype(np.float64)) / np.log(base.data.astype(np.float64))
+    valid = base.valid_mask() & c.valid_mask()
+    return Column(data, T.DOUBLE, None if valid.all() else valid)
+
+
+@scalar("log2")
+def _f_log2(ctx, args, n_rows):
+    c = args[0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return Column(np.log2(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+
+
+@scalar("sin")
+def _f_sin(ctx, args, n_rows):
+    c = args[0]
+    return Column(np.sin(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+
+
+@scalar("cos")
+def _f_cos(ctx, args, n_rows):
+    c = args[0]
+    return Column(np.cos(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+
+
+@scalar("sign")
+def _f_sign(ctx, args, n_rows):
+    c = args[0]
+    return Column(np.sign(c.data.astype(np.float64)), T.DOUBLE, c.validity)
+
+
+@scalar("pi")
+def _f_pi(ctx, args, n_rows):
+    return Column.constant(float(np.pi), T.DOUBLE, n_rows)
+
+
+@scalar("random", volatile=True)
+def _f_random(ctx, args, n_rows):
+    return Column(np.random.default_rng().random(n_rows), T.DOUBLE)
+
+
+@scalar("list_sum")
+def _f_list_sum(ctx, args, n_rows):
+    return _map_rows(args, n_rows,
+                     lambda lst: float(sum(lst)) if isinstance(lst, (list, tuple)) else None,
+                     T.DOUBLE)
+
+
+@scalar("list_avg")
+def _f_list_avg(ctx, args, n_rows):
+    return _map_rows(
+        args, n_rows,
+        lambda lst: float(sum(lst)) / len(lst)
+        if isinstance(lst, (list, tuple)) and lst else None,
+        T.DOUBLE)
+
+
 @scalar("to_blob")
 def _f_to_blob(ctx, args, n_rows):
     """Encode a LIST[FLOAT] or string as a little-endian f32 / raw BLOB."""
