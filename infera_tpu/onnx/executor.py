@@ -179,6 +179,34 @@ class CompiledOnnxModel:
                 self._jit_cache[key] = fn
         return fn
 
+    def run_data_parallel(self, mesh, *arrays) -> list:
+        """Run with the batch dimension sharded over the mesh's dp axis —
+        multi-chip data-parallel inference for any loaded model (weights are
+        replicated; TP-sharding of large weights rides the mp axis via the
+        parallel.pipeline paths). Rows must divide the dp size."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key = ("dp", id(mesh)) + tuple(tuple(a.shape) for a in arrays)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            with self._cache_lock:
+                fn = self._jit_cache.get(key)
+                if fn is None:
+                    in_shardings = tuple(
+                        NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))
+                        for a in arrays
+                    )
+                    fn = jax.jit(self._run_graph, in_shardings=in_shardings)
+                    if len(self._jit_cache) >= self.MAX_CACHED_EXECUTABLES:
+                        self._jit_cache.pop(next(iter(self._jit_cache)))
+                    self._jit_cache[key] = fn
+        try:
+            return fn(*arrays)
+        except OnnxError:
+            raise
+        except Exception as e:
+            raise OnnxError(str(e))
+
     def run(self, *arrays) -> list:
         """Run the model on device arrays / numpy arrays; returns jnp arrays."""
         if len(arrays) == 1 and self.mlp_plan is not None:

@@ -188,3 +188,30 @@ def test_tensor_parallel_mlp_matches_replicated():
 
     want = np.maximum(x @ w1 + b1, 0) @ w2 + b2
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_onnx_model_data_parallel_inference(mesh):
+    """Any loaded ONNX model runs dp-sharded over the mesh and matches the
+    single-device result."""
+    from infera_tpu.onnx import builder
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    model = compile_model_bytes(
+        builder.mlp_model(in_dim=8, hidden=(16,), out_dim=4).serialize(), "m")
+    x = np.random.default_rng(0).standard_normal((8 * 16, 8)).astype(np.float32)
+    sharded = np.asarray(model.run_data_parallel(mesh, jnp.asarray(x))[0])
+    single = np.asarray(model.run(x)[0])
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_gbt_data_parallel(mesh):
+    from infera_tpu.onnx import builder
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    model = compile_model_bytes(
+        builder.gbt_regressor_model(n_features=4, n_trees=4, depth=3).serialize(),
+        "gbt")
+    x = np.random.default_rng(1).standard_normal((8 * 8, 4)).astype(np.float32)
+    sharded = np.asarray(model.run_data_parallel(mesh, jnp.asarray(x))[0])
+    single = np.asarray(model.run(x)[0])
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
