@@ -123,9 +123,14 @@ class Connection:
     # -- public API -------------------------------------------------------
 
     def execute(self, sql: str) -> QueryResult:
+        from ..observability import measure
+
         result = QueryResult()
         for stmt in parse_sql(sql):
-            result = self._execute_statement(stmt)
+            with measure(type(stmt).__name__) as m:
+                result = self._execute_statement(stmt)
+                if result.table is not None:
+                    m.rows = result.table.num_rows
         return result
 
     def register_table(self, name: str, table: Table) -> None:

@@ -52,3 +52,15 @@ def test_annotate_is_usable():
     with obs.annotate("op-name"):
         x = sum(range(10))
     assert x == 45
+
+
+def test_sql_execute_records_metrics():
+    from infera_tpu.sql import Connection
+
+    start = len(obs.METRICS.entries)
+    conn = Connection()
+    conn.execute("select 1, 2, 3")
+    assert len(obs.METRICS.entries) > start
+    rec = obs.METRICS.entries[0]
+    assert rec.name == "Select"
+    assert rec.rows == 1
