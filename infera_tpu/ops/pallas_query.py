@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE_N = 1024
+DEFAULT_TILE_N = 4096
 
 
 def _query_kernel(n_layers, x_ref, *refs):
