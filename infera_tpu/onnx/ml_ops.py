@@ -1,17 +1,33 @@
 """ai.onnx.ml operator lowerings (TreeEnsemble*, Linear*, Scaler, ...).
 
 The reference supports these through tract (SURVEY.md §7.3 flags
-TreeEnsemble as required for the GBT benchmark config). The TPU lowering is
-a gather-based level-synchronous traversal (SURVEY.md §7.2 M? / §2.2): node
-tables are packed into dense [n_trees, max_nodes] matrices at import time;
-execution iterates max_depth times, each step gathering (feature, threshold,
-children) for every (row, tree) pair and advancing — no data-dependent
-control flow, fully vectorized over rows × trees, MXU-free but VPU/gather
-friendly and embarrassingly batch-parallel.
+TreeEnsemble as required for the GBT benchmark config). Two TPU lowerings:
+
+1. **GEMM evaluation** (default for ensembles that fit): the whole forest is
+   expressed as three batched matmuls per row tile (Hummingbird-style):
+   ``X @ A`` gathers every tested feature value via a one-hot selection
+   matrix (exact: one 1.0 coefficient per column), a comparison against the
+   threshold vector yields the 0/1 decision vector ``S``, ``S @ C`` scores
+   every leaf against its root-to-leaf path (+1 true-ancestor / −1
+   false-ancestor), and the unique leaf with score == #true-ancestors is
+   dotted with the leaf-weight table. Every FLOP lands on the MXU; there
+   are zero gathers. Integer-valued f32 arithmetic keeps it bit-exact with
+   the traversal path.
+
+2. **Gather-based level-synchronous traversal** (fallback for forests too
+   large/deep for the GEMM tables): node tables packed into dense
+   [n_trees, max_nodes] matrices; execution iterates max_depth times,
+   gathering (feature, threshold, children) per (row, tree) and advancing —
+   no data-dependent control flow, fully vectorized.
+
+Selection: ``INFERA_TREE_MODE`` = ``auto`` (default) | ``gemm`` | ``gather``.
 """
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -161,6 +177,126 @@ class _PackedTrees:
         leaf_w = jnp.take(w, tree_off[None, :] + cur, axis=0)  # [N, T, n_out]
         return jnp.sum(leaf_w, axis=1)
 
+    # ---- GEMM (matmul-only) evaluation --------------------------------
+
+    # device-side f32 bytes we allow the path-score matrix C [T, I, L] to
+    # occupy before falling back to the gather traversal (64 MiB)
+    _GEMM_C_LIMIT = 16 << 20
+
+    def _build_gemm_tables(self):
+        """DFS every tree once; emit per-tree internal/leaf numbering, the
+        ±1 ancestry matrix C, true-ancestor counts D, and leaf weights W.
+        Returns None when the forest is too large for dense path tables."""
+        leaf_code = _MODES["LEAF"]
+        per_tree = []
+        max_i = max_l = 0
+        for t in range(self.n_trees):
+            internal, leaves = [], []
+            stack = [(0, ())]
+            steps = 0
+            while stack:
+                nd, anc = stack.pop()
+                steps += 1
+                if steps > 4 * self.max_nodes:  # malformed/cyclic table
+                    return None
+                if self.mode[t, nd] == leaf_code:
+                    leaves.append((nd, anc))
+                    continue
+                i = len(internal)
+                internal.append(nd)
+                stack.append((int(self.false_child[t, nd]), anc + ((i, -1),)))
+                stack.append((int(self.true_child[t, nd]), anc + ((i, 1),)))
+            per_tree.append((internal, leaves))
+            max_i = max(max_i, len(internal))
+            max_l = max(max_l, len(leaves))
+        max_i = max(max_i, 1)
+        max_l = max(max_l, 1)
+        if self.n_trees * max_i * max_l * 4 > self._GEMM_C_LIMIT:
+            return None
+
+        n_out = self.weights.shape[2]
+        feat = np.zeros((self.n_trees, max_i), np.int32)
+        thresh = np.zeros((self.n_trees, max_i), np.float32)
+        mode = np.full((self.n_trees, max_i), _MODES["LEAF"], np.int32)
+        C = np.zeros((self.n_trees, max_i, max_l), np.int8)
+        D = np.full((self.n_trees, max_l), -1, np.float32)
+        W = np.zeros((self.n_trees, max_l, n_out), np.float32)
+        for t, (internal, leaves) in enumerate(per_tree):
+            for i, nd in enumerate(internal):
+                feat[t, i] = self.feature[t, nd]
+                thresh[t, i] = self.threshold[t, nd]
+                mode[t, i] = self.mode[t, nd]
+            for li, (nd, anc) in enumerate(leaves):
+                D[t, li] = sum(1 for _, d in anc if d == 1)
+                W[t, li] = self.weights[t, nd]
+                for i, d in anc:
+                    C[t, i, li] = d
+        only_leq = bool((mode[mode != leaf_code] == _MODES["BRANCH_LEQ"]).all())
+        return {"feat": feat, "thresh": thresh, "mode": mode, "C": C,
+                "D": D, "W": W, "only_leq": only_leq}
+
+    @property
+    def gemm(self):
+        if not hasattr(self, "_gemm"):
+            self._gemm = self._build_gemm_tables()
+        return self._gemm
+
+    def _gemm_eval_tile(self, x) -> jnp.ndarray:
+        """One row tile through the three-matmul forest: [n, F] → [n, n_out]."""
+        g = self.gemm
+        hi = jax.lax.Precision.HIGHEST
+        n_feat = x.shape[1]
+        # A[t, i, f]: one-hot feature selector — X @ A reproduces every
+        # tested feature value exactly (single 1.0 coefficient per column)
+        sel = jax.nn.one_hot(jnp.asarray(g["feat"]), n_feat, dtype=jnp.float32)
+        xa = jnp.einsum("nf,tif->nti", x, sel, precision=hi,
+                        preferred_element_type=jnp.float32)
+        th = jnp.asarray(g["thresh"])
+        if g["only_leq"]:
+            s = xa <= th
+        else:
+            md = jnp.asarray(g["mode"])
+            s = jnp.select(
+                [md == 0, md == 1, md == 2, md == 3, md == 4, md == 5],
+                [xa <= th, xa < th, xa >= th, xa > th, xa == th, xa != th],
+                default=jnp.zeros_like(xa, dtype=bool),
+            )
+        s = s.astype(jnp.float32)
+        # leaf l is reached iff its path score equals its true-ancestor
+        # count (integer-valued f32 arithmetic → exact equality)
+        score = jnp.einsum("nti,til->ntl", s,
+                           jnp.asarray(g["C"], jnp.float32), precision=hi,
+                           preferred_element_type=jnp.float32)
+        hit = (score == jnp.asarray(g["D"])).astype(jnp.float32)
+        return jnp.einsum("ntl,tlo->no", hit, jnp.asarray(g["W"]),
+                          precision=hi, preferred_element_type=jnp.float32)
+
+    _GEMM_TILE = 4096
+
+    def gemm_eval(self, x) -> jnp.ndarray:
+        """Forest output [N, n_out] via matmuls only, tiled over rows so the
+        [n, T, I] / [n, T, L] intermediates stay HBM-small at any N."""
+        n = x.shape[0]
+        tile = self._GEMM_TILE
+        if n <= 2 * tile:
+            return self._gemm_eval_tile(x)
+        pad = (-n) % tile
+        xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        tiles = xp.reshape(-1, tile, x.shape[1])
+        y = jax.lax.map(self._gemm_eval_tile, tiles)
+        return y.reshape(-1, self.weights.shape[2])[:n]
+
+    def evaluate(self, x) -> jnp.ndarray:
+        """Dispatch: GEMM when the path tables fit (INFERA_TREE_MODE=auto),
+        else gather traversal. [N, F] → [N, n_out] summed over trees."""
+        pref = os.environ.get("INFERA_TREE_MODE", "auto")
+        if pref != "gather" and self.gemm is not None:
+            return self.gemm_eval(x)
+        if pref == "gemm" and self.gemm is None:
+            raise OnnxError("INFERA_TREE_MODE=gemm but the ensemble exceeds "
+                            "the GEMM path-table limit")
+        return self.payout(self.traverse(x))
+
 
 def _post_transform(y, kind: str):
     import jax
@@ -185,8 +321,7 @@ def _tree_regressor(node, inputs, ctx):
     x = jnp.asarray(inputs[0], jnp.float32)
     n_targets = int(node.attr("n_targets", 1))
     packed = _cached_pack(node, n_targets, "target")
-    cur = packed.traverse(x)
-    y = packed.payout(cur)
+    y = packed.evaluate(x)
     base = node.attr("base_values")
     if base:
         y = y + jnp.asarray(base, jnp.float32)
@@ -209,8 +344,7 @@ def _tree_classifier(node, inputs, ctx):
     if n_classes == 0:
         raise OnnxError("TreeEnsembleClassifier without class labels")
     packed = _cached_pack(node, n_classes, "class")
-    cur = packed.traverse(x)
-    scores = packed.payout(cur)
+    scores = packed.evaluate(x)
     base = node.attr("base_values")
     if base:
         scores = scores + jnp.asarray(base, jnp.float32)

@@ -132,3 +132,109 @@ def test_linear_regressor_ml():
     compiled = compile_model_bytes(Model(graph=g).serialize(), "lr")
     out = np.asarray(compiled.run(np.array([[1.0, 2.0, 3.0]], np.float32))[0])
     assert abs(float(out.reshape(-1)[0]) - 1.75) < 1e-6
+
+
+def _compile_fresh(model, name):
+    """Fresh compile (fresh Node objects) so the tree-mode env var is
+    re-read at trace time."""
+    return compile_model_bytes(model.serialize(), name)
+
+
+def test_gemm_matches_gather_complete_trees(monkeypatch):
+    """The matmul-only (GEMM) forest evaluation must agree with the gather
+    traversal on complete heap-layout trees (the xgboost/sklearn export
+    shape) to float tolerance, and with the host walk."""
+    model = builder.gbt_regressor_model(n_features=8, n_trees=7, depth=5, seed=11)
+    x = np.random.default_rng(4).standard_normal((257, 8)).astype(np.float32)
+
+    monkeypatch.setenv("INFERA_TREE_MODE", "gather")
+    got_gather = np.asarray(_compile_fresh(model, "gbt_ga").run(x)[0])
+    monkeypatch.setenv("INFERA_TREE_MODE", "gemm")
+    got_gemm = np.asarray(_compile_fresh(model, "gbt_ge").run(x)[0])
+
+    np.testing.assert_allclose(got_gemm, got_gather, rtol=1e-6, atol=1e-6)
+    want = _host_gbt_predict(model, x)
+    np.testing.assert_allclose(got_gemm.reshape(-1), want, rtol=1e-5, atol=1e-5)
+
+
+def test_gemm_large_batch_tiling(monkeypatch):
+    """N far above the GEMM row tile exercises the lax.map tiling + the
+    non-divisible padding path."""
+    model = builder.gbt_regressor_model(n_features=4, n_trees=3, depth=3, seed=5)
+    x = np.random.default_rng(6).standard_normal((10000, 4)).astype(np.float32)
+    monkeypatch.setenv("INFERA_TREE_MODE", "gemm")
+    from infera_tpu.onnx import ml_ops
+    monkeypatch.setattr(ml_ops._PackedTrees, "_GEMM_TILE", 1024)
+    got = np.asarray(_compile_fresh(model, "gbt_big").run(x)[0]).reshape(-1)
+    want = _host_gbt_predict(model, x)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gemm_irregular_trees(monkeypatch):
+    """Non-complete trees, non-heap node ids, mixed branch modes, and a
+    single-leaf tree: GEMM and gather paths must agree exactly."""
+    from infera_tpu.onnx.proto import (
+        Attribute, DataType, Graph, Model, Node, ValueInfo,
+    )
+
+    # tree 0: root is a leaf (weight 0.7)
+    # tree 1: skewed left chain with mixed modes and shuffled node ids:
+    #   node 0: f0 BRANCH_GT 0.5  -> true: node 3, false: node 1 (leaf, w=1)
+    #   node 3: f1 BRANCH_LT -0.2 -> true: node 2 (leaf, w=2), false: node 4 (leaf, w=3)
+    attrs = {
+        "n_targets": Attribute.make("n_targets", 1),
+        "nodes_treeids": Attribute.make("nodes_treeids", [0, 1, 1, 1, 1, 1]),
+        "nodes_nodeids": Attribute.make("nodes_nodeids", [0, 0, 1, 3, 2, 4]),
+        "nodes_featureids": Attribute.make("nodes_featureids", [0, 0, 0, 1, 0, 0]),
+        "nodes_modes": Attribute.make(
+            "nodes_modes",
+            ["LEAF", "BRANCH_GT", "LEAF", "BRANCH_LT", "LEAF", "LEAF"]),
+        "nodes_values": Attribute.make("nodes_values", [0.0, 0.5, 0.0, -0.2, 0.0, 0.0]),
+        "nodes_truenodeids": Attribute.make("nodes_truenodeids", [0, 3, 0, 2, 0, 0]),
+        "nodes_falsenodeids": Attribute.make("nodes_falsenodeids", [0, 1, 0, 4, 0, 0]),
+        "target_treeids": Attribute.make("target_treeids", [0, 1, 1, 1]),
+        "target_nodeids": Attribute.make("target_nodeids", [0, 1, 2, 4]),
+        "target_ids": Attribute.make("target_ids", [0, 0, 0, 0]),
+        "target_weights": Attribute.make("target_weights", [0.7, 1.0, 2.0, 3.0]),
+        "post_transform": Attribute.make("post_transform", "NONE"),
+    }
+    g = Graph(
+        name="irregular",
+        nodes=[Node(op_type="TreeEnsembleRegressor", domain="ai.onnx.ml",
+                    inputs=["X"], outputs=["Y"], attributes=attrs)],
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT, shape=[-1, 2])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[-1, 1])],
+    )
+    model = Model(graph=g, opset_imports=[("", 13), ("ai.onnx.ml", 3)])
+    x = np.array([[0.6, -0.5], [0.6, 0.0], [0.4, 9.0], [0.5, -9.0]], np.float32)
+    # manual expectation: tree0 always 0.7; tree1:
+    #   row0: x0>0.5 true -> node3; x1<-0.2 true -> leaf2 (2.0) => 2.7
+    #   row1: x0>0.5 true -> node3; x1<-0.2 false -> leaf4 (3.0) => 3.7
+    #   row2: x0>0.5 false -> leaf1 (1.0) => 1.7
+    #   row3: x0>0.5 false (0.5 not > 0.5) -> leaf1 => 1.7
+    want = np.array([2.7, 3.7, 1.7, 1.7], np.float32)
+
+    monkeypatch.setenv("INFERA_TREE_MODE", "gemm")
+    got_gemm = np.asarray(_compile_fresh(model, "irr_ge").run(x)[0]).reshape(-1)
+    monkeypatch.setenv("INFERA_TREE_MODE", "gather")
+    got_gather = np.asarray(_compile_fresh(model, "irr_ga").run(x)[0]).reshape(-1)
+    np.testing.assert_allclose(got_gemm, want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(got_gemm, got_gather)
+
+
+def test_gemm_oversize_falls_back(monkeypatch):
+    """Forests whose path tables exceed the limit use the gather path in
+    auto mode and raise under forced gemm."""
+    from infera_tpu.onnx import ml_ops
+
+    monkeypatch.setattr(ml_ops._PackedTrees, "_GEMM_C_LIMIT", 16)
+    model = builder.gbt_regressor_model(n_features=4, n_trees=2, depth=3, seed=9)
+    x = np.random.default_rng(1).standard_normal((8, 4)).astype(np.float32)
+    monkeypatch.setenv("INFERA_TREE_MODE", "auto")
+    got = np.asarray(_compile_fresh(model, "fb_auto").run(x)[0]).reshape(-1)
+    np.testing.assert_allclose(got, _host_gbt_predict(model, x), rtol=1e-5, atol=1e-5)
+
+    monkeypatch.setenv("INFERA_TREE_MODE", "gemm")
+    from infera_tpu.errors import OnnxError
+    with pytest.raises(OnnxError, match="GEMM path-table limit"):
+        _compile_fresh(model, "fb_force").run(x)
