@@ -39,17 +39,19 @@ from .registry import MODELS
 from .version import ONNX_BACKEND, VERSION
 
 
-def load_model(name: str, path_or_url: str) -> None:
+def load_model(name: str, path_or_url: str, precision: str = "f32") -> None:
     """Load an ONNX model from a local path or http(s) URL (lib.rs:39-64).
 
     URLs are detected by the same 'starts with "http"' rule (lib.rs:47) and
     resolved through the disk cache. Raises InferaError on failure.
+    ``precision``: "f32" (default, reference parity), "bf16", or "int8"
+    weight quantization.
     """
     if path_or_url.startswith("http"):
         local_path = str(cache.handle_remote_model(path_or_url))
     else:
         local_path = path_or_url
-    engine.load_model(name, local_path)
+    engine.load_model(name, local_path, precision)
 
 
 def unload_model(name: str) -> bool:

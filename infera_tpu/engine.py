@@ -50,12 +50,18 @@ def _next_bucket(n: int, min_bucket: int = 8) -> int:
     return b
 
 
-def load_model(name: str, path: str) -> None:
-    """Parse + compile an ONNX file and register it (engine.rs:48-82)."""
-    compiled = compile_model_file(path, name)
+def load_model(name: str, path: str, precision: str = "f32") -> None:
+    """Parse + compile an ONNX file and register it (engine.rs:48-82).
+
+    ``precision`` selects the matmul-class policy: "f32" (reference-parity
+    default), "bf16", or "int8" (weight quantization) — an extension over
+    the reference (its ROADMAP §"Model quantization" is unchecked).
+    """
+    compiled = compile_model_file(path, name, precision)
     MODELS.insert(name, compiled)
     log.info(f"loaded model '{name}' from {path} "
-             f"input={compiled.input_shape} output={compiled.output_shape}")
+             f"input={compiled.input_shape} output={compiled.output_shape} "
+             f"precision={precision}")
 
 
 def _lookup(model_name: str) -> CompiledOnnxModel:
@@ -174,6 +180,10 @@ def get_model_metadata(model_name: str) -> str:
         "output_shape": model.output_shape,
         "loaded": True,
     }
+    # keep the reference-exact 4-key envelope for default loads; announce
+    # quantization (an extension) only when active
+    if getattr(model, "precision", "f32") != "f32":
+        info["precision"] = model.precision
     try:
         return json.dumps(info, separators=(",", ":"))
     except (TypeError, ValueError) as e:  # pragma: no cover

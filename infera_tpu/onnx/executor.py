@@ -29,11 +29,16 @@ from . import proto
 from .ops import get_impl
 
 
-class _Ctx:
-    """Per-trace context handed to op impls for static-value resolution."""
+VALID_PRECISIONS = ("f32", "bf16", "int8")
 
-    def __init__(self, values: dict):
+
+class _Ctx:
+    """Per-trace context handed to op impls for static-value resolution and
+    the model's matmul precision policy (f32 parity / bf16 / int8)."""
+
+    def __init__(self, values: dict, matmul_precision: str = "f32"):
         self._values = values
+        self.matmul_precision = matmul_precision
 
     def as_static(self, value):
         """Return a numpy array if the value is statically known, else None."""
@@ -82,7 +87,12 @@ class CompiledOnnxModel:
     input/output (the reference only reads fact 0).
     """
 
-    def __init__(self, model: proto.Model, name: str):
+    def __init__(self, model: proto.Model, name: str, precision: str = "f32"):
+        if precision not in VALID_PRECISIONS:
+            raise OnnxError(
+                f"unsupported precision '{precision}' "
+                f"(expected one of {', '.join(VALID_PRECISIONS)})")
+        self.precision = precision
         self.name = name
         self.model = model
         self.graph = model.graph
@@ -121,7 +131,7 @@ class CompiledOnnxModel:
             values[name] = np.asarray(t.array)
         for vi, arr in zip(self.runtime_inputs, args):
             values[vi.name] = arr
-        ctx = _Ctx(values)
+        ctx = _Ctx(values, self.precision)
         for node in self.nodes:
             impl = get_impl(node.domain, node.op_type)
             inputs = [values[i] if i else None for i in node.inputs]
@@ -209,7 +219,7 @@ class CompiledOnnxModel:
 
     def run(self, *arrays) -> list:
         """Run the model on device arrays / numpy arrays; returns jnp arrays."""
-        if len(arrays) == 1 and self.mlp_plan is not None:
+        if len(arrays) == 1 and self.mlp_plan is not None and self.precision == "f32":
             from .fusion import maybe_run_fused
 
             fused = maybe_run_fused(self, np.asarray(arrays[0]))
@@ -226,22 +236,22 @@ class CompiledOnnxModel:
             raise OnnxError(str(e))
 
 
-def compile_model_file(path, name: str) -> CompiledOnnxModel:
+def compile_model_file(path, name: str, precision: str = "f32") -> CompiledOnnxModel:
     try:
         model = proto.load_model_file(path)
     except FileNotFoundError as e:
         raise OnnxError(str(e))
     except (proto.WireError, OSError, ValueError) as e:
         raise OnnxError(str(e))
-    return CompiledOnnxModel(model, name)
+    return CompiledOnnxModel(model, name, precision)
 
 
-def compile_model_bytes(data: bytes, name: str) -> CompiledOnnxModel:
+def compile_model_bytes(data: bytes, name: str, precision: str = "f32") -> CompiledOnnxModel:
     try:
         model = proto.load_model_bytes(data)
     except (proto.WireError, ValueError) as e:
         raise OnnxError(str(e))
-    return CompiledOnnxModel(model, name)
+    return CompiledOnnxModel(model, name, precision)
 
 
 def shape_rows_cols(shape) -> tuple[int, int]:

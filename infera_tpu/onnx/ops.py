@@ -207,14 +207,57 @@ def _where(node, inputs, ctx):
 # Matmul family (MXU path)
 # ---------------------------------------------------------------------------
 
+def _quantize_weight_int8(node, key: str, w_np):
+    """Per-output-channel symmetric int8 quantization of a static weight,
+    cached on the Node (round-to-nearest; channel axis = last)."""
+    entry = getattr(node, "_infera_int8", None)
+    if entry is None or entry[0] != key:
+        w = np.asarray(w_np, np.float32)
+        scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
+        scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+        q = np.clip(np.rint(w / scale), -127, 127).astype(np.int8)
+        entry = (key, q, scale)
+        node._infera_int8 = entry
+    return entry[1], entry[2]
+
+
+def _policy_dot(node, a, b, ctx, key="w"):
+    """Matmul under the model's precision policy (executor.py ctx):
+
+    - ``f32`` (default): HIGHEST-precision f32 — the parity path, pinned by
+      the reference's 1e-5 / exact-equality tests.
+    - ``bf16``: both operands cast to bf16, f32 accumulation — MXU-native
+      rate, ~2-3 decimal digits of weight precision.
+    - ``int8``: static per-channel weight quantization + dynamic per-row
+      activation quantization; int8×int8→int32 on the MXU, dequantized by
+      row_scale × channel_scale. Falls back to bf16 when the weight is not
+      a static initializer.
+    """
+    prec = getattr(ctx, "matmul_precision", "f32")
+    if prec == "f32":
+        return jnp.matmul(a, b, precision=_HIGHEST,
+                          preferred_element_type=jnp.result_type(a, b))
+    if prec == "int8" and isinstance(b, np.ndarray) and b.ndim == 2:
+        w_q, w_scale = _quantize_weight_int8(node, key, b)
+        a = jnp.asarray(a, jnp.float32)
+        a_scale = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
+        a_scale = jnp.where(a_scale == 0, 1.0, a_scale)
+        a_q = jnp.clip(jnp.rint(a / a_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            a_q, jnp.asarray(w_q),
+            (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * a_scale * jnp.asarray(w_scale)
+    # bf16 (and int8 fallback for traced/non-2D weights)
+    return jnp.matmul(jnp.asarray(a, jnp.bfloat16), jnp.asarray(b, jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
 @register("MatMul")
 def _matmul(node, inputs, ctx):
     a, b = inputs
-    return [
-        jnp.matmul(
-            a, b, precision=_HIGHEST, preferred_element_type=jnp.result_type(a, b)
-        )
-    ]
+    return [_policy_dot(node, a, b, ctx)]
 
 
 @register("Gemm")
@@ -227,7 +270,7 @@ def _gemm(node, inputs, ctx):
         a = a.T
     if node.attr("transB", 0):
         b = b.T
-    y = jnp.matmul(a, b, precision=_HIGHEST, preferred_element_type=jnp.result_type(a, b))
+    y = _policy_dot(node, a, b, ctx)
     if alpha != 1.0:
         y = alpha * y
     if len(inputs) > 2 and inputs[2] is not None:

@@ -119,15 +119,21 @@ def _run_predict(fname: str, args: list, n_rows: int):
 
 @scalar("infera_load_model", volatile=True)
 def _f_load_model(ctx, args, n_rows):
-    _require_args("infera_load_model(model_name, path)", args, 2)
+    # 2-arg form is reference parity; optional 3rd arg selects the matmul
+    # precision policy ('f32' | 'bf16' | 'int8') — an extension
+    if len(args) != 3:
+        _require_args("infera_load_model(model_name, path)", args, 2)
     if args[0].is_null(0) or args[1].is_null(0):
         return Column.constant(None, T.BOOLEAN, n_rows)
     name = args[0].value(0)
     path = args[1].value(0)
+    precision = "f32"
+    if len(args) == 3 and not args[2].is_null(0):
+        precision = str(args[2].value(0))
     if name == "":
         raise invalid_input("Model name cannot be empty")
     try:
-        api.load_model(str(name), str(path))
+        api.load_model(str(name), str(path), precision)
     except InferaError as e:
         raise invalid_input(f"Failed to load model '{name}': {e}")
     return Column.constant(True, T.BOOLEAN, n_rows)
