@@ -40,6 +40,30 @@ def _encode_keys(cols: list) -> np.ndarray:
     return hash_columns_host(cols).view(np.int64)
 
 
+def narrow_keys32(*key_arrays: np.ndarray) -> list:
+    """Reduce int64 key arrays to a SHARED exact int32 encoding.
+
+    JAX runs with x64 disabled, so a device transfer of int64 keys silently
+    truncates to the low 32 bits — merging distinct keys whose encodings
+    share them (e.g. the f64 bit patterns of 1.45 and 1.95). Keys already
+    within int32 range pass through; otherwise a joint np.unique rank remap
+    yields collision-free int32 keys (rank order preserves key order, so
+    sort-based device paths stay valid)."""
+    arrays = [np.ascontiguousarray(a, np.int64) for a in key_arrays]
+    lo = min((int(a.min()) for a in arrays if a.size), default=0)
+    hi = max((int(a.max()) for a in arrays if a.size), default=0)
+    if lo >= -(1 << 31) and hi < (1 << 31):
+        return [a.astype(np.int32) for a in arrays]
+    allk = np.concatenate(arrays) if len(arrays) > 1 else arrays[0]
+    _, inv = np.unique(allk, return_inverse=True)
+    inv = inv.astype(np.int32)
+    out, off = [], 0
+    for a in arrays:
+        out.append(inv[off:off + len(a)])
+        off += len(a)
+    return out
+
+
 def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
     """Return (li, ri) index arrays of matching pairs, computed on device."""
     lk = jnp.asarray(left_keys)
@@ -78,6 +102,5 @@ def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
 
 def device_inner_join_indices(lkey_cols: list, rkey_cols: list):
     """SQL-layer entry: join on Column lists; returns (li, ri) numpy arrays."""
-    lk = _encode_keys(lkey_cols)
-    rk = _encode_keys(rkey_cols)
+    lk, rk = narrow_keys32(_encode_keys(lkey_cols), _encode_keys(rkey_cols))
     return inner_join_indices_device(lk, rk)

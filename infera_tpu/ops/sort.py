@@ -15,20 +15,48 @@ import numpy as np
 DEVICE_SORT_THRESHOLD = 1 << 15
 
 
+def _key_levels(key: np.ndarray) -> list:
+    """Decompose one key column into f32 'digit' levels whose lexicographic
+    order equals the key's value order.
+
+    The device sorts in f32 (x64 is disabled in JAX), which is only exact
+    for |ints| ≤ 2^24 and for f32 data. Wider integers split into 2^24-radix
+    digits (exact for the full 64-bit range); f64 splits into a
+    double-double (hi, residual) pair (~48 significant bits)."""
+    if key.dtype.kind in "iub":
+        lo_v, hi_v = (int(key.min()), int(key.max())) if len(key) else (0, 0)
+        if -(1 << 24) <= lo_v and hi_v <= (1 << 24):
+            return [key.astype(np.float32)]
+        # order-preserving unsigned mapping, then 2^24-radix digits
+        u = key.astype(np.int64).astype(np.uint64) ^ np.uint64(1 << 63)
+        mask = np.uint64((1 << 24) - 1)
+        return [
+            ((u >> np.uint64(shift)) & mask).astype(np.float32)
+            for shift in (48, 24, 0)
+        ]
+    if key.dtype == np.float64:
+        hi = key.astype(np.float32)
+        lo = (key - hi.astype(np.float64)).astype(np.float32)
+        return [hi, lo]
+    return [key.astype(np.float32)]
+
+
 def argsort_device(keys: list, ascending: list, nulls_first: list,
                    valid_masks: list) -> np.ndarray:
     """Composite argsort of numeric key columns on device.
 
-    Encodes (validity, direction) into a single f64 composite per key level
-    and lexsorts via repeated stable argsort, least-significant key first.
-    """
+    Each key expands to one or more exact f32 levels (_key_levels) and the
+    composite sorts via repeated stable argsort, least-significant level
+    first (direction and NULL sentinels applied to every level of a key, so
+    lexicographic order over the levels matches the key's SQL order)."""
     n = len(keys[0])
     order = jnp.arange(n)
-    # least-significant key first; jnp.argsort(stable=True) preserves prior
-    for key, asc, nf, valid in reversed(list(zip(keys, ascending, nulls_first,
-                                                 valid_masks))):
-        vals = jnp.asarray(key, jnp.float64 if key.dtype == np.float64 else jnp.float32)
-        vals = vals.astype(jnp.float32)
+    levels = []
+    for key, asc, nf, valid in zip(keys, ascending, nulls_first, valid_masks):
+        for lv in _key_levels(np.asarray(key)):
+            levels.append((lv, asc, nf, valid))
+    for lv, asc, nf, valid in reversed(levels):
+        vals = jnp.asarray(lv, jnp.float32)
         if not asc:
             vals = -vals
         sentinel = jnp.float32(-np.inf if nf else np.inf)

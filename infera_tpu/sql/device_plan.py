@@ -1,11 +1,12 @@
 """Fused device execution of SQL queries (SURVEY.md §7.2 M2).
 
 For the query shapes the benchmarks care about — aggregates over a scan of
-one table with a numeric WHERE filter, optional numeric GROUP BY, and
-``infera_predict`` calls in expressions — the whole plan lowers to ONE
-jitted XLA program: columns move to HBM once, the model graph inlines into
-the same program (so XLA fuses cast → matmul → filter → segment-reduce),
-and only the per-group results return to the host.
+one table with a numeric WHERE filter, optional GROUP BY over up to 4
+integer-valued keys (mixed-radix combined key), and ``infera_predict`` /
+``infera_predict_multi_list(...)[k]`` calls in expressions — the whole plan
+lowers to ONE jitted XLA program: columns move to HBM once, the model graph
+inlines into the same program (so XLA fuses cast → matmul → filter →
+segment-reduce), and only the per-group results return to the host.
 
 Anything outside the supported shape returns None and the generic executor
 path runs instead, so semantics never regress. Constraints for eligibility:
@@ -82,15 +83,17 @@ class _Lowerer:
             key = self._column(expr.name, expr.table)
             return lambda cols: cols[key]
         if isinstance(expr, A.Cast):
-            if expr.type_name.upper() not in (
+            tname = expr.type_name.upper()
+            if tname not in (
                 "FLOAT", "REAL", "DOUBLE", "INTEGER", "INT", "BIGINT", "DECIMAL",
             ):
                 raise _Unsupported(f"cast to {expr.type_name}")
             inner = self.lower(expr.operand)
-            dt = {"FLOAT": jnp.float32, "REAL": jnp.float32}.get(
-                expr.type_name.upper(), jnp.float32
-            )
-            return lambda cols: jnp.asarray(inner(cols)).astype(dt)
+            if tname in ("INTEGER", "INT", "BIGINT"):
+                # host casts truncate toward zero; keep f32 carrier dtype
+                return lambda cols: jnp.trunc(
+                    jnp.asarray(inner(cols), jnp.float32))
+            return lambda cols: jnp.asarray(inner(cols)).astype(jnp.float32)
         if isinstance(expr, A.Unary):
             inner = self.lower(expr.operand)
             if expr.op == "-":
@@ -126,6 +129,17 @@ class _Lowerer:
             name = expr.name.lower()
             if name == "infera_predict":
                 return self._lower_predict(expr)
+            if name == "list_extract":
+                # infera_predict_multi_list(...)[k] — a multi-output model's
+                # k-th (1-based) output column, fused into the device plan
+                inner, idx = expr.args[0], expr.args[1]
+                if (isinstance(inner, A.FuncCall)
+                        and inner.name.lower() == "infera_predict_multi_list"
+                        and isinstance(idx, A.Literal)
+                        and isinstance(idx.value, (int, float))
+                        and not isinstance(idx.value, bool)):
+                    return self._lower_predict(inner, out_col=int(idx.value) - 1)
+                raise _Unsupported("list_extract outside predict_multi_list")
             if name in _SCALAR_FNS:
                 inner = self.lower(expr.args[0])
                 fn = {
@@ -137,7 +151,9 @@ class _Lowerer:
             raise _Unsupported(f"function {name}")
         raise _Unsupported(type(expr).__name__)
 
-    def _lower_predict(self, expr: A.FuncCall):
+    def _lower_predict(self, expr: A.FuncCall, out_col: int | None = None):
+        """Lower infera_predict (out_col None → requires a 1-col output) or
+        an infera_predict_multi_list element access (out_col = 0-based)."""
         import jax.numpy as jnp
 
         if not expr.args or not isinstance(expr.args[0], A.Literal) or not isinstance(
@@ -148,6 +164,8 @@ class _Lowerer:
         model = MODELS.get(model_name)
         if model is None:
             raise _Unsupported(f"model {model_name} not loaded at plan time")
+        if out_col is not None and out_col < 0:
+            raise _Unsupported("list index < 1")
         feature_fns = [self.lower(a) for a in expr.args[1:]]
         ishape = model.input_shape
         inner = ishape[1:] if ishape else []
@@ -166,6 +184,11 @@ class _Lowerer:
                 [jnp.asarray(f(cols), jnp.float32) for f in feature_fns], axis=1
             )
             out = model._run_graph(feats)[0]
+            if out_col is not None:
+                out2 = out.reshape(out.shape[0], -1)
+                if out_col >= out2.shape[1]:
+                    raise _Unsupported("list index beyond model output width")
+                return out2[:, out_col]
             if out.ndim > 1:
                 if out.shape[1] != 1:
                     raise _Unsupported("multi-output model under infera_predict")
@@ -201,7 +224,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         or table.num_rows >= (1 << 24)  # f32 count exactness bound
         or sel.having is not None
         or sel.distinct
-        or len(sel.group_by) > 1
+        or len(sel.group_by) > 4  # mixed-radix combined-key bound
     ):
         return None
 
@@ -210,14 +233,14 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         _find_aggs(item.expr, agg_nodes)
     if not agg_nodes:
         return None
-    # every select item must be exactly one aggregate call or the group key
+    # every select item must be exactly one aggregate call or a group key
     items_plan = []
     for item in sel.items:
         e = item.expr
         if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
             items_plan.append(("agg", e))
-        elif sel.group_by and e == sel.group_by[0]:
-            items_plan.append(("key", e))
+        elif sel.group_by and e in sel.group_by:
+            items_plan.append(("key", sel.group_by.index(e)))
         else:
             return None
 
@@ -260,11 +283,11 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
 
     try:
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
-        key_fn = lowerer.lower(sel.group_by[0]) if sel.group_by else None
+        key_fns = [lowerer.lower(g) for g in sel.group_by]
         agg_plans = []
         for kind, node in items_plan:
             if kind == "key":
-                agg_plans.append(("key", None))
+                agg_plans.append(("key", node))  # node = group_by index
                 continue
             name = node.name.lower()
             if node.is_star or not node.args:
@@ -283,11 +306,14 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
 
     n = table.num_rows
     n_groups = 1
-    if key_fn is not None:
+    strides = []
+    if key_fns:
         # Adaptive segment count: scatters cost per-row work per segment
-        # table, so size it to the actual key domain (one cheap device max,
-        # bucketed to a power of two and cached in the plan key). Keys
-        # beyond MAX_GROUPS wrap and rely on the collision guard.
+        # table, so size it to the actual combined key domain (one cheap
+        # device max per key, bucketed to a power of two and cached in the
+        # plan key). Multi-key GROUP BY packs the keys mixed-radix
+        # (radix_i = kmax_i + 1); domains beyond MAX_GROUPS wrap and rely
+        # on the collision guard.
         try:
             probe_cols = {}
             for k, c in lowerer.used_columns.items():
@@ -298,56 +324,79 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 probe_cols[k] = dev
             # probe result cached per (key expr, column buffers) — repeated
             # executions of the same query skip the eager evaluation + sync
-            probe_key = (repr(sel.group_by[0]),
-                         tuple(sorted((k, id(v)) for k, v in probe_cols.items())))
             kmax_cache = getattr(conn, "_device_plan_kmax_cache", None)
             if kmax_cache is None:
                 kmax_cache = {}
                 conn._device_plan_kmax_cache = kmax_cache
-            kmax = kmax_cache.get(probe_key)
-            if kmax is None:
-                kmax_fn = getattr(conn, "_device_plan_kmax", None)
-                if kmax_fn is None:
-                    import jax as _jax
+            kmax_fn = getattr(conn, "_device_plan_kmax", None)
+            if kmax_fn is None:
+                import jax as _jax
 
-                    kmax_fn = _jax.jit(
-                        lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
-                    )
-                    conn._device_plan_kmax = kmax_fn
-                kmax = int(kmax_fn(jnp.asarray(key_fn(probe_cols))))
-                if len(kmax_cache) >= 64:
-                    kmax_cache.pop(next(iter(kmax_cache)))
-                kmax_cache[probe_key] = kmax
+                kmax_fn = _jax.jit(
+                    lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
+                )
+                conn._device_plan_kmax = kmax_fn
+            radices = []
+            for gi, kf in enumerate(key_fns):
+                probe_key = (repr(sel.group_by[gi]),
+                             tuple(sorted((k, id(v)) for k, v in probe_cols.items())))
+                kmax = kmax_cache.get(probe_key)
+                if kmax is None:
+                    kmax = int(kmax_fn(jnp.asarray(kf(probe_cols))))
+                    if len(kmax_cache) >= 64:
+                        kmax_cache.pop(next(iter(kmax_cache)))
+                    kmax_cache[probe_key] = kmax
+                radices.append(max(kmax, 0) + 1)
+            domain = 1
+            for r in radices:
+                domain = min(domain * r, 1 << 40)
+            # mixed-radix strides, last key contiguous
+            strides = [1] * len(radices)
+            for i in range(len(radices) - 2, -1, -1):
+                strides[i] = strides[i + 1] * radices[i + 1]
             n_groups = 8
-            while n_groups <= kmax and n_groups < MAX_GROUPS:
+            while n_groups < domain and n_groups < MAX_GROUPS:
                 n_groups <<= 1
         except Exception:
+            strides = [1] * len(key_fns)
+            for i in range(len(key_fns) - 2, -1, -1):
+                strides[i] = strides[i + 1] * MAX_GROUPS
             n_groups = MAX_GROUPS
 
     def program(cols):
         mask = None
         if where_fn is not None:
             mask = jnp.asarray(where_fn(cols), bool)
-        if key_fn is not None:
-            keys_raw = jnp.asarray(key_fn(cols), jnp.int32)
-            keys = jnp.asarray(jnp.mod(keys_raw, n_groups), jnp.int32)
+        raws = []
+        if key_fns:
+            for kf in key_fns:
+                raws.append(jnp.asarray(kf(cols)))
+            combined = jnp.zeros(n, jnp.int32)
+            for r, stride in zip(raws, strides):
+                # int32 wrap on oversized domains is caught by the guard
+                combined = combined + jnp.asarray(r, jnp.int32) * np.int32(stride & 0x7FFFFFFF)
+            keys = jnp.asarray(jnp.mod(combined, n_groups), jnp.int32)
         else:
-            keys_raw = None
             keys = jnp.zeros(n, jnp.int32)
         w = jnp.ones(n, jnp.float32) if mask is None else mask.astype(jnp.float32)
         outs = []
-        key_min = key_max = None
-        if keys_raw is not None:
-            # collision guard: a modulo bucket holding two distinct raw keys
-            # is detected host-side (min != max) → fall back to host path
-            big = jnp.int32(2**31 - 1)
-            key_min = jax.ops.segment_min(
-                jnp.where(w > 0, keys_raw, big), keys, num_segments=n_groups)
-            key_max = jax.ops.segment_max(
-                jnp.where(w > 0, keys_raw, -big - 1), keys, num_segments=n_groups)
+        key_mins, key_maxs, frac_flags = [], [], []
+        big = jnp.int32(2**31 - 1)
+        for r in raws:
+            # collision guard, per key: a modulo bucket holding two distinct
+            # raw values is detected host-side (min != max) → host fallback.
+            # Fractional keys (f32 value off its int32 cast) also fall back:
+            # the int bucketing would merge 1.2 and 1.5.
+            ri = jnp.asarray(r, jnp.int32)
+            rf = jnp.asarray(r, jnp.float32)
+            key_mins.append(jax.ops.segment_min(
+                jnp.where(w > 0, ri, big), keys, num_segments=n_groups))
+            key_maxs.append(jax.ops.segment_max(
+                jnp.where(w > 0, ri, -big - 1), keys, num_segments=n_groups))
+            frac_flags.append(jnp.any((w > 0) & (rf != ri.astype(jnp.float32))))
         for name, fn in agg_plans:
             if name == "key":
-                outs.append(("key", key_max))
+                outs.append(("key", key_maxs[fn]))
                 continue
             if name == "count_star":
                 outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
@@ -368,7 +417,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 masked = jnp.where(w > 0, vals, -jnp.inf)
                 outs.append(("v", jax.ops.segment_max(masked, keys, num_segments=n_groups)))
         group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
-        return [o for _, o in outs], group_count, key_min, key_max
+        return [o for _, o in outs], group_count, key_mins, key_maxs, frac_flags
 
     # --- caching ---------------------------------------------------------
     # jit caches by function identity; `program` is a fresh closure per
@@ -402,7 +451,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             c._device_array = dev
         device_cols[k] = dev
     try:
-        results, group_count, key_min, key_max = compiled(device_cols)
+        results, group_count, key_mins, key_maxs, frac_flags = compiled(device_cols)
         results = [np.asarray(r) for r in results]
         group_count = np.asarray(group_count)
     except _Unsupported:
@@ -410,10 +459,12 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     except Exception:
         return None  # any trace/compile issue → host path
 
-    live = group_count > 0 if key_fn is not None else np.array([True])
-    if key_fn is not None:
-        kmin = np.asarray(key_min)[live]
-        kmax = np.asarray(key_max)[live]
+    live = group_count > 0 if key_fns else np.array([True])
+    for kmin_d, kmax_d, frac_d in zip(key_mins, key_maxs, frac_flags):
+        if bool(np.asarray(frac_d)):
+            return None  # fractional key values — int bucketing would merge
+        kmin = np.asarray(kmin_d)[live]
+        kmax = np.asarray(kmax_d)[live]
         if (kmin != kmax).any():
             return None  # modulo bucket held distinct keys — host path
     out_cols: dict = {}

@@ -108,3 +108,86 @@ def test_explain_reports_fused_plan(conn_big):
     rows = conn.execute("explain select sum(g) from big").rows
     text = "\n".join(r[0] for r in rows)
     assert "host/hybrid operators" in text
+
+
+def test_fused_multikey_groupby(conn_big):
+    """Two GROUP BY keys fuse via the mixed-radix combined key."""
+    conn, n = conn_big
+    conn.execute(f"create table mk as select x % 5 as g, x % 3 as h, "
+                 f"(x % 100)::float / 10.0 as f1 from range({n}) r(x)")
+    text = "\n".join(r[0] for r in conn.execute(
+        "explain select g, h, count(*), avg(f1) from mk group by g, h").rows)
+    assert "fused device plan" in text
+    rows = conn.execute(
+        "select g, h, count(*) c, avg(f1) a from mk group by g, h "
+        "order by g, h").rows
+    x = np.arange(n, dtype=np.int64)
+    g, h = x % 5, x % 3
+    f1 = (x % 100).astype(np.float32) / np.float32(10.0)
+    assert len(rows) == 15
+    for kg, kh, c, a in rows:
+        m = (g == kg) & (h == kh)
+        assert c == int(m.sum())
+        assert a == pytest.approx(float(f1[m].mean()), rel=1e-4)
+
+
+def test_fused_multikey_three_keys_with_predict(conn_big):
+    conn, n = conn_big
+    rows = conn.execute(
+        "select g, count(*), avg(infera_predict('linear', f1, f2, f3)) "
+        "from big where f2 < 8.0 group by g order by g").rows
+    assert len(rows) == 7  # sanity that base fixture still works
+    # c = (x // 8) % 4 spelled with float ops that stay integral (SQL '/'
+    # is float division), so the fused plan's integer-key guard passes
+    conn.execute(f"create table mk3 as select x % 4 as a, x % 2 as b, "
+                 f"(x % 32 - x % 8) / 8 as c, (x % 100)::float / 10.0 as f1, "
+                 f"((x + 3) % 50)::float / 5.0 as f2, "
+                 f"((x * 7) % 30)::float / 3.0 as f3 from range({n}) r(x)")
+    rows = conn.execute(
+        "select a, b, c, count(*), avg(infera_predict('linear', f1, f2, f3)) "
+        "from mk3 group by a, b, c order by a, b, c").rows
+    x = np.arange(n, dtype=np.int64)
+    a, b, cc = x % 4, x % 2, (x // 8) % 4
+    f1 = (x % 100).astype(np.float32) / np.float32(10.0)
+    f2 = ((x + 3) % 50).astype(np.float32) / np.float32(5.0)
+    f3 = ((x * 7) % 30).astype(np.float32) / np.float32(3.0)
+    pred = 2 * f1 - f2 + 0.5 * f3 + np.float32(0.25)
+    assert len(rows) == 16
+    for ka, kb, kc, cnt, p in rows:
+        m = (a == ka) & (b == kb) & (cc == kc)
+        assert cnt == int(m.sum())
+        assert p == pytest.approx(float(pred[m].mean()), rel=1e-4)
+
+
+def test_fused_predict_multi_list_element(conn_big, model_dir):
+    """infera_predict_multi_list(...)[k] fuses as the model's k-th output
+    column (identity model → [k]-th feature)."""
+    conn, n = conn_big
+    it.load_model("multi", f"{model_dir}/multi_output.onnx")
+    text = "\n".join(r[0] for r in conn.execute(
+        "explain select avg(infera_predict_multi_list('multi', f1, f2, f3, f1)[2]) "
+        "from big").rows)
+    assert "fused device plan" in text
+    rows = conn.execute(
+        "select avg(infera_predict_multi_list('multi', f1, f2, f3, f1)[2]), "
+        "count(*) from big").rows
+    _, f1, f2, f3 = _host_frame(n)
+    assert rows[0][0] == pytest.approx(float(f2.mean()), rel=1e-4)
+    assert rows[0][1] == n
+
+
+def test_fractional_key_falls_back_to_host(conn_big):
+    """Float GROUP BY keys with fractional values must keep host semantics
+    (the device int bucketing would merge 1.2 and 1.7)."""
+    conn, n = conn_big
+    conn.execute(f"create table fk as select (x % 2)::float + 0.2 + (x % 4) / 2 * 0.5 "
+                 f"as g, (x % 10)::float as f1 from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, count(*) from fk group by g order by g").rows
+    x = np.arange(n, dtype=np.int64)
+    g = (x % 2).astype(np.float64) + 0.2 + (x % 4) / 2 * 0.5
+    keys = sorted(set(np.round(g, 6)))
+    assert len(rows) == len(keys)
+    for (kg, c), want in zip(rows, keys):
+        assert kg == pytest.approx(want, abs=1e-6)
+        assert c == int((np.abs(g - want) < 1e-9).sum())

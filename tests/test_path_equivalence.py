@@ -58,3 +58,57 @@ def test_sort_paths_agree(seed):
     np.testing.assert_array_equal(
         np.stack([k1[dev], k2[dev]]), np.stack([k1[host], k2[host]])
     )
+
+
+def test_group_keys_beyond_int32_do_not_merge():
+    """Regression: int64 key encodings used to truncate to their low 32 bits
+    on device transfer (x64 disabled), merging keys like the f64 bit
+    patterns of 1.45 and 1.95."""
+    from infera_tpu.columnar import Column
+    from infera_tpu.columnar import types as T
+    from infera_tpu.ops.device_groupby import group_ids_device
+
+    vals = np.tile(np.array([1.45, 1.95, 0.2, 0.7], np.float64), 4096)
+    col = Column(vals, T.DOUBLE)
+    dense, firsts = group_ids_device([col], len(vals))
+    assert len(firsts) == 4
+    # rows with equal values share an id; distinct values never do
+    for v in (1.45, 1.95, 0.2, 0.7):
+        ids = set(dense[vals == v].tolist())
+        assert len(ids) == 1
+    assert len({dense[vals == v][0] for v in (1.45, 1.95, 0.2, 0.7)}) == 4
+
+
+def test_join_keys_beyond_int32_do_not_collide():
+    from infera_tpu.columnar import Column
+    from infera_tpu.columnar import types as T
+    from infera_tpu.ops.device_join import device_inner_join_indices
+
+    # two BIGINT keys sharing low 32 bits
+    base = np.int64(5) << 33
+    lk = np.array([base + 7, 7, base + 7, 123], np.int64)
+    rk = np.array([7, base + 7], np.int64)
+    li, ri = device_inner_join_indices(
+        [Column(lk, T.BIGINT)], [Column(rk, T.BIGINT)])
+    pairs = sorted(zip(li.tolist(), ri.tolist()))
+    assert pairs == [(0, 1), (1, 0), (2, 1)]
+
+
+def test_device_order_by_wide_ints_exact():
+    """Regression: device ORDER BY squeezed keys to f32 (exact only to
+    2^24); wide ints now sort via 2^24-radix digit levels."""
+    from infera_tpu.ops.sort import argsort_device
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(-2**52, 2**52, size=40000).astype(np.int64)
+    keys[:100] = np.arange(100) + (1 << 40)  # adjacent wide values
+    order = argsort_device([keys], [True], [False], [None])
+    np.testing.assert_array_equal(keys[order], np.sort(keys, kind="stable"))
+
+
+def test_device_order_by_f64_close_values():
+    from infera_tpu.ops.sort import argsort_device
+
+    keys = np.array([1.0 + 1e-9, 1.0, 1.0 + 2e-9, 0.5] * 10000, np.float64)
+    order = argsort_device([keys], [True], [False], [None])
+    np.testing.assert_array_equal(keys[order], np.sort(keys, kind="stable"))
