@@ -215,7 +215,8 @@ def group_aggregate(sel, scope, eval_fn, scope_cls) -> Table:
     if (
         key_cols
         and n_rows >= DEVICE_GROUPBY_THRESHOLD
-        and all(k.sql_type.is_numeric and k.validity is None for k in key_cols)
+        and all((k.sql_type.is_numeric or k.data.dtype == object)
+                and k.validity is None for k in key_cols)
     ):
         from .device_groupby import group_ids_device
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device_join import _encode_keys, narrow_keys32
+from .device_join import _device_key_columns, _encode_keys, narrow_keys32
 
 
 @jax.jit
@@ -37,6 +37,7 @@ def group_ids_device(key_cols: list, n_rows: int) -> tuple:
     first_row_indices). Group ids are dense in sorted-key order."""
     if n_rows == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    [key_cols] = _device_key_columns(key_cols)  # VARCHAR → dict codes
     [keys32] = narrow_keys32(_encode_keys(key_cols))
     keys = jnp.asarray(keys32)
     dense, n_groups, first_sorted, boundary = _group_ids_sorted(keys)

@@ -64,6 +64,39 @@ def narrow_keys32(*key_arrays: np.ndarray) -> list:
     return out
 
 
+def dict_encode_strings(*arrays: np.ndarray) -> list:
+    """Exact shared dictionary encoding of string (object-dtype) key arrays
+    → int32 codes (np.unique rank; order-preserving, collision-free). The
+    device data path then treats VARCHAR keys like any integer key."""
+    sizes = [len(a) for a in arrays]
+    allv = np.concatenate([np.asarray(a, object) for a in arrays]) if len(arrays) > 1 \
+        else np.asarray(arrays[0], object)
+    _, inv = np.unique(allv.astype("U"), return_inverse=True)
+    inv = inv.astype(np.int32)
+    out, off = [], 0
+    for s in sizes:
+        out.append(inv[off:off + s])
+        off += s
+    return out
+
+
+def _device_key_columns(*col_lists):
+    """Per key position, replace object-dtype columns with shared int32
+    dictionary-code columns (device-eligible); numeric columns pass through.
+    col_lists are parallel lists (e.g. left keys / right keys)."""
+    from ..columnar import Column
+    from ..columnar import types as T
+
+    out = [list(cols) for cols in col_lists]
+    for pos in range(len(col_lists[0])):
+        cols = [cl[pos] for cl in col_lists]
+        if any(c.data.dtype == object for c in cols):
+            codes = dict_encode_strings(*[c.data for c in cols])
+            for li, code in enumerate(codes):
+                out[li][pos] = Column(code.astype(np.int64), T.BIGINT)
+    return out
+
+
 def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
     """Return (li, ri) index arrays of matching pairs, computed on device."""
     lk = jnp.asarray(left_keys)
@@ -101,6 +134,8 @@ def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
 
 
 def device_inner_join_indices(lkey_cols: list, rkey_cols: list):
-    """SQL-layer entry: join on Column lists; returns (li, ri) numpy arrays."""
+    """SQL-layer entry: join on Column lists; returns (li, ri) numpy arrays.
+    VARCHAR keys dictionary-encode (shared dictionary across both sides)."""
+    lkey_cols, rkey_cols = _device_key_columns(lkey_cols, rkey_cols)
     lk, rk = narrow_keys32(_encode_keys(lkey_cols), _encode_keys(rkey_cols))
     return inner_join_indices_device(lk, rk)

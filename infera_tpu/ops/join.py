@@ -108,9 +108,10 @@ def _hash_join(left: Table, right: Table, lkeys: list, rkeys: list,
     n_left = left.num_rows
     n_right = right.num_rows
 
-    # device path for large all-numeric keys
+    # device path for large numeric or VARCHAR (dictionary-encoded) keys
     if min(n_left, n_right) >= (1 << 14) and all(
-        k.sql_type.is_numeric and k.validity is None for k in lkeys + rkeys
+        (k.sql_type.is_numeric or k.data.dtype == object) and k.validity is None
+        for k in lkeys + rkeys
     ) and kind == "INNER":
         try:
             from .device_join import device_inner_join_indices

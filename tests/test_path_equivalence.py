@@ -112,3 +112,74 @@ def test_device_order_by_f64_close_values():
     keys = np.array([1.0 + 1e-9, 1.0, 1.0 + 2e-9, 0.5] * 10000, np.float64)
     order = argsort_device([keys], [True], [False], [None])
     np.testing.assert_array_equal(keys[order], np.sort(keys, kind="stable"))
+
+
+def test_varchar_groupby_device_matches_host():
+    """VARCHAR group keys now take the device path via shared dictionary
+    codes; results must match the host dict path exactly."""
+    import jax
+
+    from infera_tpu.sql import Connection
+
+    n = 40000
+    conn = Connection()
+    conn.execute(
+        f"create table sg as select case when x % 3 = 0 then 'alpha' "
+        f"when x % 3 = 1 then 'beta' else 'gamma' end as s, x % 4 as k, "
+        f"(x % 10)::float as f from range({n}) r(x)")
+    rows = conn.execute(
+        "select s, k, count(*), sum(f) from sg group by s, k "
+        "order by s, k").rows
+    x = np.arange(n)
+    sval = np.where(x % 3 == 0, "alpha", np.where(x % 3 == 1, "beta", "gamma"))
+    k = x % 4
+    f = (x % 10).astype(np.float64)
+    assert len(rows) == 12
+    for s, kk, c, sm in rows:
+        m = (sval == s) & (k == kk)
+        assert c == int(m.sum())
+        assert sm == pytest.approx(float(f[m].sum()), rel=1e-9)
+    del jax
+
+
+def test_varchar_join_device_matches_host():
+    from infera_tpu.sql import Connection
+
+    n = 40000
+    conn = Connection()
+    conn.execute(
+        f"create table jl as select case when x % 2 = 0 then 'even' else 'odd' "
+        f"end as s, x as v from range({n}) r(x)")
+    conn.execute(
+        "create table jr as select 'even' as s, 100 as w "
+        "union all select 'odd', 200 union all select 'none', 300")
+    # expand jr to cross the device-join row threshold on the build side?
+    # (threshold applies to min side — small dim table keeps the host path,
+    # so ALSO join two large tables on the string key)
+    rows = conn.execute(
+        "select s, count(*), sum(w) from (select jl.s as s, w from jl "
+        "join jr on jl.s = jr.s) t group by s order by s").rows
+    assert rows == [("even", n // 2, 100 * (n // 2)),
+                    ("odd", n // 2, 200 * (n // 2))]
+    # large×large string join: high-cardinality keys so the result stays ~n
+    conn.execute(
+        f"create table jl2 as select 'k' || (x % 1000) as s, x as v "
+        f"from range({n}) r(x)")
+    conn.execute(
+        f"create table jr2 as select 'k' || (x % 1000) as s, x as w "
+        f"from range({n}) r(x) where x % 40 = 0")
+    big = conn.execute(
+        "select count(*), sum(v % 7) from (select jl2.v as v from jl2 "
+        "join jr2 on jl2.s = jr2.s) t").rows
+    # each jr2 key 'k<i%1000>' appears n/40/1000 = n/40000 times; matches per
+    # jl2 row with key i: (n/40000 if i%40==0-compatible ...) — instead check
+    # against a direct numpy model
+    x = np.arange(n)
+    lkeys = x % 1000
+    rsel = x[x % 40 == 0]
+    rkeys = rsel % 1000
+    import collections
+    rcount = collections.Counter(rkeys.tolist())
+    total = sum(rcount[int(k)] for k in lkeys)
+    wsum = sum((int(v) % 7) * rcount[int(k)] for v, k in zip(x, lkeys))
+    assert big == [(total, wsum)]
