@@ -253,6 +253,7 @@ class Explain(Statement):
 class CopyTo(Statement):
     source: object = None  # table name (str) or Select/SetOp
     path: str = ""
+    format: str = "csv"  # 'csv' | 'columnar'
 
 
 @dataclass

@@ -160,13 +160,22 @@ class Connection:
             self.catalog.drop(stmt.name, stmt.if_exists)
             return QueryResult()
         if isinstance(stmt, A.CopyTo):
-            from .csv_io import write_csv
-
             if isinstance(stmt.source, str):
                 table = self.catalog.get(stmt.source)
             else:
                 table = self._execute_query(stmt.source)
-            n = write_csv(table, stmt.path)
+            fmt = getattr(stmt, "format", "csv")
+            if fmt == "columnar":
+                from ..columnar.diskfile import write_columnar
+
+                n = write_columnar(table, stmt.path)
+            elif fmt == "csv":
+                from .csv_io import write_csv
+
+                n = write_csv(table, stmt.path)
+            else:
+                raise SqlError(f"Invalid Input Error: unsupported COPY "
+                               f"format '{fmt}'")
             count = Table({"Count": Column(np.asarray([n], np.int64), T.BIGINT)})
             return QueryResult(count, count.names)
         if isinstance(stmt, A.Explain):
@@ -346,10 +355,17 @@ class Connection:
         # 1b. fused device path: aggregates over a single large numeric scan
         # (incl. infera_predict) compile to one XLA program (SURVEY.md §7.2
         # M2); ineligible/failed plans fall through to the host operators.
-        if isinstance(sel.from_, A.BaseTable):
+        if isinstance(sel.from_, (A.BaseTable, A.TableFunction)):
             from .device_plan import try_execute_on_device
+            from .streaming_plan import STREAM_MIN_ROWS, try_execute_streaming
 
-            fused = try_execute_on_device(self, sel, scope.table)
+            fused = None
+            if scope.table.num_rows >= STREAM_MIN_ROWS:
+                # chunked fused aggregation: fixed HBM footprint, f64 host
+                # combine (exact past the device plan's 2^24-row bound)
+                fused = try_execute_streaming(self, sel, scope.table)
+            if fused is None:
+                fused = try_execute_on_device(self, sel, scope.table)
             if fused is not None:
                 try:
                     if sel.order_by:
@@ -451,6 +467,16 @@ class Connection:
             from .csv_io import read_csv
 
             t = read_csv(str(args[0]))
+            if ref.column_aliases:
+                t = _rename_columns(t, ref.column_aliases)
+            return _qualify(t, ref.alias) if ref.alias else t
+        if name == "read_columnar":
+            from ..columnar.diskfile import read_columnar
+
+            try:
+                t = read_columnar(str(args[0]))
+            except (FileNotFoundError, OSError, ValueError, KeyError) as e:
+                raise SqlError(f"IO Error: {e}")
             if ref.column_aliases:
                 t = _rename_columns(t, ref.column_aliases)
             return _qualify(t, ref.alias) if ref.alias else t

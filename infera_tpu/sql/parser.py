@@ -105,7 +105,13 @@ class Parser:
             t = self.next()
             if t.kind != "STRING":
                 raise SqlError("Parser Error: COPY ... TO expects a path string")
-            return A.CopyTo(source, t.text)
+            fmt = "csv"
+            if self.accept_op("("):
+                if not self.accept_kw("FORMAT"):
+                    self.expect_ident()  # tolerate other option names
+                fmt = self.next().text.lower()
+                self.expect_op(")")
+            return A.CopyTo(source, t.text, fmt)
         if self.at_kw("PRAGMA"):
             self.next()
             name = self.expect_ident()

@@ -1,0 +1,266 @@
+"""Streaming fused aggregation: out-of-core tables through a fixed HBM
+footprint.
+
+device_plan.py fuses a whole aggregate query into one XLA program but
+uploads every referenced column to HBM and is capped at 2^24 rows (f32
+count exactness). This module lifts both limits for the same query shapes:
+the scan iterates fixed-size row chunks (memmap-friendly — each chunk is
+the only resident slice), a single jitted step computes per-chunk partial
+segment aggregates on device, and the host folds partials in f64 (exact
+counts/sums far past 2^24). JAX's async dispatch overlaps chunk k+1's
+host→device copy with chunk k's compute (ops/streaming.py design).
+
+Eligibility mirrors device_plan (single base table, numeric exprs,
+count/sum/avg/min/max, optional integer GROUP BY keys — streaming probes
+key maxima host-side, so keys must be plain column references).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..columnar import Column, Table
+from ..columnar import types as T
+from . import ast as A
+from .device_plan import _AGG_NAMES, MAX_GROUPS, _find_aggs, _Lowerer, _Unsupported
+
+# stream only when the table is big enough that whole-column upload hurts
+STREAM_MIN_ROWS = 1 << 22
+CHUNK_ROWS = 1 << 20
+
+
+def try_execute_streaming(conn, sel: A.Select, table: Table,
+                          analyze_only: bool = False):
+    """Chunked fused aggregation; returns a Table or None (host fallback)."""
+    if (
+        sel.from_ is None
+        or table.num_rows < STREAM_MIN_ROWS
+        or sel.having is not None
+        or sel.distinct
+        or len(sel.group_by) > 4
+    ):
+        return None
+
+    agg_nodes: list = []
+    for item in sel.items:
+        _find_aggs(item.expr, agg_nodes)
+    if not agg_nodes:
+        return None
+    items_plan = []
+    for item in sel.items:
+        e = item.expr
+        if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
+            items_plan.append(("agg", e))
+        elif sel.group_by and e in sel.group_by:
+            items_plan.append(("key", sel.group_by.index(e)))
+        else:
+            return None
+    # group keys must be plain integer column refs (host-side probe + exact
+    # combine); anything else stays on the non-streaming paths
+    for g in sel.group_by:
+        if not isinstance(g, A.ColumnRef):
+            return None
+
+    import jax
+    import jax.numpy as jnp
+
+    lowerer = _Lowerer(table)
+    try:
+        where_fn = lowerer.lower(sel.where) if sel.where is not None else None
+        key_fns = [lowerer.lower(g) for g in sel.group_by]
+        key_keys = [lowerer._column(g.name, g.table) for g in sel.group_by]
+        agg_plans = []
+        for kind, node in items_plan:
+            if kind == "key":
+                agg_plans.append(("key", node))
+                continue
+            name = node.name.lower()
+            if node.is_star or not node.args:
+                if name != "count":
+                    return None
+                agg_plans.append(("count_star", None))
+            else:
+                agg_plans.append((name, lowerer.lower(node.args[0])))
+    except _Unsupported:
+        return None
+    for k in key_keys:
+        c = table.columns[k]
+        if not (c.sql_type.is_integer or c.data.dtype.kind in "iu"):
+            return None
+
+    if analyze_only:
+        return True
+
+    n = table.num_rows
+    # host-side key probe (memmap streams from disk; np handles it)
+    radices, mins = [], []
+    for k in key_keys:
+        data = table.columns[k].data
+        lo = int(data.min()) if n else 0
+        hi = int(data.max()) if n else 0
+        if lo < 0 or hi >= (1 << 31):
+            return None
+        radices.append(hi + 1)
+        mins.append(lo)
+    domain = 1
+    for r in radices:
+        domain = min(domain * r, 1 << 40)
+    n_groups = 1
+    if key_fns:
+        n_groups = 8
+        while n_groups < domain and n_groups < MAX_GROUPS:
+            n_groups <<= 1
+    strides = [1] * len(radices)
+    for i in range(len(radices) - 2, -1, -1):
+        strides[i] = strides[i + 1] * radices[i + 1]
+
+    col_names = sorted(lowerer.used_columns)
+
+    def step(valid, *col_arrays):
+        cols = dict(zip(col_names, col_arrays))
+        mask = valid
+        if where_fn is not None:
+            mask = mask & jnp.asarray(where_fn(cols), bool)
+        if key_fns:
+            combined = jnp.zeros(CHUNK_ROWS, jnp.int32)
+            for kf, stride in zip(key_fns, strides):
+                combined = combined + (
+                    jnp.asarray(kf(cols), jnp.int32) * np.int32(stride & 0x7FFFFFFF))
+            keys = jnp.asarray(jnp.mod(combined, n_groups), jnp.int32)
+        else:
+            keys = jnp.zeros(CHUNK_ROWS, jnp.int32)
+        w = mask.astype(jnp.float32)
+        outs = []
+        key_mins, key_maxs = [], []
+        big = jnp.int32(2**31 - 1)
+        for kf in key_fns:
+            ri = jnp.asarray(kf(cols), jnp.int32)
+            key_mins.append(jax.ops.segment_min(
+                jnp.where(mask, ri, big), keys, num_segments=n_groups))
+            key_maxs.append(jax.ops.segment_max(
+                jnp.where(mask, ri, -big - 1), keys, num_segments=n_groups))
+        for name, fn in agg_plans:
+            if name == "key":
+                outs.append(None)
+                continue
+            if name in ("count_star", "count"):
+                outs.append(jax.ops.segment_sum(w, keys, num_segments=n_groups))
+                continue
+            vals = jnp.asarray(fn(cols), jnp.float32)
+            if name == "sum":
+                outs.append(jax.ops.segment_sum(vals * w, keys, num_segments=n_groups))
+            elif name in ("avg", "mean"):
+                s = jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)
+                c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+                outs.append((s, c))
+            elif name == "min":
+                outs.append(jax.ops.segment_min(
+                    jnp.where(mask, vals, jnp.inf), keys, num_segments=n_groups))
+            elif name == "max":
+                outs.append(jax.ops.segment_max(
+                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=n_groups))
+        group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+        return outs, group_count, key_mins, key_maxs
+
+    plan_key = ("stream", repr(sel), tuple(col_names), n_groups,
+                tuple(sorted((nm, id(m)) for nm, m in lowerer.models.items())))
+    cache = getattr(conn, "_device_plan_cache", None)
+    if cache is None:
+        cache = {}
+        conn._device_plan_cache = cache
+    step_jit = cache.get(plan_key)
+    if step_jit is None:
+        step_jit = jax.jit(step)
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        cache[plan_key] = step_jit
+
+    # fold partials in f64 on the host — exact counts/sums past 2^24 rows
+    acc_outs = None
+    acc_count = None
+    acc_kmin = [np.full(n_groups, 2**31 - 1, np.int64) for _ in key_fns]
+    acc_kmax = [np.full(n_groups, -(2**31), np.int64) for _ in key_fns]
+    host_cols = {k: lowerer.used_columns[k].data for k in col_names}
+
+    def fold(res):
+        nonlocal acc_outs, acc_count
+        outs, gcount, kmins, kmaxs = res
+        outs = [
+            None if o is None else
+            (np.asarray(o[0], np.float64), np.asarray(o[1], np.float64))
+            if isinstance(o, tuple) else np.asarray(o, np.float64)
+            for o in outs
+        ]
+        gcount = np.asarray(gcount, np.float64)
+        if acc_outs is None:
+            acc_outs = outs
+            acc_count = gcount
+        else:
+            for i, (name, _) in enumerate(agg_plans):
+                if outs[i] is None:
+                    continue
+                if name in ("avg", "mean"):
+                    acc_outs[i] = (acc_outs[i][0] + outs[i][0],
+                                   acc_outs[i][1] + outs[i][1])
+                elif name == "min":
+                    acc_outs[i] = np.minimum(acc_outs[i], outs[i])
+                elif name == "max":
+                    acc_outs[i] = np.maximum(acc_outs[i], outs[i])
+                else:
+                    acc_outs[i] = acc_outs[i] + outs[i]
+            acc_count = acc_count + gcount
+        for j in range(len(key_fns)):
+            acc_kmin[j] = np.minimum(acc_kmin[j], np.asarray(kmins[j], np.int64))
+            acc_kmax[j] = np.maximum(acc_kmax[j], np.asarray(kmaxs[j], np.int64))
+
+    try:
+        in_flight = []
+        for start in range(0, n, CHUNK_ROWS):
+            stop = min(start + CHUNK_ROWS, n)
+            valid = np.zeros(CHUNK_ROWS, bool)
+            valid[: stop - start] = True
+            chunk_arrays = []
+            for k in col_names:
+                part = np.asarray(host_cols[k][start:stop])
+                if len(part) < CHUNK_ROWS:
+                    part = np.concatenate([
+                        part,
+                        np.zeros((CHUNK_ROWS - len(part),) + part.shape[1:],
+                                 part.dtype)])
+                chunk_arrays.append(part)
+            in_flight.append(step_jit(valid, *chunk_arrays))
+            if len(in_flight) >= 2:  # keep one chunk in flight (overlap)
+                fold(in_flight.pop(0))
+        for res in in_flight:
+            fold(res)
+    except Exception:
+        return None  # any trace/compile issue → host path
+
+    live = acc_count > 0 if key_fns else np.array([True])
+    for j in range(len(key_fns)):
+        if (acc_kmin[j][live] != acc_kmax[j][live]).any():
+            return None  # modulo bucket held distinct keys — host path
+
+    out_cols: dict = {}
+    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, acc_outs):
+        idx = len(out_cols)
+        item = sel.items[idx]
+        name = item.alias or (node.name if isinstance(node, A.FuncCall)
+                              else f"col{idx}")
+        base, k = name, 1
+        while name in out_cols:
+            name = f"{base}_{k}"
+            k += 1
+        if pname == "key":
+            out_cols[name] = Column(acc_kmax[node][live].astype(np.int64),
+                                    T.BIGINT)
+            continue
+        if pname in ("count", "count_star"):
+            out_cols[name] = Column(res[live].astype(np.int64), T.BIGINT)
+        elif pname in ("avg", "mean"):
+            s, c = res
+            vals = s[live] / np.where(c[live] == 0, 1.0, c[live])
+            out_cols[name] = Column(vals, T.DOUBLE)
+        else:
+            out_cols[name] = Column(res[live].astype(np.float64), T.DOUBLE)
+    return Table(out_cols)
