@@ -1,0 +1,387 @@
+"""Fused device execution of dimension-lookup joins (BASELINE config 3).
+
+Query shape: a large fact table INNER-joined to a small dimension table on
+a unique non-negative integer key, with aggregates (and optional GROUP BY)
+over columns from either side — e.g. "multi-output predict joined back to
+the source table" (BASELINE.md config 3). The whole query lowers to ONE XLA
+program: the dim key column becomes a dense device lookup array
+(key → dim row, −1 miss), each fact row gathers its dim row index, the
+INNER-join filter is just `ridx >= 0`, referenced dim columns gather once
+through `ridx`, and the aggregate tail is identical to
+device_plan.try_execute_on_device. No host-side join materialization — the
+joined relation never exists.
+
+Anything outside the supported shape returns None and the host join path
+runs instead (semantics never regress).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..columnar import Column, Table
+from ..columnar import types as T
+from . import ast as A
+from .device_plan import (
+    _AGG_NAMES,
+    MAX_GROUPS,
+    MIN_DEVICE_ROWS,
+    _find_aggs,
+    _Lowerer,
+    _Unsupported,
+)
+
+DIM_MAX_ROWS = 1 << 20
+DIM_MAX_KEY = 1 << 22
+
+
+class _JoinLowerer(_Lowerer):
+    """Resolves columns across (fact, dim). Fact columns read directly; dim
+    columns resolve to '__dim__.<name>' keys the program prologue fills
+    with `dim_col[ridx]` gathers, so the base closures need no changes."""
+
+    def __init__(self, fact: Table, fact_names: set, dim: Table, dim_names: set):
+        super().__init__(fact)
+        self.dim = dim
+        self.fact_names = {s.lower() for s in fact_names if s}
+        self.dim_names = {s.lower() for s in dim_names if s}
+        self.dim_used: dict = {}
+
+    def _dim_lookup(self, name: str):
+        for k in self.dim.columns:
+            if k.split(".")[-1].lower() == name.lower():
+                return k
+        return None
+
+    def _fact_lookup(self, name: str):
+        for k in self.table.columns:
+            if k.split(".")[-1].lower() == name.lower():
+                return k
+        return None
+
+    def _column(self, name: str, qualifier):
+        q = qualifier.lower() if qualifier else None
+        in_fact = self._fact_lookup(name) if (q is None or q in self.fact_names) else None
+        in_dim = self._dim_lookup(name) if (q is None or q in self.dim_names) else None
+        if in_fact is not None and in_dim is not None:
+            raise _Unsupported(f"ambiguous column {name}")
+        if in_fact is not None:
+            return super()._column(name, None)
+        if in_dim is None:
+            raise _Unsupported(f"unknown column {name}")
+        col = self.dim.columns[in_dim]
+        if not col.sql_type.is_numeric or col.validity is not None:
+            raise _Unsupported(f"column {name} not device-eligible")
+        key = "__dim__." + in_dim
+        self.dim_used[key] = col
+        return key
+
+    def col_for_key(self, key: str) -> Column:
+        if key in self.dim_used:
+            return self.dim_used[key]
+        return self.table.columns[key]
+
+
+def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
+    """Compile + run a fused join-aggregate SELECT; Table or None."""
+    j = sel.from_
+    if (
+        not isinstance(j, A.Join)
+        or j.kind != "INNER"
+        or not isinstance(j.left, A.BaseTable)
+        or not isinstance(j.right, A.BaseTable)
+        or sel.having is not None
+        or sel.distinct
+        or len(sel.group_by) > 4
+    ):
+        return None
+    cond = j.on
+    if j.using and len(j.using) == 1 and cond is None:
+        cond = A.Binary("=", A.ColumnRef(j.using[0], j.left.alias or j.left.name),
+                        A.ColumnRef(j.using[0], j.right.alias or j.right.name))
+    if not (
+        isinstance(cond, A.Binary)
+        and cond.op == "="
+        and isinstance(cond.left, A.ColumnRef)
+        and isinstance(cond.right, A.ColumnRef)
+    ):
+        return None
+    lt = conn.catalog.tables.get(j.left.name.lower())
+    rt = conn.catalog.tables.get(j.right.name.lower())
+    if lt is None or rt is None:
+        return None  # missing table → host path raises the catalog error
+
+    def names_of(ref):
+        return {ref.name, ref.alias} if ref.alias else {ref.name}
+
+    def key_col_of(table, refs_names, keyref):
+        if keyref.table and keyref.table.lower() not in {s.lower() for s in refs_names}:
+            return None
+        for k in table.columns:
+            if k.split(".")[-1].lower() == keyref.name.lower():
+                return table.columns[k]
+        return None
+
+    # orient: which side is the dimension (unique small int keys)?
+    combos = [
+        (lt, names_of(j.left), cond.left, rt, names_of(j.right), cond.right),
+        (rt, names_of(j.right), cond.right, lt, names_of(j.left), cond.left),
+    ]
+    plan = None
+    for fact, fnames, fkey_ref, dim, dnames, dkey_ref in combos:
+        if not (MIN_DEVICE_ROWS <= fact.num_rows < (1 << 24)):
+            continue
+        if dim.num_rows > DIM_MAX_ROWS or dim.num_rows == 0:
+            continue
+        dk = key_col_of(dim, dnames, dkey_ref)
+        fk = key_col_of(fact, fnames, fkey_ref)
+        if dk is None or fk is None:
+            continue
+        if dk.validity is not None or fk.validity is not None:
+            continue
+        if dk.data.dtype.kind not in "iu" or fk.data.dtype.kind not in "iu":
+            continue
+        dvals = np.asarray(dk.data, np.int64)
+        if len(dvals) and (dvals.min() < 0 or dvals.max() >= DIM_MAX_KEY):
+            continue
+        if len(np.unique(dvals)) != len(dvals):
+            continue  # duplicate dim keys would need row expansion
+        plan = (fact, fnames, fkey_ref, dim, dnames, dvals)
+        break
+    if plan is None:
+        return None
+    fact, fnames, fkey_ref, dim, dnames, dvals = plan
+
+    agg_nodes: list = []
+    for item in sel.items:
+        _find_aggs(item.expr, agg_nodes)
+    if not agg_nodes:
+        return None
+    items_plan = []
+    for item in sel.items:
+        e = item.expr
+        if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
+            items_plan.append(("agg", e))
+        elif sel.group_by and e in sel.group_by:
+            items_plan.append(("key", sel.group_by.index(e)))
+        else:
+            return None
+
+    import jax
+    import jax.numpy as jnp
+
+    lowerer = _JoinLowerer(fact, fnames, dim, dnames)
+
+    def _float_only(expr: A.Expr) -> bool:
+        ok = True
+
+        def walk(e):
+            nonlocal ok
+            if isinstance(e, A.ColumnRef):
+                try:
+                    key = lowerer._column(e.name, e.table)
+                except _Unsupported:
+                    ok = False
+                    return
+                t = lowerer.col_for_key(key).sql_type
+                if not (t.is_float or t.name == "DECIMAL"):
+                    ok = False
+            if isinstance(e, A.FuncCall):
+                if e.name.lower() == "infera_predict":
+                    return
+                for a in e.args:
+                    if isinstance(a, A.Expr):
+                        walk(a)
+                return
+            for attr in ("operand", "left", "right", "low", "high"):
+                child = getattr(e, attr, None)
+                if isinstance(child, A.Expr):
+                    walk(child)
+
+        walk(expr)
+        return ok
+
+    try:
+        fact_key = lowerer._column(fkey_ref.name, fkey_ref.table)
+        if fact_key.startswith("__dim__."):
+            raise _Unsupported("join key resolution crossed sides")
+        where_fn = lowerer.lower(sel.where) if sel.where is not None else None
+        key_fns = [lowerer.lower(g) for g in sel.group_by]
+        agg_plans = []
+        for kind, node in items_plan:
+            if kind == "key":
+                agg_plans.append(("key", node))
+                continue
+            name = node.name.lower()
+            if node.is_star or not node.args:
+                if name != "count":
+                    return None
+                agg_plans.append(("count_star", None))
+            else:
+                if name != "count" and not _float_only(node.args[0]):
+                    return None
+                agg_plans.append((name, lowerer.lower(node.args[0])))
+    except _Unsupported:
+        return None
+
+    if analyze_only:
+        return True
+
+    n = fact.num_rows
+    kmax_dim = int(dvals.max()) if len(dvals) else 0
+    lookup = np.full(kmax_dim + 1, -1, np.int32)
+    lookup[dvals] = np.arange(len(dvals), dtype=np.int32)
+
+    # group sizing: plain column refs probe host-side; anything else uses
+    # the guarded MAX_GROUPS fallback
+    n_groups = 1
+    strides = [1] * len(key_fns)
+    if key_fns:
+        try:
+            radices = []
+            for g in sel.group_by:
+                if not isinstance(g, A.ColumnRef):
+                    raise ValueError
+                key = lowerer._column(g.name, g.table)
+                col = lowerer.col_for_key(key)
+                kmax = int(np.max(np.maximum(
+                    np.asarray(col.data, np.int64), 0))) if len(col.data) else 0
+                radices.append(kmax + 1)
+            domain = 1
+            for r in radices:
+                domain = min(domain * r, 1 << 40)
+            for i in range(len(radices) - 2, -1, -1):
+                strides[i] = strides[i + 1] * radices[i + 1]
+            n_groups = 8
+            while n_groups < domain and n_groups < MAX_GROUPS:
+                n_groups <<= 1
+        except Exception:
+            for i in range(len(key_fns) - 2, -1, -1):
+                strides[i] = strides[i + 1] * MAX_GROUPS
+            n_groups = MAX_GROUPS
+
+    dim_keys = sorted(lowerer.dim_used)
+
+    def program(cols):
+        fk = jnp.asarray(cols[fact_key], jnp.int32)
+        in_range = (fk >= 0) & (fk <= kmax_dim)
+        ridx_raw = cols["__lookup__"][jnp.clip(fk, 0, kmax_dim)]
+        matched = in_range & (ridx_raw >= 0)
+        ridx = jnp.where(matched, ridx_raw, 0)
+        for dk in dim_keys:
+            cols[dk] = jnp.take(cols["__dimraw__." + dk], ridx, axis=0)
+        mask = matched
+        if where_fn is not None:
+            mask = mask & jnp.asarray(where_fn(cols), bool)
+        raws = []
+        if key_fns:
+            for kf in key_fns:
+                raws.append(jnp.asarray(kf(cols)))
+            combined = jnp.zeros(n, jnp.int32)
+            for r, stride in zip(raws, strides):
+                combined = combined + jnp.asarray(r, jnp.int32) * np.int32(stride & 0x7FFFFFFF)
+            keys = jnp.asarray(jnp.mod(combined, n_groups), jnp.int32)
+        else:
+            keys = jnp.zeros(n, jnp.int32)
+        w = mask.astype(jnp.float32)
+        outs = []
+        key_mins, key_maxs, frac_flags = [], [], []
+        big = jnp.int32(2**31 - 1)
+        for r in raws:
+            ri = jnp.asarray(r, jnp.int32)
+            rf = jnp.asarray(r, jnp.float32)
+            key_mins.append(jax.ops.segment_min(
+                jnp.where(mask, ri, big), keys, num_segments=n_groups))
+            key_maxs.append(jax.ops.segment_max(
+                jnp.where(mask, ri, -big - 1), keys, num_segments=n_groups))
+            frac_flags.append(jnp.any(mask & (rf != ri.astype(jnp.float32))))
+        for name, fn in agg_plans:
+            if name == "key":
+                outs.append(("key", key_maxs[fn]))
+                continue
+            if name in ("count_star", "count"):
+                outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+                continue
+            vals = jnp.asarray(fn(cols), jnp.float32)
+            if name == "sum":
+                outs.append(("v", jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)))
+            elif name in ("avg", "mean"):
+                s = jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)
+                c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+                outs.append(("v", s / jnp.where(c == 0, 1.0, c)))
+            elif name == "min":
+                outs.append(("v", jax.ops.segment_min(
+                    jnp.where(mask, vals, jnp.inf), keys, num_segments=n_groups)))
+            elif name == "max":
+                outs.append(("v", jax.ops.segment_max(
+                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=n_groups)))
+        group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+        return [o for _, o in outs], group_count, key_mins, key_maxs, frac_flags
+
+    plan_key = (
+        "join", repr(sel),
+        tuple(sorted((k, c.data.dtype.str, len(c))
+                     for k, c in lowerer.used_columns.items())),
+        tuple(sorted((k, c.data.dtype.str, len(c))
+                     for k, c in lowerer.dim_used.items())),
+        tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
+        n, n_groups, kmax_dim,
+    )
+    cache = getattr(conn, "_device_plan_cache", None)
+    if cache is None:
+        cache = {}
+        conn._device_plan_cache = cache
+    compiled = cache.get(plan_key)
+    if compiled is None:
+        compiled = jax.jit(program)
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        cache[plan_key] = compiled
+
+    device_cols = {}
+    for k, c in lowerer.used_columns.items():
+        dev = getattr(c, "_device_array", None)
+        if dev is None:
+            dev = jnp.asarray(c.data)
+            c._device_array = dev
+        device_cols[k] = dev
+    for k, c in lowerer.dim_used.items():
+        dev = getattr(c, "_device_array", None)
+        if dev is None:
+            dev = jnp.asarray(c.data)
+            c._device_array = dev
+        device_cols["__dimraw__." + k] = dev
+    device_cols["__lookup__"] = jnp.asarray(lookup)
+    try:
+        results, group_count, key_mins, key_maxs, frac_flags = compiled(device_cols)
+        results = [np.asarray(r) for r in results]
+        group_count = np.asarray(group_count)
+    except Exception:
+        return None  # any trace/compile issue → host path
+
+    live = group_count > 0 if key_fns else np.array([True])
+    for kmin_d, kmax_d, frac_d in zip(key_mins, key_maxs, frac_flags):
+        if bool(np.asarray(frac_d)):
+            return None
+        if (np.asarray(kmin_d)[live] != np.asarray(kmax_d)[live]).any():
+            return None
+
+    out_cols: dict = {}
+    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
+        idx = len(out_cols)
+        item = sel.items[idx]
+        name = item.alias or (node.name if isinstance(node, A.FuncCall) else f"col{idx}")
+        base, k = name, 1
+        while name in out_cols:
+            name = f"{base}_{k}"
+            k += 1
+        vals = res[live]
+        if pname in ("count", "count_star"):
+            out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
+        elif pname == "key":
+            out_cols[name] = Column(vals.astype(np.int64)
+                                    if np.all(vals == np.round(vals)) else vals,
+                                    T.BIGINT if np.all(vals == np.round(vals)) else T.DOUBLE)
+        else:
+            out_cols[name] = Column(vals.astype(np.float64), T.DOUBLE)
+    return Table(out_cols)

@@ -241,6 +241,7 @@ class Connection:
             _contains_aggregate(i.expr) for i in sel.items
         )
         device = False
+        fused_join = False
         if isinstance(sel.from_, A.BaseTable):
             from .device_plan import try_execute_on_device
 
@@ -250,6 +251,16 @@ class Connection:
                 device = bool(
                     try_execute_on_device(self, sel, table, analyze_only=True)
                 )
+            except SqlError:
+                pass
+        elif isinstance(sel.from_, A.Join):
+            from .device_join_plan import try_execute_join_on_device
+
+            try:
+                fused_join = bool(
+                    try_execute_join_on_device(self, sel, analyze_only=True)
+                )
+                device = fused_join
             except SqlError:
                 pass
         lines.append(f"{pad}PROJECT [{len(sel.items)} exprs]"
@@ -346,6 +357,27 @@ class Connection:
         return out
 
     def _execute_select(self, sel: A.Select) -> Table:
+        # 1a. fused join plan — BEFORE the host join materializes: a
+        # fact-to-dimension INNER join + aggregates lowers to one XLA
+        # program with a dense key-lookup gather (BASELINE config 3)
+        if isinstance(sel.from_, A.Join):
+            from .device_join_plan import try_execute_join_on_device
+
+            fused = try_execute_join_on_device(self, sel)
+            if fused is not None:
+                try:
+                    if sel.order_by:
+                        fused = self._order_by(fused, sel.order_by, Scope(fused))
+                except SqlError:
+                    fused = None  # ORDER BY outside the output → host path
+                if fused is not None:
+                    if sel.offset is not None or sel.limit is not None:
+                        start = sel.offset or 0
+                        stop = (start + sel.limit if sel.limit is not None
+                                else fused.num_rows)
+                        fused = fused.slice(start, stop)
+                    return fused
+
         # 1. FROM
         if sel.from_ is not None:
             scope = Scope(self._execute_from(sel.from_))

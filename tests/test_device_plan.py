@@ -191,3 +191,90 @@ def test_fractional_key_falls_back_to_host(conn_big):
     for (kg, c), want in zip(rows, keys):
         assert kg == pytest.approx(want, abs=1e-6)
         assert c == int((np.abs(g - want) < 1e-9).sum())
+
+
+def _join_probe(monkeypatch):
+    """Count fused-join-plan hits (non-None results)."""
+    from infera_tpu.sql import device_join_plan
+
+    calls = {"hits": 0}
+    orig = device_join_plan.try_execute_join_on_device
+
+    def probed(conn_, sel, analyze_only=False):
+        res = orig(conn_, sel, analyze_only)
+        if res is not None and not analyze_only:
+            calls["hits"] += 1
+        return res
+
+    monkeypatch.setattr(device_join_plan, "try_execute_join_on_device", probed)
+    return calls
+
+
+def test_fused_join_aggregate(conn_big, model_dir, monkeypatch):
+    """Fact-to-dimension join + grouped aggregate fuses into one program
+    and matches the host join exactly (BASELINE config 3 shape)."""
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    conn.execute("create table dim as select x as k, (x * 2)::float as w, "
+                 "x % 3 as cat from range(100) r(x)")
+    conn.execute(f"create table fact as select x % 100 as k, x % 7 as g, "
+                 f"(x % 40)::float / 4.0 as f1, ((x + 5) % 30)::float / 3.0 as f2, "
+                 f"((x * 3) % 20)::float / 2.0 as f3 from range({n}) r(x)")
+    q = ("select cat, count(*) c, sum(w) sw, "
+         "avg(infera_predict('linear', f1, f2, f3)) p "
+         "from fact join dim on fact.k = dim.k group by cat order by cat")
+    rows = conn.execute(q).rows
+    assert calls["hits"] == 1
+
+    x = np.arange(n)
+    k = x % 100
+    g = x % 7
+    f1 = (x % 40).astype(np.float32) / np.float32(4.0)
+    f2 = ((x + 5) % 30).astype(np.float32) / np.float32(3.0)
+    f3 = ((x * 3) % 20).astype(np.float32) / np.float32(2.0)
+    pred = (2 * f1 - f2 + 0.5 * f3 + np.float32(0.25)).astype(np.float64)
+    w = (k * 2).astype(np.float64)
+    cat = k % 3
+    assert len(rows) == 3
+    for kc, c, sw, p in rows:
+        m = cat == kc
+        assert c == int(m.sum())
+        assert sw == pytest.approx(float(w[m].sum()), rel=1e-6)
+        assert p == pytest.approx(float(pred[m].mean()), rel=1e-5)
+
+
+def test_fused_join_partial_match_and_where(conn_big, monkeypatch):
+    """INNER semantics: fact rows without a dim match drop; WHERE composes
+    with the join filter."""
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    conn.execute("create table dim2 as select x * 2 as k, (x)::float as w "
+                 "from range(50) r(x)")  # only even keys 0..98
+    conn.execute(f"create table fact2 as select x % 100 as k, "
+                 f"(x % 10)::float as f from range({n}) r(x)")
+    rows = conn.execute(
+        "select count(*), sum(w), max(f) from fact2 join dim2 "
+        "on fact2.k = dim2.k where f < 5.0").rows
+    assert calls["hits"] == 1
+    x = np.arange(n)
+    k = x % 100
+    f = (x % 10).astype(np.float64)
+    m = (k % 2 == 0) & (f < 5.0)
+    w = (k // 2).astype(np.float64)
+    assert rows[0][0] == int(m.sum())
+    assert rows[0][1] == pytest.approx(float(w[m].sum()), rel=1e-9)
+    assert rows[0][2] == pytest.approx(float(f[m].max()))
+
+
+def test_join_with_duplicate_dim_keys_host_path(conn_big, monkeypatch):
+    """Duplicate dimension keys need row expansion — must stay on the host
+    join and produce expanded rows."""
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    conn.execute("create table dup as select x % 10 as k, x as v "
+                 "from range(20) r(x)")  # every key twice
+    conn.execute(f"create table factd as select x % 10 as k from range({n}) r(x)")
+    rows = conn.execute(
+        "select count(*) from factd join dup on factd.k = dup.k").rows
+    assert calls["hits"] == 0
+    assert rows == [(2 * n,)]
