@@ -17,6 +17,20 @@ Layers (mirroring SURVEY.md §1's layer map, re-designed for TPU):
   (ref L0)
 """
 
+import os as _os
+
+if _os.environ.get("INFERA_PLATFORM"):
+    # Backend selection (reference ROADMAP "GPU support"): the compute path
+    # is pure JAX/XLA, so the same engine targets tpu/gpu/cpu — set
+    # INFERA_PLATFORM before first use (maps to jax_platforms). TPU-only
+    # Pallas kernels stay opt-in (INFERA_PALLAS_MLP) and fall back to XLA.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["INFERA_PLATFORM"])
+    except Exception:  # jax already initialized — leave its backend alone
+        pass
+
 from .api import (  # noqa: F401
     clear_cache,
     get_cache_info,

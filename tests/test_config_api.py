@@ -2,6 +2,7 @@
 13-function API surface (lib.rs inline FFI tests' semantics)."""
 
 import json
+import os
 
 import pytest
 
@@ -113,3 +114,24 @@ def test_autoload_invalid_model(tmp_path, clean_registry):
     assert len(out["errors"]) == 1
     assert out["errors"][0]["file"].endswith("broken.onnx")
     assert "ONNX error" in out["errors"][0]["error"]
+
+
+def test_infera_platform_env_selects_backend():
+    """INFERA_PLATFORM routes the whole engine onto a chosen jax backend
+    (the 'GPU support' portability knob — validated here with cpu)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['INFERA_PLATFORM'] = 'cpu'\n"
+        "import infera_tpu\n"
+        "import jax\n"
+        "print([d.platform for d in jax.devices()])\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS",)}
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=120)
+    assert res.returncode == 0, res.stderr
+    assert "cpu" in res.stdout
