@@ -51,6 +51,9 @@ class QueryMetrics:
     rows: int = 0
     wall_s: float = 0.0
     bytes_in: int = 0
+    # execution path that served the statement: host | device_plan |
+    # device_join_plan | streaming_plan
+    path: str = "host"
 
     @property
     def rows_per_s(self) -> float:
@@ -63,6 +66,7 @@ class QueryMetrics:
             "wall_ms": round(self.wall_s * 1e3, 3),
             "rows_per_s": round(self.rows_per_s, 1),
             "bytes_in": self.bytes_in,
+            "path": self.path,
         }
 
 

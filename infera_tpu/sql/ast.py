@@ -247,6 +247,7 @@ class DropTable(Statement):
 @dataclass
 class Explain(Statement):
     query: Statement = None
+    analyze: bool = False  # EXPLAIN ANALYZE: run the query, report actuals
 
 
 @dataclass

@@ -119,6 +119,7 @@ class Connection:
 
     def __init__(self, catalog: Catalog | None = None):
         self.catalog = catalog or Catalog()
+        self._exec_path = "host"  # path that served the current statement
 
     # -- public API -------------------------------------------------------
 
@@ -128,7 +129,9 @@ class Connection:
         result = QueryResult()
         for stmt in parse_sql(sql):
             with measure(type(stmt).__name__) as m:
+                self._exec_path = "host"
                 result = self._execute_statement(stmt)
+                m.path = self._exec_path
                 if result.table is not None:
                     m.rows = result.table.num_rows
         return result
@@ -180,6 +183,21 @@ class Connection:
             return QueryResult(count, count.names)
         if isinstance(stmt, A.Explain):
             lines = self._explain(stmt.query)
+            if stmt.analyze:
+                # EXPLAIN ANALYZE: actually run the query, report actuals
+                import time as _time
+
+                self._exec_path = "host"
+                t0 = _time.perf_counter()
+                out = self._execute_query(stmt.query)
+                wall = _time.perf_counter() - t0
+                lines += [
+                    "─" * 40,
+                    f"ACTUAL: {out.num_rows} rows in {wall * 1e3:.2f} ms "
+                    f"({out.num_rows / wall:,.0f} rows/s)" if wall > 0 else
+                    f"ACTUAL: {out.num_rows} rows",
+                    f"PATH: {self._exec_path}",
+                ]
             col = Column.from_values(lines, T.VARCHAR)
             t = Table({"explain": col})
             return QueryResult(t, t.names)
@@ -370,12 +388,14 @@ class Connection:
                         fused = self._order_by(fused, sel.order_by, Scope(fused))
                 except SqlError:
                     fused = None  # ORDER BY outside the output → host path
+                    self._exec_path = "host"
                 if fused is not None:
                     if sel.offset is not None or sel.limit is not None:
                         start = sel.offset or 0
                         stop = (start + sel.limit if sel.limit is not None
                                 else fused.num_rows)
                         fused = fused.slice(start, stop)
+                    self._exec_path = "device_join_plan"
                     return fused
 
         # 1. FROM
@@ -396,14 +416,19 @@ class Connection:
                 # chunked fused aggregation: fixed HBM footprint, f64 host
                 # combine (exact past the device plan's 2^24-row bound)
                 fused = try_execute_streaming(self, sel, scope.table)
+                if fused is not None:
+                    self._exec_path = "streaming_plan"
             if fused is None:
                 fused = try_execute_on_device(self, sel, scope.table)
+                if fused is not None:
+                    self._exec_path = "device_plan"
             if fused is not None:
                 try:
                     if sel.order_by:
                         fused = self._order_by(fused, sel.order_by, Scope(fused))
                 except SqlError:
                     fused = None  # ORDER BY outside the output → host path
+                    self._exec_path = "host"
                 if fused is not None:
                     if sel.offset is not None or sel.limit is not None:
                         start = sel.offset or 0

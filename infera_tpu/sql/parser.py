@@ -84,8 +84,8 @@ class Parser:
     def parse_statement(self) -> A.Statement:
         if self.at_kw("EXPLAIN"):
             self.next()
-            self.accept_kw("ANALYZE")
-            return A.Explain(self.parse_query())
+            analyze = bool(self.accept_kw("ANALYZE"))
+            return A.Explain(self.parse_query(), analyze)
         if self.at_kw("SELECT"):
             return self.parse_query()
         if self.at_kw("CREATE"):

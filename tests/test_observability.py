@@ -18,7 +18,7 @@ def test_measure_records_metrics():
     assert rec.name == "q1" and rec.rows == 1000
     assert rec.wall_s >= 0
     d = rec.as_dict()
-    assert set(d) == {"name", "rows", "wall_ms", "rows_per_s", "bytes_in"}
+    assert set(d) == {"name", "rows", "wall_ms", "rows_per_s", "bytes_in", "path"}
 
 
 def test_metrics_ring_capacity():
@@ -64,3 +64,40 @@ def test_sql_execute_records_metrics():
     rec = obs.METRICS.entries[0]
     assert rec.name == "Select"
     assert rec.rows == 1
+
+
+def test_metrics_record_execution_path(model_dir, clean_registry):
+    """Per-statement metrics name the path that served the query
+    (host / device_plan / device_join_plan / streaming_plan)."""
+    import infera_tpu as it
+    from infera_tpu.observability import METRICS
+    from infera_tpu.sql import Connection
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(f"create table pt as select x % 5 as g, "
+                 f"(x % 9)::float as f from range({n}) r(x)")
+    conn.execute("select g, sum(f) from pt group by g")
+    assert METRICS.entries[0].path == "device_plan"
+    conn.execute("select f from pt limit 3")
+    assert METRICS.entries[0].path == "host"
+
+
+def test_explain_analyze_reports_actuals(model_dir, clean_registry):
+    from infera_tpu.sql import Connection
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(f"create table ea as select x % 4 as g, "
+                 f"(x % 9)::float as f from range({n}) r(x)")
+    rows = conn.execute(
+        "explain analyze select g, sum(f) from ea group by g").rows
+    text = "\n".join(r[0] for r in rows)
+    assert "fused device plan" in text
+    assert "ACTUAL: 4 rows" in text
+    assert "PATH: device_plan" in text
+    # plain EXPLAIN must not execute: ACTUAL line absent
+    rows = conn.execute("explain select g, sum(f) from ea group by g").rows
+    assert not any("ACTUAL" in r[0] for r in rows)
