@@ -198,6 +198,54 @@ class _Lowerer:
         return run
 
 
+def _having_supported(expr: A.Expr) -> bool:
+    """HAVING predicates the device path handles: aggregate calls, numeric
+    literals, and arithmetic/comparison/boolean combinators (no bare column
+    refs — the host path keeps those)."""
+    if isinstance(expr, A.Literal):
+        return expr.value is None or not isinstance(expr.value, str)
+    if isinstance(expr, A.FuncCall):
+        return expr.name.lower() in _AGG_NAMES
+    if isinstance(expr, A.Unary):
+        return expr.op in ("-", "NOT") and _having_supported(expr.operand)
+    if isinstance(expr, A.Binary):
+        return (expr.op in ("+", "-", "*", "/", "%", "=", "<>", "<", "<=",
+                            ">", ">=", "AND", "OR")
+                and _having_supported(expr.left)
+                and _having_supported(expr.right))
+    if isinstance(expr, A.Between):
+        return (_having_supported(expr.operand)
+                and _having_supported(expr.low)
+                and _having_supported(expr.high))
+    return False
+
+
+def _eval_having(expr: A.Expr, agg_arrays: dict) -> np.ndarray:
+    """Evaluate the HAVING predicate over per-group numpy arrays
+    (agg_arrays maps id(agg node) → np array)."""
+    if isinstance(expr, A.Literal):
+        return np.asarray(expr.value)
+    if isinstance(expr, A.FuncCall):
+        return agg_arrays[id(expr)]
+    if isinstance(expr, A.Unary):
+        v = _eval_having(expr.operand, agg_arrays)
+        return np.logical_not(v) if expr.op == "NOT" else -v
+    if isinstance(expr, A.Between):
+        v = _eval_having(expr.operand, agg_arrays)
+        lo = _eval_having(expr.low, agg_arrays)
+        hi = _eval_having(expr.high, agg_arrays)
+        res = (v >= lo) & (v <= hi)
+        return np.logical_not(res) if expr.negated else res
+    l_ = _eval_having(expr.left, agg_arrays)
+    r_ = _eval_having(expr.right, agg_arrays)
+    ops = {"+": np.add, "-": np.subtract, "*": np.multiply,
+           "/": np.divide, "%": np.mod,
+           "=": np.equal, "<>": np.not_equal, "<": np.less,
+           "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+           "AND": np.logical_and, "OR": np.logical_or}
+    return ops[expr.op](l_, r_)
+
+
 def _find_aggs(expr: A.Expr, out: list):
     if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGG_NAMES:
         out.append(expr)
@@ -222,11 +270,17 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         sel.from_ is None
         or table.num_rows < MIN_DEVICE_ROWS
         or table.num_rows >= (1 << 24)  # f32 count exactness bound
-        or sel.having is not None
         or sel.distinct
         or len(sel.group_by) > 4  # mixed-radix combined-key bound
     ):
         return None
+    # HAVING: aggregates compute on device as hidden outputs; the predicate
+    # itself evaluates host-side over the (tiny) per-group result arrays
+    having_aggs: list = []
+    if sel.having is not None:
+        if not _having_supported(sel.having):
+            return None
+        _find_aggs(sel.having, having_aggs)
 
     agg_nodes: list = []
     for item in sel.items:
@@ -298,6 +352,19 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 if name != "count" and not _float_only(node.args[0]):
                     return None
                 agg_plans.append((name, lowerer.lower(node.args[0])))
+        # hidden device outputs for HAVING aggregates
+        having_plan = []
+        for node in having_aggs:
+            name = node.name.lower()
+            if node.is_star or not node.args:
+                if name != "count":
+                    return None
+                agg_plans.append(("count_star", None))
+            else:
+                if name != "count" and not _float_only(node.args[0]):
+                    return None
+                agg_plans.append((name, lowerer.lower(node.args[0])))
+            having_plan.append((node, len(agg_plans) - 1))
     except _Unsupported:
         return None
 
@@ -467,6 +534,21 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         kmax = np.asarray(kmax_d)[live]
         if (kmin != kmax).any():
             return None  # modulo bucket held distinct keys — host path
+    hmask = None
+    if sel.having is not None:
+        agg_arrays = {}
+        for hnode, pidx in having_plan:
+            pname = agg_plans[pidx][0]
+            arr = results[pidx][live]
+            if pname in ("count", "count_star"):
+                arr = arr.astype(np.int64)
+            agg_arrays[id(hnode)] = arr
+        try:
+            hmask = np.asarray(_eval_having(sel.having, agg_arrays), bool)
+        except Exception:
+            return None
+        if hmask.ndim == 0:
+            hmask = np.full(int(np.sum(live)), bool(hmask))
     out_cols: dict = {}
     for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
         idx = len(out_cols)
@@ -477,6 +559,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             name = f"{base}_{k}"
             k += 1
         vals = res[live]
+        if hmask is not None:
+            vals = vals[hmask]
         if pname in ("count", "count_star"):
             out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
         elif pname == "key":

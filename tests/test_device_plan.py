@@ -278,3 +278,29 @@ def test_join_with_duplicate_dim_keys_host_path(conn_big, monkeypatch):
         "select count(*) from factd join dup on factd.k = dup.k").rows
     assert calls["hits"] == 0
     assert rows == [(2 * n,)]
+
+
+def test_fused_having(conn_big):
+    """HAVING predicates over aggregates filter fused group results; hidden
+    HAVING-only aggregates compute on device."""
+    conn, n = conn_big
+    rows = conn.execute(
+        "select g, count(*) c from big group by g "
+        "having avg(f1) > 4.9 and count(*) > 10 order by g").rows
+    g, f1, f2, f3 = _host_frame(n)
+    want = []
+    for key in range(7):
+        m = g == key
+        if f1[m].mean() > 4.9 and m.sum() > 10:
+            want.append((key, int(m.sum())))
+    assert rows == want
+    assert len(want) > 0  # the predicate actually selects something
+
+    # global aggregate + false HAVING → empty result
+    rows = conn.execute(
+        "select count(*) from big having count(*) < 0").rows
+    assert rows == []
+    # HAVING with bare column refs stays on the host path (same result)
+    rows = conn.execute(
+        "select g, count(*) from big group by g having g >= 5 order by g").rows
+    assert [r[0] for r in rows] == [5, 6]
