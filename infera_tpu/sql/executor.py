@@ -71,6 +71,12 @@ class QueryResult:
             return None
         return self.table.row(0)[0]
 
+    def df(self):
+        """Result as a pandas DataFrame (DuckDB-style `.df()`)."""
+        from ..columnar.pandas_io import table_to_pandas
+
+        return table_to_pandas(self.table if self.table is not None else Table({}))
+
 
 # ---------------------------------------------------------------------------
 # Evaluation context
@@ -136,7 +142,13 @@ class Connection:
                     m.rows = result.table.num_rows
         return result
 
-    def register_table(self, name: str, table: Table) -> None:
+    def register_table(self, name: str, table) -> None:
+        """Register a columnar Table — or a pandas DataFrame, which is
+        converted automatically (DuckDB-style DataFrame querying)."""
+        if not isinstance(table, Table) and hasattr(table, "columns") and hasattr(table, "dtypes"):
+            from ..columnar.pandas_io import table_from_pandas
+
+            table = table_from_pandas(table)
         self.catalog.put(name, table, or_replace=True)
 
     # -- statements -------------------------------------------------------
