@@ -66,7 +66,7 @@ def get_lib():
             log.warn(f"failed to load native lib: {e}")
             return None
         lib.infera_host_abi_version.restype = ctypes.c_int
-        if lib.infera_host_abi_version() != 1:
+        if lib.infera_host_abi_version() not in (1, 2):
             log.warn("native lib ABI mismatch; using numpy fallback")
             return None
         lib.infera_blob_decode_f32.restype = ctypes.c_int
@@ -76,6 +76,13 @@ def get_lib():
         lib.infera_extract_features_f32.restype = ctypes.c_int64
         lib.infera_radix_partition.restype = None
         lib.infera_hash64_i64.restype = None
+        if hasattr(lib, "infera_csv_parse_numeric"):  # ABI 2+
+            lib.infera_csv_parse_numeric.restype = ctypes.c_int64
+            lib.infera_csv_parse_numeric.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_char,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
         _lib = lib
         return _lib
 
@@ -205,3 +212,29 @@ def radix_partition(hashes: np.ndarray, parts: int) -> tuple:
         indices.ctypes.data_as(ctypes.c_void_p),
     )
     return counts, indices
+
+
+def csv_parse_numeric(body: bytes, ncols: int, delimiter: str = ","):
+    """Native parse of an unquoted all-numeric CSV body (bytes after the
+    header) into (values [ncols, n_rows] f64, valid [ncols, n_rows] bool,
+    is_float [ncols] bool — False means every field was integer-syntax).
+    Returns None when the native lib is absent or the buffer needs the
+    general reader (quotes, ragged rows, non-numeric fields)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "infera_csv_parse_numeric"):
+        return None
+    n_rows_cap = body.count(b"\n") + 1
+    out = np.empty((ncols, n_rows_cap), np.float64)
+    nulls = np.empty((ncols, n_rows_cap), np.uint8)
+    float_flags = np.zeros(ncols, np.uint8)
+    n = lib.infera_csv_parse_numeric(
+        body, len(body), delimiter.encode()[:1],
+        ncols,
+        out.ctypes.data_as(ctypes.c_void_p),
+        nulls.ctypes.data_as(ctypes.c_void_p),
+        float_flags.ctypes.data_as(ctypes.c_void_p),
+        n_rows_cap,
+    )
+    if n < 0:
+        return None
+    return out[:, :n].copy(), nulls[:, :n].astype(bool), float_flags.astype(bool)

@@ -17,6 +17,8 @@
 // Device compute stays in XLA/Pallas; this library only touches host memory.
 
 #include <atomic>
+#include <charconv>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -160,9 +162,80 @@ void infera_radix_partition(const uint64_t* hashes, int64_t n, int32_t parts,
 }
 
 // ---------------------------------------------------------------------------
+// CSV fast path: all-numeric body → column-major f64 + NULL mask
+// ---------------------------------------------------------------------------
+
+// Parses an unquoted CSV byte buffer (after the header) into column-major
+// doubles. Empty fields become NULL (mask bit 0). Returns the number of
+// data rows parsed, or -1 when the buffer needs the general (Python)
+// reader: a quote character, a ragged row, or a non-numeric field.
+// out: [ncols * n_rows_cap] column-major; nulls: same layout, 1 = valid.
+// float_flags[c] is set to 1 when column c contained float syntax
+// ('.', exponent, inf/nan) — callers type pure-integer columns as BIGINT,
+// matching the Python reader's BIGINT → DOUBLE inference.
+int64_t infera_csv_parse_numeric(const char* buf, int64_t len, char delim,
+                                 int64_t ncols, double* out, uint8_t* nulls,
+                                 uint8_t* float_flags, int64_t n_rows_cap) {
+  int64_t row = 0;
+  int64_t i = 0;
+  while (i < len) {
+    if (row >= n_rows_cap) return -1;
+    int64_t col = 0;
+    while (true) {
+      // field [i, j)
+      int64_t j = i;
+      while (j < len && buf[j] != delim && buf[j] != '\n' && buf[j] != '\r')
+        ++j;
+      if (col >= ncols) return -1;  // ragged (too many fields)
+      int64_t flen = j - i;
+      double v = 0.0;
+      bool is_null = (flen == 0);
+      if (!is_null) {
+        if (buf[i] == '"') return -1;  // quoted → general reader
+        const char* b = buf + i;
+        const char* e = buf + j;
+        while (b < e && *b == ' ') ++b;
+        const char* e2 = e;
+        while (e2 > b && e2[-1] == ' ') --e2;
+        if (b == e2) {
+          is_null = true;  // all-spaces field → NULL (python int('') fails,
+                           // general reader would call it VARCHAR; treat as
+                           // mismatch instead)
+          return -1;
+        }
+        bool floaty = false;
+        for (const char* k = b; k < e2; ++k) {
+          char ch = *k;
+          if (ch == '.' || ch == 'e' || ch == 'E' || ch == 'n' || ch == 'N' ||
+              ch == 'i' || ch == 'I') {
+            floaty = true;
+            break;
+          }
+        }
+        auto res = std::from_chars(b, e2, v);
+        if (res.ec != std::errc() || res.ptr != e2) return -1;
+        if (floaty) float_flags[col] = 1;
+      }
+      out[col * n_rows_cap + row] = v;
+      nulls[col * n_rows_cap + row] = is_null ? 0 : 1;
+      ++col;
+      i = j;
+      if (i >= len || buf[i] == '\n' || buf[i] == '\r') break;
+      ++i;  // skip delimiter
+    }
+    if (col != ncols) return -1;  // ragged (too few fields)
+    // consume line ending(s)
+    if (i < len && buf[i] == '\r') ++i;
+    if (i < len && buf[i] == '\n') ++i;
+    ++row;
+  }
+  return row;
+}
+
+// ---------------------------------------------------------------------------
 // version probe
 // ---------------------------------------------------------------------------
 
-int infera_host_abi_version() { return 1; }
+int infera_host_abi_version() { return 2; }
 
 }  // extern "C"

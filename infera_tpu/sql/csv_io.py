@@ -18,13 +18,20 @@ from ..errors import SqlError
 
 
 def read_csv(path: str, header: bool = True, delimiter: str = ",") -> Table:
+    # native fast path: unquoted all-numeric bodies parse in C
+    # (runtime/src/infera_host.cpp infera_csv_parse_numeric); anything the
+    # C parser can't prove numeric falls through to the general reader
     try:
-        f = open(path, newline="")
+        with open(path, "rb") as fb:
+            raw_bytes = fb.read()
     except OSError as e:
         raise SqlError(f"IO Error: {e}")
-    with f:
-        reader = csv.reader(f, delimiter=delimiter)
-        rows = list(reader)
+    native_table = _read_csv_native(raw_bytes, header, delimiter)
+    if native_table is not None:
+        return native_table
+    rows = list(csv.reader(
+        raw_bytes.decode("utf-8", errors="replace").splitlines(),
+        delimiter=delimiter))
     if not rows:
         return Table({})
     if header:
@@ -33,11 +40,47 @@ def read_csv(path: str, header: bool = True, delimiter: str = ",") -> Table:
     else:
         names = [f"col{i}" for i in range(len(rows[0]))]
         data_rows = rows
-    ncols = len(names)
     cols: dict = {}
     for j, name in enumerate(names):
         raw = [r[j] if j < len(r) else "" for r in data_rows]
         cols[_dedupe(name, cols)] = _infer_column(raw)
+    return Table(cols)
+
+
+def _read_csv_native(raw: bytes, header: bool, delimiter: str):
+    """C-parsed Table for unquoted numeric CSVs, or None (general reader)."""
+    if not raw or b'"' in raw[:4096]:
+        return None
+    from ..runtime.native import csv_parse_numeric
+
+    if header:
+        nl = raw.find(b"\n")
+        if nl < 0:
+            return None
+        head = raw[:nl].rstrip(b"\r").decode("utf-8", errors="replace")
+        names = [c.strip() or f"col{i}"
+                 for i, c in enumerate(head.split(delimiter))]
+        body = raw[nl + 1:]
+    else:
+        first = raw.split(b"\n", 1)[0].rstrip(b"\r")
+        names = [f"col{i}" for i in range(first.count(delimiter.encode()) + 1)]
+        body = raw
+    if not body:
+        return None  # header-only file → general reader's empty handling
+    parsed = csv_parse_numeric(body, len(names), delimiter)
+    if parsed is None:
+        return None
+    values, valid, is_float = parsed
+    cols: dict = {}
+    for j, name in enumerate(names):
+        v = values[j]
+        mask = valid[j]
+        validity = None if mask.all() else mask
+        if is_float[j]:
+            cols[_dedupe(name, cols)] = Column(v, T.DOUBLE, validity)
+        else:
+            cols[_dedupe(name, cols)] = Column(v.astype(np.int64), T.BIGINT,
+                                               validity)
     return Table(cols)
 
 

@@ -64,3 +64,55 @@ def test_read_missing_file():
     with pytest.raises(SqlError) as ei:
         conn.execute("select * from read_csv('/no/such/file.csv')")
     assert "IO Error" in str(ei.value)
+
+
+def test_native_csv_fast_path(tmp_path):
+    """Numeric CSVs parse through the C fast path with the same typing and
+    NULL semantics as the general reader."""
+    from infera_tpu.runtime.native import csv_parse_numeric, native_available
+    from infera_tpu.sql.csv_io import read_csv
+
+    p = tmp_path / "n.csv"
+    p.write_text("id,val,opt\n1,1.5,\n2,2.25,7\n3,-0.5,8\n")
+    t = read_csv(str(p))
+    assert t.columns["id"].sql_type.name == "BIGINT"
+    assert t.columns["val"].sql_type.name == "DOUBLE"
+    assert t.columns["opt"].sql_type.name == "BIGINT"
+    np.testing.assert_array_equal(t.columns["id"].data, [1, 2, 3])
+    np.testing.assert_allclose(t.columns["val"].data, [1.5, 2.25, -0.5])
+    assert t.columns["opt"].is_null(0)
+    assert t.columns["opt"].value(2) == 8
+    if native_available():
+        # the C parser really handled this body
+        parsed = csv_parse_numeric(b"1,1.5,\n2,2.25,7\n3,-0.5,8\n", 3)
+        assert parsed is not None
+        values, valid, is_float = parsed
+        assert values.shape == (3, 3)
+        assert list(is_float) == [False, True, False]
+        assert not valid[2][0] and valid[2][1]
+
+
+def test_native_csv_falls_back_on_strings_and_quotes(tmp_path):
+    from infera_tpu.sql.csv_io import read_csv
+
+    p = tmp_path / "s.csv"
+    p.write_text('id,name\n1,"alpha, beta"\n2,gamma\n')
+    t = read_csv(str(p))
+    assert t.columns["name"].value(0) == "alpha, beta"
+    assert t.columns["id"].sql_type.name == "BIGINT"
+
+    p2 = tmp_path / "m.csv"
+    p2.write_text("id,label\n1,x\n2,y\n")
+    t2 = read_csv(str(p2))
+    assert t2.columns["label"].value(1) == "y"
+
+
+def test_native_csv_scientific_and_crlf(tmp_path):
+    from infera_tpu.sql.csv_io import read_csv
+
+    p = tmp_path / "e.csv"
+    p.write_bytes(b"a,b\r\n1e3,5\r\n-2.5E-1,6\r\n")
+    t = read_csv(str(p))
+    assert t.columns["a"].sql_type.name == "DOUBLE"
+    np.testing.assert_allclose(t.columns["a"].data, [1000.0, -0.25])
+    np.testing.assert_array_equal(t.columns["b"].data, [5, 6])
