@@ -1,0 +1,26 @@
+"""The docs/examples walkthroughs must stay runnable."""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = sorted(
+    (pathlib.Path(__file__).parent.parent / "docs" / "examples").glob("e*.py"))
+
+
+@pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)
+def test_example_runs(path, tmp_path):
+    import os
+
+    env = dict(os.environ)
+    env["INFERA_CACHE_DIR"] = str(tmp_path / "cache")
+    repo_root = str(pathlib.Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_PLATFORMS", "cpu")  # examples must not hit the TPU
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    res = subprocess.run([sys.executable, str(path)], capture_output=True,
+                         text=True, timeout=300, env=env)
+    assert res.returncode == 0, f"{path.name} failed:\n{res.stderr[-2000:]}"
+    assert res.stdout.strip(), f"{path.name} produced no output"
