@@ -165,26 +165,20 @@ void infera_radix_partition(const uint64_t* hashes, int64_t n, int32_t parts,
 // CSV fast path: all-numeric body → column-major f64 + NULL mask
 // ---------------------------------------------------------------------------
 
-// Parses an unquoted CSV byte buffer (after the header) into column-major
-// doubles. Empty fields become NULL (mask bit 0). Returns the number of
-// data rows parsed, or -1 when the buffer needs the general (Python)
-// reader: a quote character, a ragged row, or a non-numeric field.
-// out: [ncols * n_rows_cap] column-major; nulls: same layout, 1 = valid.
-// float_flags[c] is set to 1 when column c contained float syntax
-// ('.', exponent, inf/nan) — callers type pure-integer columns as BIGINT,
-// matching the Python reader's BIGINT → DOUBLE inference.
-int64_t infera_csv_parse_numeric(const char* buf, int64_t len, char delim,
-                                 int64_t ncols, double* out, uint8_t* nulls,
-                                 uint8_t* float_flags, int64_t n_rows_cap) {
-  int64_t row = 0;
-  int64_t i = 0;
-  while (i < len) {
+// Sequential parse of buf[lo, hi) starting at row index `row0`.
+// Returns rows parsed, or -1 on any structural/numeric mismatch.
+static int64_t csv_parse_range(const char* buf, int64_t lo, int64_t hi,
+                               char delim, int64_t ncols, double* out,
+                               uint8_t* nulls, uint8_t* local_flags,
+                               int64_t n_rows_cap, int64_t row0) {
+  int64_t row = row0;
+  int64_t i = lo;
+  while (i < hi) {
     if (row >= n_rows_cap) return -1;
     int64_t col = 0;
     while (true) {
-      // field [i, j)
       int64_t j = i;
-      while (j < len && buf[j] != delim && buf[j] != '\n' && buf[j] != '\r')
+      while (j < hi && buf[j] != delim && buf[j] != '\n' && buf[j] != '\r')
         ++j;
       if (col >= ncols) return -1;  // ragged (too many fields)
       int64_t flen = j - i;
@@ -193,16 +187,10 @@ int64_t infera_csv_parse_numeric(const char* buf, int64_t len, char delim,
       if (!is_null) {
         if (buf[i] == '"') return -1;  // quoted → general reader
         const char* b = buf + i;
-        const char* e = buf + j;
-        while (b < e && *b == ' ') ++b;
-        const char* e2 = e;
+        const char* e2 = buf + j;
+        while (b < e2 && *b == ' ') ++b;
         while (e2 > b && e2[-1] == ' ') --e2;
-        if (b == e2) {
-          is_null = true;  // all-spaces field → NULL (python int('') fails,
-                           // general reader would call it VARCHAR; treat as
-                           // mismatch instead)
-          return -1;
-        }
+        if (b == e2) return -1;  // all-spaces field → general reader
         bool floaty = false;
         for (const char* k = b; k < e2; ++k) {
           char ch = *k;
@@ -214,22 +202,109 @@ int64_t infera_csv_parse_numeric(const char* buf, int64_t len, char delim,
         }
         auto res = std::from_chars(b, e2, v);
         if (res.ec != std::errc() || res.ptr != e2) return -1;
-        if (floaty) float_flags[col] = 1;
+        if (floaty) local_flags[col] = 1;
       }
       out[col * n_rows_cap + row] = v;
       nulls[col * n_rows_cap + row] = is_null ? 0 : 1;
       ++col;
       i = j;
-      if (i >= len || buf[i] == '\n' || buf[i] == '\r') break;
+      if (i >= hi || buf[i] == '\n' || buf[i] == '\r') break;
       ++i;  // skip delimiter
     }
     if (col != ncols) return -1;  // ragged (too few fields)
-    // consume line ending(s)
-    if (i < len && buf[i] == '\r') ++i;
-    if (i < len && buf[i] == '\n') ++i;
+    if (i < hi && buf[i] == '\r') ++i;
+    if (i < hi && buf[i] == '\n') ++i;
     ++row;
   }
-  return row;
+  return row - row0;
+}
+
+// Parses an unquoted CSV byte buffer (after the header) into column-major
+// doubles, multi-threaded over newline-aligned chunks for large buffers.
+// Empty fields become NULL (mask bit 0). Returns the number of data rows
+// parsed, or -1 when the buffer needs the general (Python) reader: a quote
+// character, a ragged row, or a non-numeric field.
+// out: [ncols * n_rows_cap] column-major; nulls: same layout, 1 = valid.
+// float_flags[c] is set to 1 when column c contained float syntax
+// ('.', exponent, inf/nan) — callers type pure-integer columns as BIGINT,
+// matching the Python reader's BIGINT → DOUBLE inference.
+int64_t infera_csv_parse_numeric(const char* buf, int64_t len, char delim,
+                                 int64_t ncols, double* out, uint8_t* nulls,
+                                 uint8_t* float_flags, int64_t n_rows_cap) {
+  const int64_t kParallelMin = 4 << 20;  // 4 MiB
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = (len >= kParallelMin && hw > 1)
+                      ? static_cast<int>(hw > 16 ? 16 : hw)
+                      : 1;
+  if (n_threads == 1)
+    return csv_parse_range(buf, 0, len, delim, ncols, out, nulls, float_flags,
+                           n_rows_cap, 0);
+
+  // newline-aligned chunk boundaries
+  std::vector<int64_t> starts;
+  starts.push_back(0);
+  for (int t = 1; t < n_threads; ++t) {
+    int64_t pos = len * t / n_threads;
+    const void* nl = std::memchr(buf + pos, '\n', static_cast<size_t>(len - pos));
+    if (nl == nullptr) break;
+    int64_t s = static_cast<const char*>(nl) - buf + 1;
+    if (s > starts.back() && s < len) starts.push_back(s);
+  }
+  int chunks = static_cast<int>(starts.size());
+  // rows per chunk = newline count (+1 for a final line without newline)
+  std::vector<int64_t> chunk_rows(static_cast<size_t>(chunks), 0);
+  for (int c = 0; c < chunks; ++c) {
+    int64_t lo = starts[static_cast<size_t>(c)];
+    int64_t hi = (c + 1 < chunks) ? starts[static_cast<size_t>(c + 1)] : len;
+    int64_t count = 0;
+    const char* p = buf + lo;
+    const char* pend = buf + hi;
+    while (p < pend) {
+      const void* nl = std::memchr(p, '\n', static_cast<size_t>(pend - p));
+      if (nl == nullptr) {
+        ++count;  // final line without trailing newline
+        break;
+      }
+      ++count;
+      p = static_cast<const char*>(nl) + 1;
+    }
+    chunk_rows[static_cast<size_t>(c)] = count;
+  }
+  std::vector<int64_t> row0(static_cast<size_t>(chunks), 0);
+  int64_t total_cap = 0;
+  for (int c = 0; c < chunks; ++c) {
+    row0[static_cast<size_t>(c)] = total_cap;
+    total_cap += chunk_rows[static_cast<size_t>(c)];
+  }
+  if (total_cap > n_rows_cap) return -1;
+
+  std::vector<std::vector<uint8_t>> tl_flags(
+      static_cast<size_t>(chunks),
+      std::vector<uint8_t>(static_cast<size_t>(ncols), 0));
+  std::vector<int64_t> results(static_cast<size_t>(chunks), -1);
+  std::vector<std::thread> workers;
+  for (int c = 0; c < chunks; ++c) {
+    workers.emplace_back([&, c]() {
+      int64_t lo = starts[static_cast<size_t>(c)];
+      int64_t hi = (c + 1 < chunks) ? starts[static_cast<size_t>(c + 1)] : len;
+      results[static_cast<size_t>(c)] = csv_parse_range(
+          buf, lo, hi, delim, ncols, out, nulls,
+          tl_flags[static_cast<size_t>(c)].data(), n_rows_cap,
+          row0[static_cast<size_t>(c)]);
+    });
+  }
+  for (auto& w : workers) w.join();
+  int64_t total = 0;
+  for (int c = 0; c < chunks; ++c) {
+    int64_t r = results[static_cast<size_t>(c)];
+    // every chunk must parse exactly its counted rows
+    if (r < 0 || r != chunk_rows[static_cast<size_t>(c)]) return -1;
+    total += r;
+    for (int64_t j = 0; j < ncols; ++j)
+      if (tl_flags[static_cast<size_t>(c)][static_cast<size_t>(j)])
+        float_flags[j] = 1;
+  }
+  return total;
 }
 
 // ---------------------------------------------------------------------------
