@@ -245,6 +245,19 @@ class DropTable(Statement):
 
 
 @dataclass
+class Delete(Statement):
+    table: str = ""
+    where: Expr | None = None
+
+
+@dataclass
+class Update(Statement):
+    table: str = ""
+    assignments: list = field(default_factory=list)  # [(col_name, Expr)]
+    where: Expr | None = None
+
+
+@dataclass
 class Explain(Statement):
     query: Statement = None
     analyze: bool = False  # EXPLAIN ANALYZE: run the query, report actuals

@@ -171,6 +171,51 @@ class Connection:
             return QueryResult()
         if isinstance(stmt, A.Insert):
             return self._execute_insert(stmt)
+        if isinstance(stmt, A.Delete):
+            table = self.catalog.get(stmt.table)
+            if stmt.where is None:
+                kept = table.filter(np.zeros(table.num_rows, bool))
+            else:
+                mask = _as_bool_mask(self._eval(stmt.where, Scope(table)))
+                kept = table.filter(~mask)
+            self.catalog.put(stmt.table, kept, or_replace=True)
+            n = table.num_rows - kept.num_rows
+            count = Table({"Count": Column(np.asarray([n], np.int64), T.BIGINT)})
+            return QueryResult(count, count.names)
+        if isinstance(stmt, A.Update):
+            table = self.catalog.get(stmt.table)
+            scope = Scope(table)
+            if stmt.where is None:
+                mask = np.ones(table.num_rows, bool)
+            else:
+                mask = _as_bool_mask(self._eval(stmt.where, scope))
+            new_cols = dict(table.columns)
+            for col_name, expr in stmt.assignments:
+                key = None
+                for k in table.columns:
+                    if k.split(".")[-1].lower() == col_name.lower():
+                        key = k
+                        break
+                if key is None:
+                    raise SqlError(f"Binder Error: Referenced column \"{col_name}\" "
+                                   f"not found in FROM clause!")
+                old = table.columns[key]
+                new = self._eval(expr, scope)
+                if new.sql_type.name != old.sql_type.name and old.sql_type.is_numeric:
+                    new = new.cast(old.sql_type)
+                data = old.data.copy()
+                data[mask] = new.data[mask] if len(new) == len(old) else new.value(0)
+                validity = None
+                if old.validity is not None or new.validity is not None:
+                    validity = old.valid_mask().copy()
+                    validity[mask] = new.valid_mask()[mask] if len(new) == len(old) else True
+                    if validity.all():
+                        validity = None
+                new_cols[key] = Column(data, old.sql_type, validity)
+            self.catalog.put(stmt.table, Table(new_cols), or_replace=True)
+            n = int(mask.sum())
+            count = Table({"Count": Column(np.asarray([n], np.int64), T.BIGINT)})
+            return QueryResult(count, count.names)
         if isinstance(stmt, A.DropTable):
             self.catalog.drop(stmt.name, stmt.if_exists)
             return QueryResult()

@@ -94,6 +94,29 @@ class Parser:
             return self._parse_insert()
         if self.at_kw("DROP"):
             return self._parse_drop()
+        if self.at_kw("DELETE"):
+            self.next()
+            self.expect_kw("FROM")
+            name = self.expect_ident()
+            where = None
+            if self.accept_kw("WHERE"):
+                where = self.parse_expr()
+            return A.Delete(name, where)
+        if self.at_kw("UPDATE"):
+            self.next()
+            name = self.expect_ident()
+            self.expect_kw("SET")
+            assignments = []
+            while True:
+                col = self.expect_ident()
+                self.expect_op("=")
+                assignments.append((col, self.parse_expr()))
+                if not self.accept_op(","):
+                    break
+            where = None
+            if self.accept_kw("WHERE"):
+                where = self.parse_expr()
+            return A.Update(name, assignments, where)
         if self.at_kw("COPY"):
             self.next()
             if self.accept_op("("):

@@ -57,3 +57,49 @@ def test_deeply_nested_expression():
     conn = Connection()
     sql = "select " + "(" * 50 + "1" + ")" * 50
     assert conn.execute(sql).rows == [(1,)]
+
+
+def test_update_and_delete():
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table t as select x as id, (x * 2)::float as v "
+                 "from range(10) r(x)")
+    # UPDATE with WHERE, expression referencing old values
+    rows = conn.execute("update t set v = v + 100 where id % 2 = 0").rows
+    assert rows == [(5,)]
+    got = conn.execute("select id, v from t order by id limit 4").rows
+    assert got == [(0, 100.0), (1, 2.0), (2, 104.0), (3, 6.0)]
+    # multi-assignment
+    conn.execute("update t set v = 0, id = id + 100 where id >= 8")
+    assert conn.execute("select count(*) from t where id >= 100").rows == [(2,)]
+    # DELETE with WHERE
+    rows = conn.execute("delete from t where v = 0").rows
+    assert rows == [(2,)]
+    assert conn.execute("select count(*) from t").rows == [(8,)]
+    # unconditional DELETE empties the table, keeps the schema
+    conn.execute("delete from t")
+    assert conn.execute("select count(*) from t").rows == [(0,)]
+    conn.execute("insert into t values (1, 5.0)")
+    assert conn.execute("select * from t").rows == [(1, 5.0)]
+
+
+def test_update_int_assignment_casts_to_column_type():
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table t as select x as id from range(3) r(x)")
+    conn.execute("update t set id = id / 2")  # float div → cast back to BIGINT
+    assert conn.execute("select id from t order by id").rows == [(0,), (0,), (1,)]
+
+
+def test_update_missing_column_errors():
+    import pytest
+
+    from infera_tpu.errors import SqlError
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table t as select 1 as a")
+    with pytest.raises(SqlError, match='Referenced column "zz" not found'):
+        conn.execute("update t set zz = 1")
