@@ -66,6 +66,122 @@ def make_tp_inference_step(mesh: Mesh):
     return jax.jit(fn)
 
 
+def make_pp_inference_step(mesh: Mesh, n_stages: int, n_micro: int):
+    """GPipe-style pipeline-parallel inference over the ``mp`` axis.
+
+    Each device owns ONE stage's weights (a [d, d] dense layer + relu,
+    identical shapes so shard_map stays uniform); microbatches stream
+    through the stages via `ppermute`, so at steady state every stage is
+    busy on a different microbatch. `n_micro + n_stages - 1` ticks drain
+    the pipeline; the last stage's outputs are psum-broadcast (it is the
+    only contributor, so the sum IS the value).
+
+    fn(stage_params, x) -> y with
+      stage_params = (W [n_stages, d, d], B [n_stages, d]) sharded on mp
+      x [n_micro, mb, d] replicated → y [n_micro, mb, d] replicated.
+    """
+    fwd_perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def local(stage_params, x):
+        w, b = stage_params          # [1, d, d], [1, d] — this stage's slice
+        w = w[0]
+        b = b[0]
+        s = jax.lax.axis_index("mp")
+        mb, d = x.shape[1], x.shape[2]
+        ticks = n_micro + n_stages - 1
+
+        def tick(carry, t):
+            act_recv, ys = carry
+            inject = x[jnp.clip(t, 0, n_micro - 1)]
+            act_in = jnp.where(s == 0, inject, act_recv)
+            out = jax.nn.relu(
+                jnp.dot(act_in, w, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) + b)
+            nxt = jax.lax.ppermute(out, "mp", fwd_perm)
+            done_idx = t - (n_stages - 1)
+            is_done = (s == n_stages - 1) & (done_idx >= 0)
+            ys = jax.lax.cond(
+                is_done,
+                lambda ys: ys.at[jnp.clip(done_idx, 0, n_micro - 1)].set(out),
+                lambda ys: ys,
+                ys,
+            )
+            return (nxt, ys), None
+
+        init = (jnp.zeros((mb, d), jnp.float32),
+                jnp.zeros((n_micro, mb, d), jnp.float32))
+        (_, ys), _ = jax.lax.scan(tick, init, jnp.arange(ticks))
+        # only the last stage holds real outputs → psum broadcasts them
+        return jax.lax.psum(
+            jnp.where(s == n_stages - 1, ys, jnp.zeros_like(ys)), "mp")
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=((P("mp", None, None), P("mp", None)), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_ep_inference_step(mesh: Mesh, n_experts: int, cap: int):
+    """Expert-parallel (MoE-style) inference over the ``mp`` axis.
+
+    Expert weights live one-per-device; rows route to their expert via the
+    same fixed-capacity bucket-pack + `all_to_all` exchange the distributed
+    shuffle uses, each device applies its expert layer, and a reverse
+    `all_to_all` returns results to the rows' home devices.
+
+    fn(expert_w, expert_b, x, expert_id) -> y with
+      expert_w [n_experts, d, d], expert_b [n_experts, d] sharded on mp;
+      x [N, d], expert_id [N] sharded on mp (row sharding; `cap` bounds
+      rows any single (src, expert) pair may exchange).
+    """
+
+    def local(ew, eb, x, eid):
+        ew = ew[0]
+        eb = eb[0]
+        part = (eid % n_experts).astype(jnp.int32)
+        packed, send_valid = _pack_buckets(part, [x], n_experts, cap)
+        recv_valid = jax.lax.all_to_all(send_valid, "mp", 0, 0)
+        recv_x = jax.lax.all_to_all(packed[0], "mp", 0, 0)
+        flat = recv_x.reshape(-1, x.shape[1])
+        y = jax.nn.relu(
+            jnp.dot(flat, ew, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) + eb)
+        y = jnp.where(recv_valid.reshape(-1)[:, None], y, 0.0)
+        # reverse exchange: results go back to the source device in the
+        # same bucket slots, then unpack to original row order
+        back = jax.lax.all_to_all(y.reshape(recv_x.shape), "mp", 0, 0)
+        back_valid = jax.lax.all_to_all(recv_valid, "mp", 0, 0)
+        # _pack_buckets places a row at (its partition, its stable rank
+        # within that partition); recompute the rank to invert the packing
+        rank = _bucket_slots(part, n_experts)
+        slot = jnp.minimum(rank, cap - 1)
+        out = back[part, slot]
+        valid = back_valid[part, slot] & (rank < cap)
+        routed = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "mp")
+        return jnp.where(valid[:, None], out, 0.0), routed
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("mp", None, None), P("mp", None), P("mp", None), P("mp")),
+        out_specs=(P("mp", None), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _bucket_slots(part: jnp.ndarray, n_buckets: int) -> jnp.ndarray:
+    """Slot index of each row within its destination bucket (stable order) —
+    must mirror shuffle._pack_buckets' placement."""
+    onehot = (part[:, None] == jnp.arange(n_buckets)[None, :]).astype(jnp.int32)
+    pos = jnp.cumsum(onehot, axis=0) - onehot
+    return jnp.take_along_axis(pos, part[:, None], axis=1)[:, 0]
+
+
 def make_distributed_query_step(mesh: Mesh, n_groups: int, cap: int,
                                 skew_split: bool = False,
                                 hot_factor: float = 4.0):

@@ -215,3 +215,58 @@ def test_gbt_data_parallel(mesh):
     sharded = np.asarray(model.run_data_parallel(mesh, jnp.asarray(x))[0])
     single = np.asarray(model.run(x)[0])
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe microbatch pipeline over the mp axis == sequential layer stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from infera_tpu.parallel.mesh import make_mesh
+    from infera_tpu.parallel.pipeline import make_pp_inference_step
+
+    n_stages, n_micro, mb, d = 4, 6, 8, 16
+    mesh = make_mesh(4, mp=4)  # dp=1, mp=4 (stage axis)
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.standard_normal((n_stages, d, d)), jnp.float32) * 0.3
+    B = jnp.asarray(rng.standard_normal((n_stages, d)), jnp.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((n_micro, mb, d)), jnp.float32)
+
+    step = make_pp_inference_step(mesh, n_stages, n_micro)
+    got = np.asarray(step((W, B), x))
+
+    h = np.asarray(x).reshape(-1, d)
+    for s in range(n_stages):
+        h = np.maximum(h @ np.asarray(W[s]) + np.asarray(B[s]), 0.0)
+    want = h.reshape(n_micro, mb, d)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_expert_parallel_routing_matches_dense():
+    """MoE routing over the mp axis: every row gets its own expert's output."""
+    import jax
+    import jax.numpy as jnp
+
+    from infera_tpu.parallel.mesh import make_mesh
+    from infera_tpu.parallel.pipeline import make_ep_inference_step
+
+    n_experts, d = 4, 8
+    mesh = make_mesh(4, mp=4)
+    rng = np.random.default_rng(1)
+    EW = jnp.asarray(rng.standard_normal((n_experts, d, d)), jnp.float32) * 0.4
+    EB = jnp.asarray(rng.standard_normal((n_experts, d)), jnp.float32) * 0.1
+    n = 64  # rows per device slice is n/4
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    eid = jnp.asarray(rng.integers(0, n_experts, n), jnp.int32)
+
+    step = make_ep_inference_step(mesh, n_experts, cap=n)  # cap ample
+    got, routed = step(EW, EB, x, eid)
+    got = np.asarray(got)
+    assert int(routed) == n
+
+    xh = np.asarray(x)
+    want = np.empty_like(xh)
+    for i in range(n):
+        e = int(eid[i])
+        want[i] = np.maximum(xh[i] @ np.asarray(EW[e]) + np.asarray(EB[e]), 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
