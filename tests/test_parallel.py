@@ -270,3 +270,30 @@ def test_expert_parallel_routing_matches_dense():
         e = int(eid[i])
         want[i] = np.maximum(xh[i] @ np.asarray(EW[e]) + np.asarray(EB[e]), 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(causal):
+    """Sequence-parallel ring attention == dense softmax attention."""
+    import jax.numpy as jnp
+
+    from infera_tpu.parallel.mesh import make_mesh
+    from infera_tpu.parallel.ring_attention import make_ring_attention_step
+
+    mesh = make_mesh(4, mp=4)
+    seq, d = 32, 16  # 8 rows per device
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((seq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((seq, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((seq, d)), jnp.float32)
+
+    step = make_ring_attention_step(mesh, causal=causal)
+    got = np.asarray(step(q, k, v))
+
+    scores = (np.asarray(q) @ np.asarray(k).T) / np.sqrt(d)
+    if causal:
+        scores = np.where(np.triu(np.ones((seq, seq), bool), 1), -np.inf, scores)
+    w = np.exp(scores - scores.max(axis=1, keepdims=True))
+    w = w / w.sum(axis=1, keepdims=True)
+    want = w @ np.asarray(v)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
