@@ -18,8 +18,9 @@ FILES = sorted(glob.glob(os.path.join(SUITE_DIR, "*.test")))
 
 
 @pytest.mark.parametrize("path", FILES, ids=[os.path.basename(f) for f in FILES])
-def test_sqllogic_file(path, model_dir, clean_registry, isolated_cache):
-    runner = SqlLogicRunner(Connection(), substitutions={"MODELS": model_dir})
+def test_sqllogic_file(path, model_dir, clean_registry, isolated_cache, tmp_path):
+    runner = SqlLogicRunner(Connection(), substitutions={"MODELS": model_dir,
+                                                        "TMP": str(tmp_path)})
     result = runner.run_file(path)
     if not result.passed:
         msgs = []
