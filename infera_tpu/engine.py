@@ -71,12 +71,26 @@ def _lookup(model_name: str) -> CompiledOnnxModel:
     return model
 
 
+# batches beyond this split into fixed chunks: power-of-two padding of a
+# huge batch wastes up to 2x memory/compute, and one executable serves
+# every chunk (the reference's unimplemented "automatic batch splitting"
+# ROADMAP item, generalized to the large end)
+SPLIT_CHUNK_ROWS = 1 << 20
+
+
 def _run_padded(model: CompiledOnnxModel, arr: np.ndarray) -> np.ndarray:
     """Run with rows padded to a bucket; slice the output back to true rows.
 
-    arr is the full input tensor with batch on axis 0.
+    arr is the full input tensor with batch on axis 0. Batches above
+    SPLIT_CHUNK_ROWS execute chunkwise (async dispatch overlaps chunk k+1's
+    transfer with chunk k's compute) and concatenate.
     """
     rows = arr.shape[0]
+    if rows > SPLIT_CHUNK_ROWS:
+        outs = []
+        for start in range(0, rows, SPLIT_CHUNK_ROWS):
+            outs.append(_run_padded(model, arr[start:start + SPLIT_CHUNK_ROWS]))
+        return np.concatenate(outs, axis=0)
     bucket = _next_bucket(rows)
     if bucket != rows:
         pad = np.zeros((bucket - rows,) + arr.shape[1:], dtype=arr.dtype)

@@ -115,3 +115,18 @@ def test_metadata_missing_model(clean_registry):
     info = it.get_model_info("ghost")
     assert '"error"' in info
     assert "Model not found: ghost" in info
+
+
+def test_large_batch_splits_into_chunks(model_dir, clean_registry, monkeypatch):
+    """Batches above SPLIT_CHUNK_ROWS run chunkwise (uneven tail included)
+    and match the unsplit path exactly."""
+    import infera_tpu as it
+    from infera_tpu import engine as eng
+
+    it.load_model("linear", f"{model_dir}/linear.onnx")
+    x = np.random.default_rng(0).standard_normal((1000, 3)).astype(np.float32)
+    ref = np.asarray(it.predict("linear", x).data)
+
+    monkeypatch.setattr(eng, "SPLIT_CHUNK_ROWS", 256)  # forces 4 chunks
+    got = np.asarray(it.predict("linear", x).data)
+    np.testing.assert_array_equal(got, ref)
