@@ -103,3 +103,55 @@ def test_concurrent_shared_model_predict(model_dir, clean_registry):
         t.join()
     assert errors == []
     assert it.is_model_loaded("shared")
+
+
+def test_concurrent_sql_queries_across_models(model_dir, clean_registry):
+    """config-4's registry envelope: multiple threads issue SQL queries
+    against DIFFERENT models concurrently through separate connections
+    (shared process registry), with zero errors and consistent results."""
+    import threading
+
+    import infera_tpu as it
+    from infera_tpu.onnx import builder, proto
+    from infera_tpu.sql import Connection
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        proto.save_model_file(
+            builder.gbt_regressor_model(n_features=3, n_trees=4, depth=3,
+                                        seed=1), f"{d}/gbt.onnx")
+        it.load_model("linear", f"{model_dir}/linear.onnx")
+        it.load_model("gbt", f"{d}/gbt.onnx")
+
+        errors = []
+        results = {"linear": set(), "gbt": set()}
+        lock = threading.Lock()
+
+        def worker(model, idx):
+            try:
+                conn = Connection()
+                conn.execute("create table t as select (x % 10)::float as a, "
+                             "((x + 1) % 10)::float as b, "
+                             "((x + 2) % 10)::float as c from range(2000) r(x)")
+                for _ in range(5):
+                    rows = conn.execute(
+                        f"select round(sum(infera_predict('{model}', a, b, c)), 3) "
+                        f"from t").rows
+                    with lock:
+                        results[model].add(rows[0][0])
+            except Exception as e:  # pragma: no cover
+                errors.append((model, idx, repr(e)))
+
+        threads = [threading.Thread(target=worker,
+                                    args=("linear" if i % 2 == 0 else "gbt", i))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        # every thread/iteration saw the same answer per model (volatile
+        # functions, but the data and model are fixed)
+        assert len(results["linear"]) == 1
+        assert len(results["gbt"]) == 1
