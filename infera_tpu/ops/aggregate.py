@@ -101,6 +101,88 @@ def _agg_stddev(values, groups, n_groups):
     return out, c < 2
 
 
+def _agg_var(values, groups, n_groups, ddof):
+    data, valid = _masked(values)
+    s, _ = _group_reduce(data, valid, groups, n_groups, "sum", 0.0)
+    s2, _ = _group_reduce(data * data, valid, groups, n_groups, "sum", 0.0)
+    c = np.bincount(groups[valid], minlength=n_groups).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.maximum((s2 - s * s / c) / (c - ddof), 0.0)
+    return out, c < max(ddof + 1, 1)
+
+
+def _agg_var_samp(values, groups, n_groups):
+    return _agg_var(values, groups, n_groups, 1)
+
+
+def _agg_var_pop(values, groups, n_groups):
+    return _agg_var(values, groups, n_groups, 0)
+
+
+def _agg_stddev_pop(values, groups, n_groups):
+    out, nulls = _agg_var_pop(values, groups, n_groups)
+    return np.sqrt(out), nulls
+
+
+def _agg_median(values, groups, n_groups):
+    """Per-group median (even counts average the two middles, DuckDB-style);
+    sort-based: one lexsort by (group, value) then segment middles."""
+    data, valid = _masked(values)
+    gv = groups[valid]
+    dv = data[valid]
+    out = np.full(n_groups, np.nan)
+    has = np.zeros(n_groups, bool)
+    if len(gv):
+        order = np.lexsort((dv, gv))
+        gs, ds = gv[order], dv[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.r_[starts[1:], len(gs)]
+        for st, en in zip(starts, ends):
+            g = gs[st]
+            n = en - st
+            mid = st + (n - 1) // 2
+            out[g] = ds[mid] if n % 2 else 0.5 * (ds[mid] + ds[mid + 1])
+            has[g] = True
+    return out, ~has
+
+
+def _agg_mode(values, groups, n_groups):
+    """Most frequent non-NULL value per group (ties → first seen)."""
+    from collections import Counter
+
+    counters: list = [Counter() for _ in range(n_groups)]
+    firsts_order: list = [dict() for _ in range(n_groups)]
+    for i, g in enumerate(groups):
+        v = values.value(i)
+        if v is None:
+            continue
+        counters[g][v] += 1
+        firsts_order[g].setdefault(v, i)
+    out = np.empty(n_groups, dtype=object)
+    nulls = np.ones(n_groups, bool)
+    for g, cnt in enumerate(counters):
+        if cnt:
+            best = max(cnt.items(),
+                       key=lambda kv: (kv[1], -firsts_order[g][kv[0]]))[0]
+            out[g] = best
+            nulls[g] = False
+    return out, nulls
+
+
+def _agg_bool_and(values, groups, n_groups):
+    data = values.data.astype(bool).astype(np.float64)
+    valid = values.valid_mask()
+    out, has = _group_reduce(data, valid, groups, n_groups, "min", 1.0)
+    return out.astype(bool), ~has
+
+
+def _agg_bool_or(values, groups, n_groups):
+    data = values.data.astype(bool).astype(np.float64)
+    valid = values.valid_mask()
+    out, has = _group_reduce(data, valid, groups, n_groups, "max", 0.0)
+    return out.astype(bool), ~has
+
+
 _AGGS = {
     "count": _agg_count,
     "sum": _agg_sum,
@@ -112,18 +194,28 @@ _AGGS = {
     "any_value": _agg_first,
     "stddev": _agg_stddev,
     "stddev_samp": _agg_stddev,
+    "stddev_pop": _agg_stddev_pop,
+    "var_samp": _agg_var_samp,
+    "variance": _agg_var_samp,
+    "var_pop": _agg_var_pop,
+    "median": _agg_median,
+    "mode": _agg_mode,
+    "bool_and": _agg_bool_and,
+    "bool_or": _agg_bool_or,
 }
 
 
 def _result_type(name: str, values: Column | None) -> T.SqlType:
     if name == "count":
         return T.BIGINT
-    if name in ("first", "any_value") and values is not None:
+    if name in ("first", "any_value", "mode") and values is not None:
         return values.sql_type
     if name == "sum" and values is not None and values.sql_type.is_integer:
         return T.BIGINT
     if name in ("min", "max") and values is not None:
         return values.sql_type
+    if name in ("bool_and", "bool_or"):
+        return T.BOOLEAN
     return T.DOUBLE
 
 

@@ -33,7 +33,8 @@ SCALAR_FUNCTIONS: dict = {}
 # (implementations live in infera_tpu.ops.aggregate)
 AGGREGATE_FUNCTIONS = frozenset(
     {"count", "sum", "avg", "mean", "min", "max", "first", "any_value",
-     "stddev", "stddev_samp"}
+     "stddev", "stddev_samp", "stddev_pop", "var_samp", "variance",
+     "var_pop", "median", "mode", "bool_and", "bool_or"}
 )
 
 

@@ -103,3 +103,40 @@ def test_update_missing_column_errors():
     conn.execute("create table t as select 1 as a")
     with pytest.raises(SqlError, match='Referenced column "zz" not found'):
         conn.execute("update t set zz = 1")
+
+
+def test_statistical_aggregates():
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table s as select x % 4 as g, (x % 10)::float as v, "
+                 "x % 2 = 0 as b from range(1000) r(x)")
+    rows = conn.execute(
+        "select g, median(v), var_samp(v), var_pop(v), stddev_pop(v), "
+        "mode(v), bool_and(b), bool_or(b) from s group by g order by g").rows
+    x = np.arange(1000)
+    for kg, med, vs, vp, sp, mo, ba, bo in rows:
+        m = x % 4 == kg
+        v = (x[m] % 10).astype(np.float64)
+        assert med == pytest.approx(float(np.median(v)))
+        assert vs == pytest.approx(float(np.var(v, ddof=1)), rel=1e-9)
+        assert vp == pytest.approx(float(np.var(v)), rel=1e-9)
+        assert sp == pytest.approx(float(np.std(v)), rel=1e-9)
+        # mode: ties broken by first occurrence
+        vals, counts = np.unique(v, return_counts=True)
+        assert counts[vals == mo][0] == counts.max()
+        evens = (x[m] % 2 == 0)
+        assert ba == bool(evens.all())
+        assert bo == bool(evens.any())
+
+
+def test_median_even_count_and_nulls():
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table m as select * from (values (1.0), (3.0), "
+                 "(2.0), (10.0)) v(x)")
+    assert conn.execute("select median(x) from m").rows == [(2.5,)]
+    conn.execute("create table m2 as select * from (values (1.0), (NULL), "
+                 "(5.0)) v(x)")
+    assert conn.execute("select median(x) from m2").rows == [(3.0,)]
