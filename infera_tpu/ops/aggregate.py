@@ -219,6 +219,32 @@ def _result_type(name: str, values: Column | None) -> T.SqlType:
     return T.DOUBLE
 
 
+def _distinct_mask(values: Column, groups: np.ndarray) -> np.ndarray:
+    """validity mask keeping one (the first) valid row per (group, value)."""
+    valid = values.valid_mask().copy()
+    data = values.data
+    if data.dtype == object:
+        seen: set = set()
+        for i in range(len(data)):
+            if not valid[i]:
+                continue
+            key = (int(groups[i]), data[i])
+            if key in seen:
+                valid[i] = False
+            else:
+                seen.add(key)
+        return valid
+    d = data.astype(np.float64)
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return valid
+    order = np.lexsort((d[idx], groups[idx]))
+    gi, di, oi = groups[idx][order], d[idx][order], idx[order]
+    dup = np.r_[False, (gi[1:] == gi[:-1]) & (di[1:] == di[:-1])]
+    valid[oi[dup]] = False
+    return valid
+
+
 # --- group-by machinery ----------------------------------------------------
 
 def _collect_agg_nodes(expr: A.Expr, out: list) -> None:
@@ -338,6 +364,12 @@ def group_aggregate(sel, scope, eval_fn, scope_cls) -> Table:
             values = None
         else:
             values = conn_eval(node.args[0], scope)
+        if getattr(node, "distinct", False) and values is not None:
+            # DISTINCT: keep only the first occurrence of each (group,
+            # value) pair; every aggregate respects validity, so masking
+            # duplicates implements DISTINCT for all of them
+            values = Column(values.data, values.sql_type,
+                            _distinct_mask(values, groups))
         if name == "count":
             data, nulls = impl(values, groups, n_groups)
         else:

@@ -161,6 +161,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     for item in sel.items:
         e = item.expr
         if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
+            if e.distinct:
+                return None  # DISTINCT aggregates stay on the host path
             items_plan.append(("agg", e))
         elif sel.group_by and e in sel.group_by:
             items_plan.append(("key", sel.group_by.index(e)))

@@ -292,6 +292,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     for item in sel.items:
         e = item.expr
         if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
+            if e.distinct:
+                return None  # DISTINCT aggregates stay on the host path
             items_plan.append(("agg", e))
         elif sel.group_by and e in sel.group_by:
             items_plan.append(("key", sel.group_by.index(e)))
@@ -355,6 +357,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         # hidden device outputs for HAVING aggregates
         having_plan = []
         for node in having_aggs:
+            if node.distinct:
+                return None  # DISTINCT aggregates stay on the host path
             name = node.name.lower()
             if node.is_star or not node.args:
                 if name != "count":

@@ -140,3 +140,27 @@ def test_median_even_count_and_nulls():
     conn.execute("create table m2 as select * from (values (1.0), (NULL), "
                  "(5.0)) v(x)")
     assert conn.execute("select median(x) from m2").rows == [(3.0,)]
+
+
+def test_count_distinct():
+    """Regression: DISTINCT inside aggregates used to parse but be silently
+    ignored. Now honored on the host path and rejected by fused plans."""
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table t as select x % 3 as g, x % 5 as v, "
+                 "(x % 4)::float as f from range(30000) r(x)")
+    rows = conn.execute(
+        "select g, count(distinct v), count(v), sum(distinct f) "
+        "from t group by g order by g").rows
+    for kg, cd, c, sd in rows:
+        assert cd == 5
+        assert c == 10000
+        assert sd == pytest.approx(0.0 + 1.0 + 2.0 + 3.0)
+    # global form + avg(distinct)
+    rows = conn.execute(
+        "select count(distinct v), avg(distinct f) from t").rows
+    assert rows == [(5, pytest.approx(1.5))]
+    # strings
+    conn.execute("create table s as select 'u' || (x % 7) as u from range(100) r(x)")
+    assert conn.execute("select count(distinct u) from s").rows == [(7,)]
