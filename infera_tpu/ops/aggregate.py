@@ -52,10 +52,25 @@ def _group_reduce(data, valid, groups, n_groups, reduce_fn, empty):
 
 
 def _agg_sum(values, groups, n_groups):
+    if values.sql_type.is_integer:
+        # exact int64 accumulation — f64 would silently lose precision for
+        # totals past 2^53
+        valid = values.valid_mask()
+        # overflow guard (f64 magnitude estimate, 2x safety margin): numpy
+        # wraps silently where DuckDB raises
+        est = np.zeros(n_groups, np.float64)
+        np.add.at(est, groups[valid], np.abs(values.data[valid].astype(np.float64)))
+        if (est >= 2.0**62).any():
+            raise SqlError("Out of Range Error: overflow in SUM(BIGINT)")
+        out = np.zeros(n_groups, np.int64)
+        np.add.at(out, groups[valid], values.data[valid].astype(np.int64))
+        has = np.zeros(n_groups, bool)
+        gv = groups[valid]
+        if len(gv):
+            has[np.unique(gv)] = True
+        return out, ~has  # int64 through to the BIGINT column, no f64 trip
     data, valid = _masked(values)
     out, has = _group_reduce(data, valid, groups, n_groups, "sum", 0.0)
-    if values.sql_type.is_integer:
-        return out.astype(np.int64).astype(np.float64), ~has
     return out, ~has
 
 

@@ -67,6 +67,39 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
     import jax.numpy as jnp
 
     lowerer = _Lowerer(table)
+
+    def _float_only(expr: A.Expr) -> bool:
+        """sum/avg/min/max accumulate in f32 per chunk — only float-typed
+        columns keep exactness guarantees; integer aggregates stay on the
+        host path (mirrors device_plan's gate)."""
+        ok = True
+
+        def walk(e):
+            nonlocal ok
+            if isinstance(e, A.ColumnRef):
+                try:
+                    key = lowerer._column(e.name, e.table)
+                except _Unsupported:
+                    ok = False
+                    return
+                t = table.columns[key].sql_type
+                if not (t.is_float or t.name == "DECIMAL"):
+                    ok = False
+            if isinstance(e, A.FuncCall):
+                if e.name.lower() == "infera_predict":
+                    return
+                for a in e.args:
+                    if isinstance(a, A.Expr):
+                        walk(a)
+                return
+            for attr in ("operand", "left", "right", "low", "high"):
+                child = getattr(e, attr, None)
+                if isinstance(child, A.Expr):
+                    walk(child)
+
+        walk(expr)
+        return ok
+
     try:
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
         key_fns = [lowerer.lower(g) for g in sel.group_by]
@@ -82,6 +115,8 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
                     return None
                 agg_plans.append(("count_star", None))
             else:
+                if name != "count" and not _float_only(node.args[0]):
+                    return None
                 agg_plans.append((name, lowerer.lower(node.args[0])))
     except _Unsupported:
         return None

@@ -149,3 +149,19 @@ def test_streaming_over_columnar_file(monkeypatch, tmp_path):
         m = g == kg
         assert c == int(m.sum())
         assert s == pytest.approx(float(f[m].sum()), rel=1e-9)
+
+
+def test_streaming_rejects_integer_sum(monkeypatch):
+    """Integer SUM must stay exact: the streaming plan (f32 per-chunk
+    accumulate) must decline and leave it to the host path."""
+    from infera_tpu.sql import streaming_plan
+
+    monkeypatch.setattr(streaming_plan, "STREAM_MIN_ROWS", 1 << 14)
+    monkeypatch.setattr(streaming_plan, "CHUNK_ROWS", 8192)
+    conn = Connection()
+    big = (1 << 47) + 1  # f32 per-chunk accumulation would mangle this
+    n = 40000
+    conn.execute(f"create table ti as select x % 4 as g, {big}::bigint as v "
+                 f"from range({n}) r(x)")
+    rows = conn.execute("select g, sum(v) from ti group by g order by g").rows
+    assert rows == [(g, (n // 4) * big) for g in range(4)]

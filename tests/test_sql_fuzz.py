@@ -164,3 +164,22 @@ def test_count_distinct():
     # strings
     conn.execute("create table s as select 'u' || (x % 7) as u from range(100) r(x)")
     assert conn.execute("select count(distinct u) from s").rows == [(7,)]
+
+
+def test_bigint_sum_exact_past_2_53():
+    """Regression: integer SUM accumulated in f64, silently losing exactness
+    for totals beyond 2^53."""
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    big = (1 << 53) + 1  # not representable in f64
+    conn.execute(f"create table t as select {big}::bigint as v, x % 2 as g "
+                 f"from range(4) r(x)")
+    rows = conn.execute("select g, sum(v) from t group by g order by g").rows
+    assert rows == [(0, 2 * big), (1, 2 * big)]
+    assert conn.execute("select sum(v) from t").rows == [(4 * big,)]
+    # genuine int64 overflow raises instead of wrapping
+    conn.execute("create table o as select 9000000000000000000::bigint as v "
+                 "from range(3) r(x)")
+    with pytest.raises(SqlError, match="overflow in SUM"):
+        conn.execute("select sum(v) from o")
