@@ -355,7 +355,9 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         device_cols["__dimraw__." + k] = dev
     device_cols["__lookup__"] = jnp.asarray(lookup)
     try:
-        results, group_count, key_mins, key_maxs, frac_flags = compiled(device_cols)
+        # ONE batched device→host transfer (see device_plan.py note)
+        results, group_count, key_mins, key_maxs, frac_flags = jax.device_get(
+            compiled(device_cols))
         results = [np.asarray(r) for r in results]
         group_count = np.asarray(group_count)
     except Exception:

@@ -522,7 +522,11 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             c._device_array = dev
         device_cols[k] = dev
     try:
-        results, group_count, key_mins, key_maxs, frac_flags = compiled(device_cols)
+        out = compiled(device_cols)
+        # ONE batched device→host transfer: per-array np.asarray costs a
+        # round-trip each (~30ms over the tunneled platform — dominated the
+        # 1M-row query before this)
+        results, group_count, key_mins, key_maxs, frac_flags = jax.device_get(out)
         results = [np.asarray(r) for r in results]
         group_count = np.asarray(group_count)
     except _Unsupported:

@@ -221,7 +221,8 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
 
     def fold(res):
         nonlocal acc_outs, acc_count
-        outs, gcount, kmins, kmaxs = res
+        # ONE batched device→host transfer per chunk (see device_plan.py)
+        outs, gcount, kmins, kmaxs = jax.device_get(res)
         outs = [
             None if o is None else
             (np.asarray(o[0], np.float64), np.asarray(o[1], np.float64))
