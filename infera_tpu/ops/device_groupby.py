@@ -40,7 +40,10 @@ def group_ids_device(key_cols: list, n_rows: int) -> tuple:
     [key_cols] = _device_key_columns(key_cols)  # VARCHAR → dict codes
     [keys32] = narrow_keys32(_encode_keys(key_cols))
     keys = jnp.asarray(keys32)
-    dense, n_groups, first_sorted, boundary = _group_ids_sorted(keys)
+    # one batched device→host transfer (per-array np.asarray costs a round
+    # trip each on the tunneled platform)
+    dense, n_groups, first_sorted, boundary = jax.device_get(
+        _group_ids_sorted(keys))
     dense = np.asarray(dense, np.int64)
     boundary = np.asarray(boundary)
     first_sorted = np.asarray(first_sorted, np.int64)

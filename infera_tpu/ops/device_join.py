@@ -115,7 +115,7 @@ def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
         return order, rk_sorted, lb, cnt, offsets
 
     order, rk_sorted, lb, cnt, offsets = phase1(lk, rk)
-    total = int(offsets[-1]) if offsets.shape[0] else 0
+    total = int(offsets[-1]) if offsets.shape[0] else 0  # one scalar sync
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
 
@@ -128,7 +128,7 @@ def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
         ri = order[lb[li] + within]
         return li, ri
 
-    li, ri = phase2(order, lb, cnt, offsets)
+    li, ri = jax.device_get(phase2(order, lb, cnt, offsets))  # one transfer
     del n_right
     return np.asarray(li, np.int64), np.asarray(ri, np.int64)
 
