@@ -245,6 +245,13 @@ class DropTable(Statement):
 
 
 @dataclass
+class With(Statement):
+    """WITH name [(cols)] AS (query), ... <query> — non-recursive CTEs."""
+    ctes: list = field(default_factory=list)  # [(name, col_aliases|None, query)]
+    query: Statement = None
+
+
+@dataclass
 class Delete(Statement):
     table: str = ""
     where: Expr | None = None

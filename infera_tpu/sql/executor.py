@@ -169,6 +169,28 @@ class Connection:
                 cols[cd.name] = Column(np.empty(0, dtype=dtype), t)
             self.catalog.put(stmt.name, Table(cols), stmt.or_replace)
             return QueryResult()
+        if isinstance(stmt, A.With):
+            # evaluate CTEs in order into a catalog overlay (later CTEs and
+            # the main query see earlier ones); restore shadowed tables after
+            saved: dict = {}
+            added: list = []
+            try:
+                for name, col_aliases, q in stmt.ctes:
+                    t = self._execute_query(q)
+                    if col_aliases:
+                        t = _rename_columns(t, col_aliases)
+                    key = name.lower()
+                    if key in self.catalog.tables:
+                        saved[key] = self.catalog.tables[key]
+                    else:
+                        added.append(key)
+                    self.catalog.tables[key] = t
+                table = self._execute_query(stmt.query)
+                return QueryResult(table, table.names)
+            finally:
+                for key in added:
+                    self.catalog.tables.pop(key, None)
+                self.catalog.tables.update(saved)
         if isinstance(stmt, A.Insert):
             return self._execute_insert(stmt)
         if isinstance(stmt, A.Delete):

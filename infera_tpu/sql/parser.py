@@ -94,6 +94,28 @@ class Parser:
             return self._parse_insert()
         if self.at_kw("DROP"):
             return self._parse_drop()
+        if self.at_kw("WITH"):
+            self.next()
+            ctes = []
+            while True:
+                name = self.expect_ident()
+                col_aliases = None
+                if self.at_op("("):
+                    self.expect_op("(")
+                    col_aliases = []
+                    while True:
+                        col_aliases.append(self.expect_ident())
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                self.expect_kw("AS")
+                self.expect_op("(")
+                q = self.parse_query()
+                self.expect_op(")")
+                ctes.append((name, col_aliases, q))
+                if not self.accept_op(","):
+                    break
+            return A.With(ctes, self.parse_query())
         if self.at_kw("DELETE"):
             self.next()
             self.expect_kw("FROM")

@@ -183,3 +183,32 @@ def test_bigint_sum_exact_past_2_53():
                  "from range(3) r(x)")
     with pytest.raises(SqlError, match="overflow in SUM"):
         conn.execute("select sum(v) from o")
+
+
+def test_with_ctes():
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    conn.execute("create table t as select x as v from range(20) r(x)")
+    rows = conn.execute(
+        "with big as (select v from t where v >= 10), "
+        "agg (m, c) as (select max(v), count(*) from big) "
+        "select m, c from agg").rows
+    assert rows == [(19, 10)]
+    # CTE chaining: second references first
+    rows = conn.execute(
+        "with a as (select v * 2 as w from t), "
+        "b as (select w from a where w % 4 = 0) "
+        "select count(*), sum(w) from b").rows
+    x = [v * 2 for v in range(20)]
+    wanted = [w for w in x if w % 4 == 0]
+    assert rows == [(len(wanted), sum(wanted))]
+    # CTE shadows a real table only inside the statement
+    rows = conn.execute("with t as (select 1 as v) select count(*) from t").rows
+    assert rows == [(1,)]
+    assert conn.execute("select count(*) from t").rows == [(20,)]
+    # CTE inside joins
+    rows = conn.execute(
+        "with dim as (select x as k, x * 10 as w from range(5) r(x)) "
+        "select sum(w) from t join dim on t.v = dim.k").rows
+    assert rows == [(100,)]
