@@ -184,6 +184,44 @@ def _agg_mode(values, groups, n_groups):
     return out, nulls
 
 
+_HLL_BITS = 11
+_HLL_B = 1 << _HLL_BITS  # 2048 registers → ~2.3% relative error
+
+
+def _agg_approx_count_distinct(values, groups, n_groups):
+    """HyperLogLog distinct estimate, fully vectorized: 64-bit splitmix
+    hashes → (register bucket, rank of first 1-bit), np.maximum.at into a
+    [groups, 2048] register table, harmonic-mean estimate with the
+    small-range correction."""
+    from .hashing import hash_array_host
+
+    valid = values.valid_mask()
+    h = hash_array_host(values.data)
+    gv = groups[valid]
+    hv = h[valid]
+    if len(gv) == 0:
+        return np.zeros(n_groups, np.int64), np.ones(n_groups, bool)
+    bucket = (hv & np.uint64(_HLL_B - 1)).astype(np.int64)
+    rest = (hv >> np.uint64(_HLL_BITS)).astype(np.float64)
+    # rank = #leading zero bits of the remaining 53 + 1; frexp exponent is
+    # exact for ints < 2^53
+    _, expo = np.frexp(rest)
+    rho = np.where(rest > 0, (64 - _HLL_BITS) - expo + 1, 64 - _HLL_BITS + 1)
+    regs = np.zeros((n_groups, _HLL_B), np.int8)
+    np.maximum.at(regs, (gv, bucket), rho.astype(np.int8))
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_B)
+    z = np.sum(2.0 ** (-regs.astype(np.float64)), axis=1)
+    est = alpha * _HLL_B * _HLL_B / z
+    zeros = np.sum(regs == 0, axis=1)
+    small = (est <= 2.5 * _HLL_B) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        linear = _HLL_B * np.log(_HLL_B / np.maximum(zeros, 1).astype(np.float64))
+    est = np.where(small, linear, est)
+    has = np.zeros(n_groups, bool)
+    has[np.unique(gv)] = True
+    return np.rint(est).astype(np.int64), ~has
+
+
 def _agg_bool_and(values, groups, n_groups):
     data = values.data.astype(bool).astype(np.float64)
     valid = values.valid_mask()
@@ -217,11 +255,12 @@ _AGGS = {
     "mode": _agg_mode,
     "bool_and": _agg_bool_and,
     "bool_or": _agg_bool_or,
+    "approx_count_distinct": _agg_approx_count_distinct,
 }
 
 
 def _result_type(name: str, values: Column | None) -> T.SqlType:
-    if name == "count":
+    if name in ("count", "approx_count_distinct"):
         return T.BIGINT
     if name in ("first", "any_value", "mode") and values is not None:
         return values.sql_type

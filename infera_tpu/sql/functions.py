@@ -34,7 +34,8 @@ SCALAR_FUNCTIONS: dict = {}
 AGGREGATE_FUNCTIONS = frozenset(
     {"count", "sum", "avg", "mean", "min", "max", "first", "any_value",
      "stddev", "stddev_samp", "stddev_pop", "var_samp", "variance",
-     "var_pop", "median", "mode", "bool_and", "bool_or"}
+     "var_pop", "median", "mode", "bool_and", "bool_or",
+     "approx_count_distinct"}
 )
 
 

@@ -212,3 +212,22 @@ def test_with_ctes():
         "with dim as (select x as k, x * 10 as w from range(5) r(x)) "
         "select sum(w) from t join dim on t.v = dim.k").rows
     assert rows == [(100,)]
+
+
+def test_approx_count_distinct():
+    from infera_tpu.sql import Connection
+
+    conn = Connection()
+    n = 200000
+    conn.execute(f"create table a as select x % 4 as g, x % 10000 as v, "
+                 f"'s' || (x % 500) as s from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, approx_count_distinct(v), count(distinct v) "
+        "from a group by g order by g").rows
+    for kg, approx, exact in rows:
+        assert abs(approx - exact) <= 0.05 * exact, (kg, approx, exact)
+    # strings + global form + small-range exactness
+    rows = conn.execute(
+        "select approx_count_distinct(s), approx_count_distinct(g) from a").rows
+    assert abs(rows[0][0] - 500) <= 25
+    assert rows[0][1] == 4  # small-range linear counting is near-exact
