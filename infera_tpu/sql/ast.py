@@ -31,6 +31,12 @@ class ColumnRef(Expr):
 
 
 @dataclass
+class Parameter(Expr):
+    """Positional prepared-statement parameter ('?'), bound at execute."""
+    index: int = 0
+
+
+@dataclass
 class Star(Expr):
     table: str | None = None
 
@@ -242,6 +248,16 @@ class Insert(Statement):
 class DropTable(Statement):
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class ExportDatabase(Statement):
+    path: str = ""
+
+
+@dataclass
+class ImportDatabase(Statement):
+    path: str = ""
 
 
 @dataclass

@@ -129,17 +129,23 @@ class Connection:
 
     # -- public API -------------------------------------------------------
 
-    def execute(self, sql: str) -> QueryResult:
+    def execute(self, sql: str, parameters: list | None = None) -> QueryResult:
+        """Execute one or more ';'-separated statements. ``parameters`` bind
+        positional '?' placeholders (prepared-statement style)."""
         from ..observability import measure
 
         result = QueryResult()
-        for stmt in parse_sql(sql):
-            with measure(type(stmt).__name__) as m:
-                self._exec_path = "host"
-                result = self._execute_statement(stmt)
-                m.path = self._exec_path
-                if result.table is not None:
-                    m.rows = result.table.num_rows
+        self._bound_params = list(parameters) if parameters is not None else None
+        try:
+            for stmt in parse_sql(sql):
+                with measure(type(stmt).__name__) as m:
+                    self._exec_path = "host"
+                    result = self._execute_statement(stmt)
+                    m.path = self._exec_path
+                    if result.table is not None:
+                        m.rows = result.table.num_rows
+        finally:
+            self._bound_params = None
         return result
 
     def register_table(self, name: str, table) -> None:
@@ -169,6 +175,40 @@ class Connection:
                 cols[cd.name] = Column(np.empty(0, dtype=dtype), t)
             self.catalog.put(stmt.name, Table(cols), stmt.or_replace)
             return QueryResult()
+        if isinstance(stmt, A.ExportDatabase):
+            import json as _json
+            import os as _os
+
+            from ..columnar.diskfile import write_columnar
+
+            _os.makedirs(stmt.path, exist_ok=True)
+            names = sorted(self.catalog.tables)
+            total = 0
+            for name in names:
+                total += write_columnar(self.catalog.tables[name],
+                                        _os.path.join(stmt.path, name))
+            with open(_os.path.join(stmt.path, "catalog.json"), "w") as f:
+                _json.dump({"version": 1, "tables": names}, f)
+            count = Table({"Tables": Column(np.asarray([len(names)], np.int64),
+                                            T.BIGINT)})
+            return QueryResult(count, count.names)
+        if isinstance(stmt, A.ImportDatabase):
+            import json as _json
+            import os as _os
+
+            from ..columnar.diskfile import read_columnar
+
+            manifest = _os.path.join(stmt.path, "catalog.json")
+            if not _os.path.isfile(manifest):
+                raise SqlError(f"IO Error: not an exported database: {stmt.path}")
+            with open(manifest) as f:
+                names = _json.load(f)["tables"]
+            for name in names:
+                self.catalog.put(name, read_columnar(_os.path.join(stmt.path, name)),
+                                 or_replace=True)
+            count = Table({"Tables": Column(np.asarray([len(names)], np.int64),
+                                            T.BIGINT)})
+            return QueryResult(count, count.names)
         if isinstance(stmt, A.With):
             # evaluate CTEs in order into a catalog overlay (later CTEs and
             # the main query see earlier ones); restore shadowed tables after
@@ -670,6 +710,22 @@ class Connection:
 
     def _eval(self, expr: A.Expr, scope: Scope) -> Column:
         n = scope.num_rows
+        if isinstance(expr, A.Parameter):
+            params = getattr(self, "_bound_params", None)
+            if params is None or expr.index >= len(params):
+                raise SqlError(
+                    f"Binder Error: prepared statement parameter {expr.index + 1} "
+                    f"was not bound (pass parameters=[...] to execute)")
+            v = params[expr.index]
+            if v is None:
+                return Column.constant(None, T.SQLNULL, n)
+            if isinstance(v, bool):
+                return Column.constant(v, T.BOOLEAN, n)
+            if isinstance(v, int):
+                return Column.constant(v, T.BIGINT, n)
+            if isinstance(v, float):
+                return Column.constant(v, T.DOUBLE, n)
+            return Column.constant(str(v), T.VARCHAR, n)
         if isinstance(expr, A.Literal):
             if expr.value is None:
                 return Column.constant(None, T.SQLNULL, n)

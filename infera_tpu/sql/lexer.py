@@ -19,7 +19,7 @@ class Token:
 
 
 _TWO_CHAR_OPS = {"::", "<=", ">=", "<>", "!=", "||", "=="}
-_ONE_CHAR_OPS = set("+-*/%=<>(),.;[]")
+_ONE_CHAR_OPS = set("+-*/%=<>(),.;[]?")
 
 
 def tokenize(sql: str) -> list:

@@ -24,6 +24,7 @@ class Parser:
     def __init__(self, sql: str):
         self.tokens = tokenize(sql)
         self.i = 0
+        self._param_count = 0  # positional '?' parameters seen so far
 
     # -- token helpers ----------------------------------------------------
 
@@ -94,6 +95,14 @@ class Parser:
             return self._parse_insert()
         if self.at_kw("DROP"):
             return self._parse_drop()
+        if self.at_kw("EXPORT") or self.at_kw("IMPORT"):
+            kind = self.next().upper
+            self.expect_kw("DATABASE")
+            t = self.next()
+            if t.kind != "STRING":
+                raise SqlError(f"Parser Error: {kind} DATABASE expects a path string")
+            return (A.ExportDatabase(t.text) if kind == "EXPORT"
+                    else A.ImportDatabase(t.text))
         if self.at_kw("WITH"):
             self.next()
             ctes = []
@@ -530,6 +539,12 @@ class Parser:
 
     def _parse_primary(self) -> A.Expr:
         t = self.peek()
+        if t.kind == "OP" and t.text == "?":
+            # positional prepared-statement parameter, bound at execute time
+            self.next()
+            idx = self._param_count
+            self._param_count += 1
+            return A.Parameter(idx)
         if t.kind == "NUMBER":
             self.next()
             if "." in t.text or "e" in t.text or "E" in t.text:

@@ -165,3 +165,21 @@ def test_streaming_rejects_integer_sum(monkeypatch):
                  f"from range({n}) r(x)")
     rows = conn.execute("select g, sum(v) from ti group by g order by g").rows
     assert rows == [(g, (n // 4) * big) for g in range(4)]
+
+
+def test_export_import_database(tmp_path, clean_registry):
+    conn = Connection()
+    conn.execute("create table nums as select x as v, (x * 1.5)::float as f "
+                 "from range(5000) r(x)")
+    conn.execute("create table labels as select 'id_' || x as s from range(100) r(x)")
+    rows = conn.execute(f"export database '{tmp_path}/db'").rows
+    assert rows == [(2,)]
+
+    conn2 = Connection()
+    assert conn2.execute(f"import database '{tmp_path}/db'").rows == [(2,)]
+    assert conn2.execute("select count(*), sum(v) from nums").rows == [
+        (5000, sum(range(5000)))]
+    assert conn2.execute("select count(distinct s) from labels").rows == [(100,)]
+    # imported tables are queryable with models / ordinary operators
+    got = conn2.execute("select s from labels order by s limit 2").rows
+    assert got == [("id_0",), ("id_1",)]

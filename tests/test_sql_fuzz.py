@@ -231,3 +231,27 @@ def test_approx_count_distinct():
         "select approx_count_distinct(s), approx_count_distinct(g) from a").rows
     assert abs(rows[0][0] - 500) <= 25
     assert rows[0][1] == 4  # small-range linear counting is near-exact
+
+
+def test_prepared_statement_parameters(model_dir, clean_registry):
+    import infera_tpu as it
+
+    conn = Connection()
+    conn.execute("create table t as select x as v, (x % 5)::float as f "
+                 "from range(100) r(x)")
+    rows = conn.execute("select count(*) from t where v < ? and f = ?",
+                        parameters=[50, 2.0]).rows
+    x = np.arange(100)
+    want = int(((x < 50) & (x % 5 == 2)).sum())
+    assert rows == [(want,)]
+    # strings + model names through parameters
+    it.load_model("linear", f"{model_dir}/linear.onnx")
+    rows = conn.execute("select infera_predict(?, 1.0, 2.0, 3.0)",
+                        parameters=["linear"]).rows
+    assert rows[0][0] == pytest.approx(1.75, abs=1e-6)
+    # unbound parameter errors clearly
+    with pytest.raises(SqlError, match="parameter 1 was not bound"):
+        conn.execute("select ? + 1")
+    # NULL binding propagates
+    assert conn.execute("select ?::integer is null",
+                        parameters=[None]).rows == [(True,)]
