@@ -308,7 +308,10 @@ class Connection:
 
                 self._exec_path = "host"
                 t0 = _time.perf_counter()
-                out = self._execute_query(stmt.query)
+                if isinstance(stmt.query, A.With):
+                    out = self._execute_statement(stmt.query).table
+                else:
+                    out = self._execute_query(stmt.query)
                 wall = _time.perf_counter() - t0
                 lines += [
                     "─" * 40,
@@ -372,6 +375,12 @@ class Connection:
             lines.append(f"{pad}{stmt.kind}{' ALL' if stmt.all else ''}")
             lines += self._explain(stmt.left, depth + 1)
             lines += self._explain(stmt.right, depth + 1)
+            return lines
+        if isinstance(stmt, A.With):
+            for name, _, q in stmt.ctes:
+                lines.append(f"{pad}CTE {name}")
+                lines += self._explain(q, depth + 1)
+            lines += self._explain(stmt.query, depth)
             return lines
         sel = stmt
         has_agg = bool(sel.group_by) or any(

@@ -86,6 +86,8 @@ class Parser:
         if self.at_kw("EXPLAIN"):
             self.next()
             analyze = bool(self.accept_kw("ANALYZE"))
+            if self.at_kw("WITH"):
+                return A.Explain(self.parse_statement(), analyze)
             return A.Explain(self.parse_query(), analyze)
         if self.at_kw("SELECT"):
             return self.parse_query()
