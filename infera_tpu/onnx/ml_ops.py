@@ -181,7 +181,7 @@ class _PackedTrees:
 
     # device-side f32 bytes we allow the path-score matrix C [T, I, L] to
     # occupy before falling back to the gather traversal (64 MiB)
-    _GEMM_C_LIMIT = 16 << 20
+    _GEMM_C_LIMIT = 64 << 20
 
     def _build_gemm_tables(self):
         """DFS every tree once; emit per-tree internal/leaf numbering, the

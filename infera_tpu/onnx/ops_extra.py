@@ -518,4 +518,10 @@ def _qlinear_matmul(node, inputs, ctx):
     acc = lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
                           preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (a_scale * b_scale) / y_scale
-    return [jnp.clip(jnp.rint(y) + y_zp, 0, 255).astype(jnp.int32)]
+    # y_zero_point's static dtype decides the saturation range (int8 QDQ
+    # models produce signed outputs), mirroring QuantizeLinear above
+    yzp_static = (ctx.as_static(node.inputs[7])
+                  if len(node.inputs) > 7 and node.inputs[7] else None)
+    signed = yzp_static is not None and yzp_static.dtype == np.int8
+    lo, hi = (-128, 127) if signed else (0, 255)
+    return [jnp.clip(jnp.rint(y) + y_zp, lo, hi).astype(jnp.int32)]

@@ -200,9 +200,22 @@ static int64_t csv_parse_range(const char* buf, int64_t lo, int64_t hi,
             break;
           }
         }
-        auto res = std::from_chars(b, e2, v);
-        if (res.ec != std::errc() || res.ptr != e2) return -1;
-        if (floaty) local_flags[col] = 1;
+        if (floaty) {
+          auto res = std::from_chars(b, e2, v);
+          if (res.ec != std::errc() || res.ptr != e2) return -1;
+          local_flags[col] = 1;
+        } else {
+          // Integer-syntax field: parse exactly as int64 — a double parse
+          // silently rounds |int| > 2^53 (BIGINT columns must be exact).
+          // Values a double cannot represent exactly bail to the general
+          // reader, as does int64 overflow.
+          int64_t iv = 0;
+          auto res = std::from_chars(b, e2, iv);
+          if (res.ec != std::errc() || res.ptr != e2) return -1;
+          const int64_t kExact = int64_t(1) << 53;
+          if (iv > kExact || iv < -kExact) return -1;
+          v = static_cast<double>(iv);
+        }
       }
       out[col * n_rows_cap + row] = v;
       nulls[col * n_rows_cap + row] = is_null ? 0 : 1;

@@ -27,6 +27,7 @@ from .device_plan import (
     MAX_GROUPS,
     MIN_DEVICE_ROWS,
     _find_aggs,
+    _group_keys_int32_safe,
     _Lowerer,
     _Unsupported,
 )
@@ -141,6 +142,13 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
             continue
         if dk.data.dtype.kind not in "iu" or fk.data.dtype.kind not in "iu":
             continue
+        # Fact keys are lowered to int32 on device (x64 disabled); values
+        # outside int32 would alias mod 2^32 and spuriously match dim keys.
+        # Dim keys are range-checked below; guard the fact side here too.
+        if fk.data.size and (
+            int(fk.data.min()) < -(1 << 31) or int(fk.data.max()) >= (1 << 31)
+        ):
+            continue
         dvals = np.asarray(dk.data, np.int64)
         if len(dvals) and (dvals.min() < 0 or dvals.max() >= DIM_MAX_KEY):
             continue
@@ -209,6 +217,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
             raise _Unsupported("join key resolution crossed sides")
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
         key_fns = [lowerer.lower(g) for g in sel.group_by]
+        if key_fns and not _group_keys_int32_safe(lowerer, sel.group_by):
+            return None
         agg_plans = []
         for kind, node in items_plan:
             if kind == "key":

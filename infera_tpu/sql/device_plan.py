@@ -246,6 +246,46 @@ def _eval_having(expr: A.Expr, agg_arrays: dict) -> np.ndarray:
     return ops[expr.op](l_, r_)
 
 
+def _find_column_refs(expr: A.Expr, out: list):
+    if isinstance(expr, A.ColumnRef):
+        out.append(expr)
+        return
+    for attr in ("operand", "left", "right", "low", "high"):
+        child = getattr(expr, attr, None)
+        if isinstance(child, A.Expr):
+            _find_column_refs(child, out)
+    if isinstance(expr, A.FuncCall):
+        for a in expr.args:
+            if isinstance(a, A.Expr):
+                _find_column_refs(a, out)
+
+
+def _group_keys_int32_safe(lowerer, group_by) -> bool:
+    """Group keys ride to device as int32 (x64 disabled): an int64/uint64
+    column with values outside int32 aliases mod 2^32 at upload, which slips
+    past the per-bucket collision guard (it compares post-truncation values).
+    Probe referenced wide-integer columns host-side; out of range → host path."""
+    for g in group_by:
+        refs: list = []
+        _find_column_refs(g, refs)
+        for e in refs:
+            try:
+                key = lowerer._column(e.name, e.table)
+            except _Unsupported:
+                return False
+            col = (lowerer.col_for_key(key) if hasattr(lowerer, "col_for_key")
+                   else lowerer.table.columns[key])
+            d = col.data
+            if d.dtype.kind in "iu" and d.dtype.itemsize > 4 and d.size:
+                rng = getattr(col, "_int_range", None)
+                if rng is None:
+                    rng = (int(d.min()), int(d.max()))
+                    col._int_range = rng
+                if rng[0] < -(1 << 31) or rng[1] >= (1 << 31):
+                    return False
+    return True
+
+
 def _find_aggs(expr: A.Expr, out: list):
     if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGG_NAMES:
         out.append(expr)
@@ -340,6 +380,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     try:
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
         key_fns = [lowerer.lower(g) for g in sel.group_by]
+        if key_fns and not _group_keys_int32_safe(lowerer, sel.group_by):
+            return None
         agg_plans = []
         for kind, node in items_plan:
             if kind == "key":

@@ -116,3 +116,23 @@ def test_native_csv_scientific_and_crlf(tmp_path):
     assert t.columns["a"].sql_type.name == "DOUBLE"
     np.testing.assert_allclose(t.columns["a"].data, [1000.0, -0.25])
     np.testing.assert_array_equal(t.columns["b"].data, [5, 6])
+
+
+def test_native_csv_exact_big_int64(tmp_path):
+    """|int| > 2^53 cannot round-trip through the C parser's f64 buffer —
+    it must bail so the exact general reader runs (ADVICE r1, medium)."""
+    from infera_tpu.runtime.native import csv_parse_numeric, native_available
+    from infera_tpu.sql.csv_io import read_csv
+
+    big = 9007199254740993  # 2^53 + 1: nearest double is 2^53
+    p = tmp_path / "b.csv"
+    p.write_text(f"id,v\n1,{big}\n2,7\n")
+    t = read_csv(str(p))
+    assert t.columns["v"].sql_type.name == "BIGINT"
+    assert int(t.columns["v"].data[0]) == big
+    if native_available():
+        assert csv_parse_numeric(f"1,{big}\n2,7\n".encode(), 2) is None
+        # in-range int64s still take the fast path exactly
+        parsed = csv_parse_numeric(b"1,9007199254740992\n", 2)
+        assert parsed is not None
+        assert int(parsed[0][1][0]) == 9007199254740992

@@ -304,3 +304,35 @@ def test_fused_having(conn_big):
     rows = conn.execute(
         "select g, count(*) from big group by g having g >= 5 order by g").rows
     assert [r[0] for r in rows] == [5, 6]
+
+
+def test_join_int64_fact_keys_beyond_int32_host_path(conn_big, monkeypatch):
+    """Fact keys outside int32 would alias mod 2^32 on device (x64 off):
+    the fused join must bail to the host path, which answers exactly.
+    Regression: 2^32+5 spuriously matched dim id 5 (ADVICE r1, high)."""
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    conn.execute("create table dimk as select x as k, (x)::float as w "
+                 "from range(10) r(x)")
+    big_key = (1 << 32) + 5
+    conn.execute(
+        f"create table factk as select case when x % 2 = 0 then {big_key} "
+        f"else 5 end as k from range({n}) r(x)")
+    rows = conn.execute(
+        "select count(*) from factk join dimk on factk.k = dimk.k").rows
+    assert calls["hits"] == 0
+    assert rows == [(n // 2,)]
+
+
+def test_groupby_int64_keys_beyond_int32_host_path(conn_big):
+    """Two group keys equal mod 2^32 must stay distinct groups (the device
+    collision guard compares post-truncation values, so the plan must bail
+    host-side first). Regression: ADVICE r1, low."""
+    conn, n = conn_big
+    big_key = 1 << 32  # aliases with 0 under int32 truncation
+    conn.execute(
+        f"create table bigg as select case when x % 2 = 0 then {big_key} "
+        f"else 0 end as g2 from range({n}) r(x)")
+    rows = conn.execute(
+        "select g2, count(*) from bigg group by g2 order by g2").rows
+    assert rows == [(0, n // 2), (big_key, n // 2)]

@@ -308,3 +308,31 @@ def test_qdq_model_end_to_end():
     got = np.asarray(compiled.run(x)[0])
     want = x @ (w_q.astype(np.float32) * scale)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_qlinearmatmul_signed_output_saturation():
+    """int8 y_zero_point → saturate to [-128,127]; uint8 → [0,255]
+    (regression: negative quantized outputs clamped to 0; ADVICE r1)."""
+    a = np.array([[10, -10]], np.int8)
+    b = np.array([[1], [1]], np.int8)
+    zero8 = np.int8(0)
+    s = np.float32(1.0)
+    # acc = 0 at row 0? use values producing a negative product sum
+    a = np.array([[-5, -3]], np.int8)
+    out = run_op(
+        "QLinearMatMul",
+        [a, s, zero8, b, s, zero8, s, np.int8(0)],
+    )[0]
+    assert out[0, 0] == -8  # signed range keeps the negative value
+    out_u = run_op(
+        "QLinearMatMul",
+        [a, s, np.uint8(0), b, s, np.uint8(0), s, np.uint8(0)],
+    )[0]
+    assert out_u[0, 0] == 0  # unsigned range clamps at 0
+    # saturation at the low end
+    a2 = np.array([[-100, -100]], np.int8)
+    out2 = run_op(
+        "QLinearMatMul",
+        [a2, s, zero8, b, s, zero8, s, np.int8(0)],
+    )[0]
+    assert out2[0, 0] == -128
