@@ -91,6 +91,10 @@ class InferaConfig:
     batch_buckets: tuple = (256, 1024, 4096, 16384, 65536, 262144, 1048576)
     # Number of hash partitions used by the distributed shuffle.
     shuffle_partitions: int = 8
+    # INFERA_MESH=N — data-parallel mesh size for partitioned SQL execution
+    # (0 = off). When set, fused device plans lower through shard_map over an
+    # N-device dp mesh with a bucket-pack + all_to_all exchange for GROUP BY.
+    mesh_devices: int = 0
 
     def should_log(self, level: LogLevel) -> bool:
         return level <= self.log_level
@@ -128,6 +132,7 @@ class InferaConfig:
             eviction_policy=eviction,
             log_level=log_level,
             shuffle_partitions=_env_int("INFERA_SHUFFLE_PARTITIONS", 8),
+            mesh_devices=_env_int("INFERA_MESH", 0),
         )
 
 

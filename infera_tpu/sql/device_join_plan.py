@@ -20,12 +20,12 @@ from __future__ import annotations
 import numpy as np
 
 from ..columnar import Column, Table
-from ..columnar import types as T
 from . import ast as A
 from .device_plan import (
     _AGG_NAMES,
     MAX_GROUPS,
     MIN_DEVICE_ROWS,
+    _assemble_result,
     _find_aggs,
     _group_keys_int32_safe,
     _Lowerer,
@@ -274,6 +274,50 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
 
     dim_keys = sorted(lowerer.dim_used)
 
+    plan_key = (
+        "join", repr(sel),
+        tuple(sorted((k, c.data.dtype.str, len(c))
+                     for k, c in lowerer.used_columns.items())),
+        tuple(sorted((k, c.data.dtype.str, len(c))
+                     for k, c in lowerer.dim_used.items())),
+        tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
+        n, n_groups, kmax_dim,
+    )
+
+    # --- mesh-partitioned execution: fact rows dp-sharded, dimension table
+    # replicated (broadcast join); the gather prologue runs per device and
+    # the aggregate tail merges through the partial-bucket shuffle.
+    from .mesh_plan import execute_fused_on_mesh, get_mesh
+
+    conn._mesh_plan_used = False
+    mesh = get_mesh(conn)
+    if mesh is not None:
+        def prologue(cols):
+            fk = jnp.asarray(cols[fact_key], jnp.int32)
+            in_range = (fk >= 0) & (fk <= kmax_dim)
+            ridx_raw = cols["__lookup__"][jnp.clip(fk, 0, kmax_dim)]
+            matched = in_range & (ridx_raw >= 0)
+            ridx = jnp.where(matched, ridx_raw, 0)
+            for dk in dim_keys:
+                cols[dk] = jnp.take(cols["__dimraw__." + dk], ridx, axis=0)
+            return matched
+
+        repl = {"__lookup__": lookup}
+        for k, c in lowerer.dim_used.items():
+            repl["__dimraw__." + k] = np.asarray(c.data)
+        mesh_out = execute_fused_on_mesh(
+            conn, mesh, n=n, plan_key=plan_key,
+            sharded_columns=lowerer.used_columns, replicated_arrays=repl,
+            prologue=prologue, where_fn=where_fn, key_fns=key_fns,
+            strides=strides, n_groups=n_groups, agg_plans=agg_plans)
+        if mesh_out is not None:
+            out_table = _assemble_result(sel, items_plan, agg_plans, [],
+                                         *mesh_out, has_keys=bool(key_fns))
+            if out_table is not None:
+                conn._mesh_plan_used = True
+                return out_table
+            return None  # a guard tripped — host path, not single-device
+
     def program(cols):
         fk = jnp.asarray(cols[fact_key], jnp.int32)
         in_range = (fk >= 0) & (fk <= kmax_dim)
@@ -330,15 +374,6 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
         return [o for _, o in outs], group_count, key_mins, key_maxs, frac_flags
 
-    plan_key = (
-        "join", repr(sel),
-        tuple(sorted((k, c.data.dtype.str, len(c))
-                     for k, c in lowerer.used_columns.items())),
-        tuple(sorted((k, c.data.dtype.str, len(c))
-                     for k, c in lowerer.dim_used.items())),
-        tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
-        n, n_groups, kmax_dim,
-    )
     cache = getattr(conn, "_device_plan_cache", None)
     if cache is None:
         cache = {}
@@ -373,29 +408,6 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     except Exception:
         return None  # any trace/compile issue → host path
 
-    live = group_count > 0 if key_fns else np.array([True])
-    for kmin_d, kmax_d, frac_d in zip(key_mins, key_maxs, frac_flags):
-        if bool(np.asarray(frac_d)):
-            return None
-        if (np.asarray(kmin_d)[live] != np.asarray(kmax_d)[live]).any():
-            return None
-
-    out_cols: dict = {}
-    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
-        idx = len(out_cols)
-        item = sel.items[idx]
-        name = item.alias or (node.name if isinstance(node, A.FuncCall) else f"col{idx}")
-        base, k = name, 1
-        while name in out_cols:
-            name = f"{base}_{k}"
-            k += 1
-        vals = res[live]
-        if pname in ("count", "count_star"):
-            out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
-        elif pname == "key":
-            out_cols[name] = Column(vals.astype(np.int64)
-                                    if np.all(vals == np.round(vals)) else vals,
-                                    T.BIGINT if np.all(vals == np.round(vals)) else T.DOUBLE)
-        else:
-            out_cols[name] = Column(vals.astype(np.float64), T.DOUBLE)
-    return Table(out_cols)
+    return _assemble_result(sel, items_plan, agg_plans, [],
+                            results, group_count, key_mins, key_maxs,
+                            frac_flags, has_keys=bool(key_fns))

@@ -300,6 +300,69 @@ def _find_aggs(expr: A.Expr, out: list):
                 _find_aggs(a, out)
 
 
+def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,
+                     results, group_count, key_mins, key_maxs, frac_flags,
+                     has_keys: bool):
+    """Host-side post-processing of the device group table (single-device or
+    mesh-merged): live-group mask, key collision guards, HAVING, rendering.
+    Returns a Table, or None when a guard trips (caller falls back to host)."""
+    if has_keys:
+        live = group_count > 0
+    else:
+        # the global group always exists (count 0 is a valid result row);
+        # on the mesh table it lives at slot 0 of the owning device
+        live = np.zeros(len(group_count), bool)
+        live[0] = True
+    for kmin_d, kmax_d, frac_d in zip(key_mins, key_maxs, frac_flags):
+        if bool(np.asarray(frac_d)):
+            return None  # fractional key values — int bucketing would merge
+        kmin = np.asarray(kmin_d)[live]
+        kmax = np.asarray(kmax_d)[live]
+        if (kmin != kmax).any():
+            return None  # modulo bucket held distinct keys — host path
+    hmask = None
+    if sel.having is not None:
+        agg_arrays = {}
+        for hnode, pidx in having_plan:
+            pname = agg_plans[pidx][0]
+            arr = results[pidx][live]
+            if pname in ("count", "count_star"):
+                arr = arr.astype(np.int64)
+            agg_arrays[id(hnode)] = arr
+        try:
+            hmask = np.asarray(_eval_having(sel.having, agg_arrays), bool)
+        except Exception:
+            return None
+        if hmask.ndim == 0:
+            hmask = np.full(int(np.sum(live)), bool(hmask))
+    out_cols: dict = {}
+    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
+        idx = len(out_cols)
+        item = sel.items[idx]
+        # match host-path naming: bare key columns keep their name so a
+        # trailing ORDER BY <key> resolves against the fused result instead
+        # of silently de-fusing to the host path
+        name = item.alias or (
+            item.expr.name if isinstance(item.expr, A.ColumnRef)
+            else node.name if isinstance(node, A.FuncCall) else f"col{idx}")
+        base, k = name, 1
+        while name in out_cols:
+            name = f"{base}_{k}"
+            k += 1
+        vals = res[live]
+        if hmask is not None:
+            vals = vals[hmask]
+        if pname in ("count", "count_star"):
+            out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
+        elif pname == "key":
+            out_cols[name] = Column(vals.astype(np.int64)
+                                    if np.all(vals == np.round(vals)) else vals,
+                                    T.BIGINT if np.all(vals == np.round(vals)) else T.DOUBLE)
+        else:
+            out_cols[name] = Column(vals.astype(np.float64), T.DOUBLE)
+    return Table(out_cols)
+
+
 def try_execute_on_device(conn, sel: A.Select, table: Table,
                           analyze_only: bool = False):
     """Compile + run the SELECT on device; returns a Table or None.
@@ -476,6 +539,39 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 strides[i] = strides[i + 1] * MAX_GROUPS
             n_groups = MAX_GROUPS
 
+    plan_key = (
+        repr(sel),
+        tuple(sorted((k, c.data.dtype.str, len(c))
+                     for k, c in lowerer.used_columns.items())),
+        tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
+        n,
+        n_groups,
+    )
+
+    # --- mesh-partitioned execution (INFERA_MESH / Connection.set_mesh) ---
+    # Lower the same plan through shard_map over the dp mesh: row-sharded
+    # columns, local partial aggregation, bucket-pack + all_to_all exchange
+    # of the partial group tables, owner-side merge (sql/mesh_plan.py).
+    from .mesh_plan import execute_fused_on_mesh, get_mesh
+
+    conn._mesh_plan_used = False
+    mesh = get_mesh(conn)
+    if mesh is not None:
+        mesh_out = execute_fused_on_mesh(
+            conn, mesh, n=n, plan_key=plan_key,
+            sharded_columns=lowerer.used_columns, replicated_arrays={},
+            prologue=None, where_fn=where_fn, key_fns=key_fns,
+            strides=strides, n_groups=n_groups, agg_plans=agg_plans)
+        if mesh_out is not None:
+            out_table = _assemble_result(sel, items_plan, agg_plans,
+                                         having_plan, *mesh_out,
+                                         has_keys=bool(key_fns))
+            if out_table is not None:
+                conn._mesh_plan_used = True
+                return out_table
+            return None  # a guard tripped — host path, not single-device
+        # mesh execution unavailable/failed → single-device fused path
+
     def program(cols):
         mask = None
         if where_fn is not None:
@@ -537,14 +633,6 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     # call, so an explicit plan cache keyed by (AST, column layout, model
     # identities) avoids a retrace+compile per execution. Device arrays are
     # cached on the Column objects (immutable data → upload once).
-    plan_key = (
-        repr(sel),
-        tuple(sorted((k, c.data.dtype.str, len(c))
-                     for k, c in lowerer.used_columns.items())),
-        tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
-        n,
-        n_groups,
-    )
     cache = getattr(conn, "_device_plan_cache", None)
     if cache is None:
         cache = {}
@@ -576,47 +664,6 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     except Exception:
         return None  # any trace/compile issue → host path
 
-    live = group_count > 0 if key_fns else np.array([True])
-    for kmin_d, kmax_d, frac_d in zip(key_mins, key_maxs, frac_flags):
-        if bool(np.asarray(frac_d)):
-            return None  # fractional key values — int bucketing would merge
-        kmin = np.asarray(kmin_d)[live]
-        kmax = np.asarray(kmax_d)[live]
-        if (kmin != kmax).any():
-            return None  # modulo bucket held distinct keys — host path
-    hmask = None
-    if sel.having is not None:
-        agg_arrays = {}
-        for hnode, pidx in having_plan:
-            pname = agg_plans[pidx][0]
-            arr = results[pidx][live]
-            if pname in ("count", "count_star"):
-                arr = arr.astype(np.int64)
-            agg_arrays[id(hnode)] = arr
-        try:
-            hmask = np.asarray(_eval_having(sel.having, agg_arrays), bool)
-        except Exception:
-            return None
-        if hmask.ndim == 0:
-            hmask = np.full(int(np.sum(live)), bool(hmask))
-    out_cols: dict = {}
-    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
-        idx = len(out_cols)
-        item = sel.items[idx]
-        name = item.alias or (node.name if isinstance(node, A.FuncCall) else f"col{idx}")
-        base, k = name, 1
-        while name in out_cols:
-            name = f"{base}_{k}"
-            k += 1
-        vals = res[live]
-        if hmask is not None:
-            vals = vals[hmask]
-        if pname in ("count", "count_star"):
-            out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
-        elif pname == "key":
-            out_cols[name] = Column(vals.astype(np.int64)
-                                    if np.all(vals == np.round(vals)) else vals,
-                                    T.BIGINT if np.all(vals == np.round(vals)) else T.DOUBLE)
-        else:
-            out_cols[name] = Column(vals.astype(np.float64), T.DOUBLE)
-    return Table(out_cols)
+    return _assemble_result(sel, items_plan, agg_plans, having_plan,
+                            results, group_count, key_mins, key_maxs,
+                            frac_flags, has_keys=bool(key_fns))

@@ -148,6 +148,18 @@ class Connection:
             self._bound_params = None
         return result
 
+    def set_mesh(self, mesh) -> None:
+        """Enable mesh-partitioned query execution on this connection.
+
+        ``mesh`` may be an int (builds a dp mesh over that many devices via
+        parallel.mesh.make_mesh), a jax.sharding.Mesh, or None to disable.
+        Overrides the read-once ``INFERA_MESH`` config knob."""
+        if isinstance(mesh, int):
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh)
+        self._mesh = mesh
+
     def register_table(self, name: str, table) -> None:
         """Register a columnar Table — or a pandas DataFrame, which is
         converted automatically (DuckDB-style DataFrame querying)."""
@@ -523,7 +535,9 @@ class Connection:
                         stop = (start + sel.limit if sel.limit is not None
                                 else fused.num_rows)
                         fused = fused.slice(start, stop)
-                    self._exec_path = "device_join_plan"
+                    self._exec_path = ("device_join_plan_mesh"
+                                       if getattr(self, "_mesh_plan_used", False)
+                                       else "device_join_plan")
                     return fused
 
         # 1. FROM
@@ -549,7 +563,9 @@ class Connection:
             if fused is None:
                 fused = try_execute_on_device(self, sel, scope.table)
                 if fused is not None:
-                    self._exec_path = "device_plan"
+                    self._exec_path = ("device_plan_mesh"
+                                       if getattr(self, "_mesh_plan_used", False)
+                                       else "device_plan")
             if fused is not None:
                 try:
                     if sel.order_by:

@@ -1,0 +1,322 @@
+"""Mesh-partitioned execution of fused SQL plans (SURVEY.md §2.4, §7.2 M5).
+
+The reference gets intra-query parallelism from DuckDB's morsel-driven
+executor (/root/reference/infera/bindings/infera_extension.cpp:260 runs each
+DataChunk under the host thread pool). Here the "threads" are TPU chips:
+when a data-parallel mesh is configured (``INFERA_MESH=N`` or
+``Connection.set_mesh``), the fused aggregate / join-aggregate plans from
+``device_plan`` / ``device_join_plan`` lower through ``shard_map`` instead of
+a single-device jit.
+
+Execution shape (one XLA program, collectives over ICI):
+
+1. Table columns upload once, row-sharded over the ``dp`` axis
+   (``NamedSharding(mesh, P("dp"))``), padded to a multiple of the mesh with
+   a validity mask — the engine's "masks everywhere" rule (SURVEY.md §7.3).
+2. Each device computes filter → (join gather) → predict → local partial
+   aggregates: a [G]-slot group table of decomposed partials
+   (count / sum / min / max), exactly one row pass.
+3. The partial group buckets exchange through the distributed shuffle —
+   ``parallel/shuffle.py``'s bucket-pack (`_pack_buckets`) + one
+   ``all_to_all`` — routed by ``combined_key % ndev`` so every group key has
+   exactly one owner. Capacity = G is exact under any skew (a device holds at
+   most G live buckets), so no row can ever drop.
+4. The owner merges received buckets (segment reductions with an overflow
+   slot for dead buckets) and finalizes aggregates; the host reads back the
+   [ndev*G] merged group table and post-processes identically to the
+   single-device path (collision guards, HAVING, rendering).
+
+Partial aggregation commutes with the exchange for every supported
+aggregate; avg decomposes into (sum, count). The collision guards travel as
+per-bucket key min/max partials, so a hash bucket holding two distinct keys
+— locally or after the merge — still falls back to the host path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_UNSET = object()
+
+
+def get_mesh(conn):
+    """Resolve the connection's dp mesh: explicit set_mesh wins, else the
+    read-once INFERA_MESH config knob, else None (single-device path)."""
+    mesh = getattr(conn, "_mesh", _UNSET)
+    if mesh is not _UNSET:
+        return mesh
+    from ..config import get_config
+
+    n = get_config().mesh_devices
+    mesh = None
+    if n and n > 1:
+        try:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n)
+        except Exception:
+            mesh = None
+    conn._mesh = mesh
+    return mesh
+
+
+def _canonical_host(d: np.ndarray) -> np.ndarray:
+    """Match jnp.asarray's x64-disabled dtype canonicalization host-side so
+    sharded uploads see the same values the single-device path would."""
+    if d.dtype == np.int64:
+        return d.astype(np.int32)
+    if d.dtype == np.uint64:
+        return d.astype(np.uint32)
+    if d.dtype == np.float64:
+        return d.astype(np.float32)
+    return d
+
+
+def _shard_column(col, mesh, n: int, n_pad: int, sharding):
+    """Upload one column row-sharded over dp, zero-padded to n_pad; cached on
+    the Column object (immutable data → upload once per mesh)."""
+    import jax
+
+    cache_key = (id(mesh), n_pad)
+    cached = getattr(col, "_mesh_array", None)
+    if cached is not None and cached[0] == cache_key:
+        return cached[1]
+    d = _canonical_host(np.asarray(col.data))
+    if n_pad > n:
+        d = np.concatenate([d, np.zeros(n_pad - n, d.dtype)])
+    arr = jax.device_put(d, sharding)
+    col._mesh_array = (cache_key, arr)
+    return arr
+
+
+def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
+                          replicated_arrays, prologue, where_fn, key_fns,
+                          strides, n_groups, agg_plans):
+    """Run a fused plan data-parallel over the mesh.
+
+    - ``sharded_columns``: {name: Column} — row-sharded over dp.
+    - ``replicated_arrays``: {name: np/jnp array} — replicated per device
+      (dimension tables, join lookup arrays).
+    - ``prologue(cols) -> mask | None``: runs inside the local program first
+      (e.g. the join gather); may rewrite ``cols`` and return a join mask.
+
+    Returns (results, group_count, key_mins, key_maxs, frac_flags) as host
+    arrays sized [ndev * n_groups] — same contract the single-device program
+    returns — or None on any failure (caller falls back).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.shuffle import _pack_buckets
+
+    ndev = int(mesh.shape["dp"])
+    if n < ndev:
+        return None
+    local_n = -(-n // ndev)
+    n_pad = local_n * ndev
+    G = int(n_groups)
+    nk = len(key_fns)
+
+    # decompose aggregates into partial slots + finalize recipe
+    partial_slots = []  # (kind, fn) with kind in {sum, min, max}
+    finalize = []       # (out_kind, slot_index | key_index | None)
+    for name, fn in agg_plans:
+        if name == "key":
+            finalize.append(("key", fn))
+        elif name in ("count", "count_star"):
+            finalize.append(("count", None))
+        elif name == "sum":
+            partial_slots.append(("sum", fn))
+            finalize.append(("sum", len(partial_slots) - 1))
+        elif name in ("avg", "mean"):
+            partial_slots.append(("sum", fn))
+            finalize.append(("avg", len(partial_slots) - 1))
+        elif name == "min":
+            partial_slots.append(("min", fn))
+            finalize.append(("min", len(partial_slots) - 1))
+        elif name == "max":
+            partial_slots.append(("max", fn))
+            finalize.append(("max", len(partial_slots) - 1))
+        else:
+            return None
+    n_slots = len(partial_slots)
+
+    sharded_keys = sorted(sharded_columns)
+    repl_keys = sorted(replicated_arrays)
+
+    def local_fn(valid, *arrs):
+        cols = dict(zip(sharded_keys, arrs[: len(sharded_keys)]))
+        cols.update(zip(repl_keys, arrs[len(sharded_keys):]))
+        mask = valid
+        if prologue is not None:
+            pm = prologue(cols)
+            if pm is not None:
+                mask = mask & pm
+        if where_fn is not None:
+            mask = mask & jnp.asarray(where_fn(cols), bool)
+        w = mask.astype(jnp.float32)
+        big = jnp.int32(2**31 - 1)
+        raws = []
+        if key_fns:
+            for kf in key_fns:
+                raws.append(jnp.asarray(kf(cols)))
+            combined = jnp.zeros(local_n, jnp.int32)
+            for r, stride in zip(raws, strides):
+                combined = combined + jnp.asarray(r, jnp.int32) * np.int32(
+                    stride & 0x7FFFFFFF)
+            keys = jnp.asarray(jnp.mod(combined, G), jnp.int32)
+        else:
+            combined = jnp.zeros(local_n, jnp.int32)
+            keys = jnp.zeros(local_n, jnp.int32)
+
+        # --- local partial aggregation (phase 1) -------------------------
+        cnt = jax.ops.segment_sum(w, keys, num_segments=G)
+        slot_partials = []
+        for kind, fn in partial_slots:
+            vals = jnp.asarray(fn(cols), jnp.float32)
+            if kind == "sum":
+                slot_partials.append(
+                    jax.ops.segment_sum(vals * w, keys, num_segments=G))
+            elif kind == "min":
+                slot_partials.append(jax.ops.segment_min(
+                    jnp.where(mask, vals, jnp.inf), keys, num_segments=G))
+            else:
+                slot_partials.append(jax.ops.segment_max(
+                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=G))
+        kmins, kmaxs, fracs = [], [], []
+        for r in raws:
+            ri = jnp.asarray(r, jnp.int32)
+            rf = jnp.asarray(r, jnp.float32)
+            kmins.append(jax.ops.segment_min(
+                jnp.where(mask, ri, big), keys, num_segments=G))
+            kmaxs.append(jax.ops.segment_max(
+                jnp.where(mask, ri, -big - 1), keys, num_segments=G))
+            fracs.append(jnp.any(mask & (rf != ri.astype(jnp.float32))))
+        # bucket representative key (max of combined in bucket) for routing
+        repr_key = jax.ops.segment_max(
+            jnp.where(mask, combined, -big - 1), keys, num_segments=G)
+
+        # --- exchange partial buckets (phase 2: the distributed shuffle) --
+        owner = jnp.where(cnt > 0, jnp.mod(repr_key, ndev), 0).astype(jnp.int32)
+        payload = [repr_key, cnt] + slot_partials + kmins + kmaxs
+        packed, send_valid = _pack_buckets(owner, payload, ndev, G)
+        recv_valid = jax.lax.all_to_all(
+            send_valid, "dp", split_axis=0, concat_axis=0).reshape(ndev * G)
+        recv = []
+        for buf in packed:
+            r = jax.lax.all_to_all(buf, "dp", split_axis=0, concat_axis=0)
+            recv.append(r.reshape((ndev * G,) + r.shape[2:]))
+        r_repr, r_cnt = recv[0], recv[1]
+        r_slots = recv[2:2 + n_slots]
+        r_kmins = recv[2 + n_slots:2 + n_slots + nk]
+        r_kmaxs = recv[2 + n_slots + nk:]
+
+        # --- owner-side merge (phase 3) -----------------------------------
+        live = recv_valid & (r_cnt > 0)
+        GS = G + 1  # overflow slot absorbs dead buckets
+        mkeys = jnp.where(live, jnp.mod(r_repr, G), G).astype(jnp.int32)
+        m_cnt = jax.ops.segment_sum(
+            jnp.where(live, r_cnt, 0.0), mkeys, num_segments=GS)[:G]
+        merged_slots = []
+        for i, (kind, _) in enumerate(partial_slots):
+            if kind == "sum":
+                merged_slots.append(jax.ops.segment_sum(
+                    jnp.where(live, r_slots[i], 0.0), mkeys,
+                    num_segments=GS)[:G])
+            elif kind == "min":
+                merged_slots.append(jax.ops.segment_min(
+                    jnp.where(live, r_slots[i], jnp.inf), mkeys,
+                    num_segments=GS)[:G])
+            else:
+                merged_slots.append(jax.ops.segment_max(
+                    jnp.where(live, r_slots[i], -jnp.inf), mkeys,
+                    num_segments=GS)[:G])
+        m_kmins = [jax.ops.segment_min(
+            jnp.where(live, r, big), mkeys, num_segments=GS)[:G]
+            for r in r_kmins]
+        m_kmaxs = [jax.ops.segment_max(
+            jnp.where(live, r, -big - 1), mkeys, num_segments=GS)[:G]
+            for r in r_kmaxs]
+        frac_flags = [jax.lax.psum(f.astype(jnp.float32), "dp") > 0
+                      for f in fracs]
+
+        # --- finalize in agg_plans order ----------------------------------
+        outs = []
+        safe_cnt = jnp.where(m_cnt == 0, 1.0, m_cnt)
+        for out_kind, ref in finalize:
+            if out_kind == "key":
+                outs.append(m_kmaxs[ref])
+            elif out_kind == "count":
+                outs.append(m_cnt)
+            elif out_kind == "avg":
+                outs.append(merged_slots[ref] / safe_cnt)
+            else:
+                outs.append(merged_slots[ref])
+        return tuple(outs) + (m_cnt,) + tuple(m_kmins) + tuple(m_kmaxs) \
+            + tuple(frac_flags)
+
+    n_out = len(finalize) + 1 + 2 * nk
+    in_specs = ((P("dp"),) + tuple(P("dp") for _ in sharded_keys)
+                + tuple(P() for _ in repl_keys))
+    out_specs = tuple(P("dp") for _ in range(n_out)) \
+        + tuple(P() for _ in range(nk))
+
+    full_key = ("mesh", id(mesh), plan_key)
+    cache = getattr(conn, "_device_plan_cache", None)
+    if cache is None:
+        cache = {}
+        conn._device_plan_cache = cache
+    compiled = cache.get(full_key)
+    if compiled is None:
+        import jax as _jax
+
+        compiled = _jax.jit(shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False))
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        cache[full_key] = compiled
+
+    import jax as _jax
+    import jax.numpy as _jnp
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+    row_shard = _NS(mesh, _P("dp"))
+    repl_shard = _NS(mesh, _P())
+
+    # validity mask for padded rows, cached per (mesh, n)
+    vcache = getattr(conn, "_mesh_valid_cache", None)
+    if vcache is None:
+        vcache = {}
+        conn._mesh_valid_cache = vcache
+    vkey = (id(mesh), n, n_pad)
+    valid = vcache.get(vkey)
+    if valid is None:
+        valid = _jax.device_put(np.arange(n_pad) < n, row_shard)
+        if len(vcache) >= 8:
+            vcache.pop(next(iter(vcache)))
+        vcache[vkey] = valid
+
+    args = [valid]
+    for k in sharded_keys:
+        args.append(_shard_column(sharded_columns[k], mesh, n, n_pad,
+                                  row_shard))
+    for k in repl_keys:
+        a = replicated_arrays[k]
+        if isinstance(a, np.ndarray):
+            a = _canonical_host(a)
+        args.append(_jax.device_put(_jnp.asarray(a), repl_shard))
+
+    try:
+        out = _jax.device_get(compiled(*args))
+    except Exception:
+        return None
+    nf = len(finalize)
+    results = [np.asarray(o) for o in out[:nf]]
+    group_count = np.asarray(out[nf])
+    key_mins = [np.asarray(o) for o in out[nf + 1: nf + 1 + nk]]
+    key_maxs = [np.asarray(o) for o in out[nf + 1 + nk: nf + 1 + 2 * nk]]
+    frac_flags = [np.asarray(o) for o in out[nf + 1 + 2 * nk:]]
+    return results, group_count, key_mins, key_maxs, frac_flags

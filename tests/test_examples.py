@@ -18,8 +18,12 @@ def test_example_runs(path, tmp_path):
     env["INFERA_CACHE_DIR"] = str(tmp_path / "cache")
     repo_root = str(pathlib.Path(__file__).parent.parent)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    env.setdefault("JAX_PLATFORMS", "cpu")  # examples must not hit the TPU
-    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    # examples must not hit the TPU: force (not setdefault) because the
+    # ambient environment exports JAX_PLATFORMS=axon for the tunneled chip
+    env["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
     res = subprocess.run([sys.executable, str(path)], capture_output=True,
                          text=True, timeout=300, env=env)
     assert res.returncode == 0, f"{path.name} failed:\n{res.stderr[-2000:]}"

@@ -1,0 +1,223 @@
+"""Mesh-partitioned SQL execution (sql/mesh_plan.py): fused plans lower
+through shard_map over the dp mesh with a partial-bucket shuffle
+(parallel/shuffle.py) and must match the host path; the exchange must
+actually run (pack-bucket probe); ineligible queries still fall back."""
+
+import numpy as np
+import pytest
+
+import infera_tpu as it
+from infera_tpu.sql import Connection
+from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+NDEV = 8
+
+
+@pytest.fixture()
+def conn_mesh(model_dir, clean_registry):
+    conn = Connection()
+    conn.set_mesh(NDEV)
+    # deliberately NOT divisible by the mesh (padding-row coverage)
+    n = MIN_DEVICE_ROWS * 2 + 13
+    conn.execute(
+        f"create table big as select x % 7 as g, (x % 100)::float / 10.0 as f1, "
+        f"((x + 3) % 50)::float / 5.0 as f2, ((x * 7) % 30)::float / 3.0 as f3 "
+        f"from range({n}) r(x)"
+    )
+    it.load_model("linear", f"{model_dir}/linear.onnx")
+    return conn, n
+
+
+def _frame(n):
+    x = np.arange(n, dtype=np.int64)
+    g = x % 7
+    f1 = (x % 100).astype(np.float32) / np.float32(10.0)
+    f2 = ((x + 3) % 50).astype(np.float32) / np.float32(5.0)
+    f3 = ((x * 7) % 30).astype(np.float32) / np.float32(3.0)
+    return g, f1, f2, f3
+
+
+def _shuffle_probe(monkeypatch):
+    """Count invocations of the distributed exchange's bucket packer."""
+    from infera_tpu.parallel import shuffle as sh
+
+    calls = {"n": 0}
+    orig = sh._pack_buckets
+
+    def probed(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sh, "_pack_buckets", probed)
+    return calls
+
+
+def test_mesh_groupby_predict_matches_host(conn_mesh, monkeypatch):
+    conn, n = conn_mesh
+    calls = _shuffle_probe(monkeypatch)
+    rows = conn.execute(
+        "select g, count(*) c, avg(infera_predict('linear', f1, f2, f3)) p, "
+        "sum(f1) s, min(f2), max(f3) from big where f1 > 5.0 "
+        "group by g order by g"
+    ).rows
+    assert conn._exec_path == "device_plan_mesh"
+    assert calls["n"] >= 1  # the plan routed through the shuffle packer
+    g, f1, f2, f3 = _frame(n)
+    pred = 2 * f1 - f2 + 0.5 * f3 + np.float32(0.25)
+    sel = f1 > 5.0
+    assert len(rows) == 7
+    for key, c, p, s, mn, mx in rows:
+        m = sel & (g == key)
+        assert c == int(m.sum())
+        assert p == pytest.approx(float(pred[m].mean()), rel=1e-4)
+        assert s == pytest.approx(float(f1[m].sum()), rel=1e-4)
+        assert mn == pytest.approx(float(f2[m].min()))
+        assert mx == pytest.approx(float(f3[m].max()))
+
+
+def test_mesh_global_aggregate(conn_mesh):
+    conn, n = conn_mesh
+    rows = conn.execute(
+        "select count(*), avg(infera_predict('linear', f1, f2, f3)), "
+        "sum(f1) from big"
+    ).rows
+    assert conn._exec_path == "device_plan_mesh"
+    g, f1, f2, f3 = _frame(n)
+    pred = 2 * f1 - f2 + 0.5 * f3 + np.float32(0.25)
+    assert rows[0][0] == n
+    assert rows[0][1] == pytest.approx(float(pred.mean()), rel=1e-4)
+    assert rows[0][2] == pytest.approx(float(f1.sum()), rel=1e-4)
+
+
+def test_mesh_global_aggregate_empty_filter(conn_mesh):
+    """A filter matching zero rows still yields the single global group."""
+    conn, n = conn_mesh
+    rows = conn.execute("select count(*) from big where f1 > 1e9").rows
+    assert conn._exec_path == "device_plan_mesh"
+    assert rows == [(0,)]
+
+
+def test_mesh_multikey_groupby_having(conn_mesh):
+    conn, n = conn_mesh
+    conn.execute(f"create table mk as select x % 5 as a, x % 3 as b, "
+                 f"(x % 100)::float / 10.0 as f1 from range({n}) r(x)")
+    rows = conn.execute(
+        "select a, b, count(*) c from mk group by a, b "
+        "having avg(f1) > 4.9 order by a, b").rows
+    assert conn._exec_path == "device_plan_mesh"
+    x = np.arange(n, dtype=np.int64)
+    a, b = x % 5, x % 3
+    f1 = (x % 100).astype(np.float32) / np.float32(10.0)
+    want = []
+    for ka in range(5):
+        for kb in range(3):
+            m = (a == ka) & (b == kb)
+            if f1[m].mean() > 4.9:
+                want.append((ka, kb, int(m.sum())))
+    assert rows == want
+    assert len(want) > 0
+
+
+def test_mesh_int_sum_falls_back_to_host(conn_mesh):
+    conn, n = conn_mesh
+    rows = conn.execute("select sum(g) from big").rows
+    assert conn._exec_path == "host"
+    g, *_ = _frame(n)
+    assert rows[0][0] == int(g.sum())
+
+
+def test_mesh_int64_key_guard_falls_back(conn_mesh):
+    """Group keys beyond int32 must stay on the exact host path."""
+    conn, n = conn_mesh
+    big_key = 1 << 32
+    conn.execute(
+        f"create table bigg as select case when x % 2 = 0 then {big_key} "
+        f"else 0 end as g2 from range({n}) r(x)")
+    rows = conn.execute(
+        "select g2, count(*) from bigg group by g2 order by g2").rows
+    assert conn._exec_path == "host"
+    assert rows == [(0, n // 2), (big_key, (n + 1) // 2)]
+
+
+def test_mesh_join_aggregate(conn_mesh):
+    """Broadcast join on the mesh: fact sharded, dim replicated."""
+    conn, n = conn_mesh
+    conn.execute("create table dim as select x as k, (x * 2)::float as w, "
+                 "x % 3 as cat from range(100) r(x)")
+    conn.execute(f"create table fact as select x % 100 as k, "
+                 f"(x % 40)::float / 4.0 as f1 from range({n}) r(x)")
+    rows = conn.execute(
+        "select cat, count(*) c, sum(w) sw, max(f1) from fact "
+        "join dim on fact.k = dim.k group by cat order by cat").rows
+    assert conn._exec_path == "device_join_plan_mesh"
+    x = np.arange(n)
+    k = x % 100
+    f1 = (x % 40).astype(np.float64) / 4.0
+    w = (k * 2).astype(np.float64)
+    cat = k % 3
+    assert len(rows) == 3
+    for kc, c, sw, mx in rows:
+        m = cat == kc
+        assert c == int(m.sum())
+        assert sw == pytest.approx(float(w[m].sum()), rel=1e-5)
+        assert mx == pytest.approx(float(f1[m].max()))
+
+
+def test_mesh_volatile_semantics(conn_mesh):
+    """Model unload must invalidate mesh plans exactly like host plans."""
+    conn, n = conn_mesh
+    conn.execute("select avg(infera_predict('linear', f1, f2, f3)) from big")
+    it.unload_model("linear")
+    with pytest.raises(Exception) as ei:
+        conn.execute("select avg(infera_predict('linear', f1, f2, f3)) from big")
+    assert "Model not found: linear" in str(ei.value)
+
+
+def test_mesh_disabled_uses_single_device(model_dir, clean_registry):
+    conn = Connection()
+    conn.set_mesh(None)
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(f"create table t as select x % 7 as g, (x % 10)::float as f "
+                 f"from range({n}) r(x)")
+    rows = conn.execute("select g, count(*) from t group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    assert sum(r[1] for r in rows) == n
+
+
+def test_mesh_env_knob(model_dir, clean_registry, monkeypatch):
+    """INFERA_MESH enables the mesh path without any code-level opt-in."""
+    from infera_tpu import config as config_mod
+
+    monkeypatch.setenv("INFERA_MESH", str(NDEV))
+    config_mod.reset_config_for_tests()
+    try:
+        conn = Connection()
+        n = MIN_DEVICE_ROWS * 2
+        conn.execute(f"create table t as select x % 4 as g, (x % 9)::float as f "
+                     f"from range({n}) r(x)")
+        rows = conn.execute(
+            "select g, count(*), avg(f) from t group by g order by g").rows
+        assert conn._exec_path == "device_plan_mesh"
+        assert len(rows) == 4
+    finally:
+        config_mod.reset_config_for_tests()
+
+
+def test_mesh_high_cardinality_groups(conn_mesh):
+    """A key domain in the thousands exercises real bucket routing."""
+    conn, n = conn_mesh
+    conn.execute(f"create table hc as select x % 3000 as g, "
+                 f"(x % 10)::float as f from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, count(*) c, sum(f) s from hc group by g order by g").rows
+    assert conn._exec_path == "device_plan_mesh"
+    x = np.arange(n, dtype=np.int64)
+    g = x % 3000
+    f = (x % 10).astype(np.float64)
+    assert len(rows) == 3000
+    assert [r[0] for r in rows] == list(range(3000))
+    counts = np.bincount(g, minlength=3000)
+    sums = np.bincount(g, weights=f, minlength=3000)
+    for kg, c, s in rows[:50] + rows[-50:]:
+        assert c == counts[kg]
+        assert s == pytest.approx(sums[kg], rel=1e-5)

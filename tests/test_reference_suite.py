@@ -32,13 +32,16 @@ else:
 
 
 @pytest.mark.skipif(not FILES, reason="reference tree not mounted")
+@pytest.mark.parametrize("mesh", [None, 8], ids=["single", "mesh8"])
 @pytest.mark.parametrize("fname", FILES)
-def test_reference_file(fname, model_dir, clean_registry, isolated_cache):
+def test_reference_file(fname, mesh, model_dir, clean_registry, isolated_cache):
     with open(os.path.join(REF_SQL_DIR, fname)) as f:
         text = f.read()
     # remap fixture-model paths to the synthesized models
     text = text.replace("test/models", model_dir)
-    runner = SqlLogicRunner(Connection())
+    conn = Connection()
+    conn.set_mesh(mesh)  # mesh8: partitioned execution must keep parity
+    runner = SqlLogicRunner(conn)
     result = runner.run_text(text, fname)
     if not result.passed:
         msgs = [

@@ -17,10 +17,14 @@ SUITE_DIR = os.path.join(os.path.dirname(__file__), "sqllogic")
 FILES = sorted(glob.glob(os.path.join(SUITE_DIR, "*.test")))
 
 
+@pytest.mark.parametrize("mesh", [None, 8], ids=["single", "mesh8"])
 @pytest.mark.parametrize("path", FILES, ids=[os.path.basename(f) for f in FILES])
-def test_sqllogic_file(path, model_dir, clean_registry, isolated_cache, tmp_path):
-    runner = SqlLogicRunner(Connection(), substitutions={"MODELS": model_dir,
-                                                        "TMP": str(tmp_path)})
+def test_sqllogic_file(path, mesh, model_dir, clean_registry, isolated_cache,
+                       tmp_path):
+    conn = Connection()
+    conn.set_mesh(mesh)  # mesh8: partitioned execution must keep parity
+    runner = SqlLogicRunner(conn, substitutions={"MODELS": model_dir,
+                                                 "TMP": str(tmp_path)})
     result = runner.run_file(path)
     if not result.passed:
         msgs = []
