@@ -42,6 +42,21 @@ def _build_params(seed=0):
     return params
 
 
+# Roofline constants for MFU / HBM%% reporting (v5e defaults; override for
+# other chips). MFU is reported against the bf16 MXU peak.
+PEAK_TFLOPS = float(os.environ.get("INFERA_TPU_PEAK_TFLOPS", "197"))
+HBM_GBS = float(os.environ.get("INFERA_TPU_HBM_GBS", "819"))
+
+
+def _sync(out):
+    """Force real completion: on the tunneled platform block_until_ready on
+    a jit result can return early (CLAUDE.md timing trap) — chain an
+    out-of-jit scalar reduction and block on that instead."""
+    import jax.numpy as jnp
+
+    jnp.sum(out[0]).block_until_ready()
+
+
 def bench_tpu(params, rows, iters=10, use_pallas=True):
     import jax
     import jax.numpy as jnp
@@ -56,6 +71,7 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
         jax.random.normal(jax.random.PRNGKey(1), (rows, IN_DIM), jnp.float32)
     )
     print(f"on-device data gen: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    model_flops = 2 * rows * sum(w.shape[0] * w.shape[1] for w, _ in params)
 
     def mlp_xla(x):
         h = x
@@ -76,33 +92,48 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
     # XLA path first: fast, reliable compile → a number is guaranteed even
     # if the run is killed during the slower Pallas compile. The child
     # prints a JSON line after EVERY improvement, so a parent that times us
-    # out mid-Pallas still salvages the XLA number from partial stdout.
-    impls = [("xla", jax.jit(lambda x: query_tail(mlp_xla(x))))]
+    # out mid-Pallas still salvages the best number so far from partial
+    # stdout. Pallas variants are ordered by expected throughput: bf16 with
+    # a bf16-stored table (half the HBM scan traffic), bf16 compute over an
+    # f32 table, then the f32 parity kernel.
+    impls = [("xla", jax.jit(lambda x: query_tail(mlp_xla(x))), x)]
     if use_pallas and rows % 4096 == 0:
         from infera_tpu.ops.pallas_query import fused_mlp_query
 
-        impls.append(("pallas_query", jax.jit(
-            lambda x: fused_mlp_query(jparams, x, tile_n=4096))))
+        x_bf16 = jax.block_until_ready(x.astype(jnp.bfloat16))
+        impls.append(("pallas_bf16_io", jax.jit(
+            lambda x: fused_mlp_query(jparams, x, tile_n=4096,
+                                      compute_dtype=jnp.bfloat16)), x_bf16))
+        impls.append(("pallas_bf16", jax.jit(
+            lambda x: fused_mlp_query(jparams, x, tile_n=4096,
+                                      compute_dtype=jnp.bfloat16)), x))
+        impls.append(("pallas_f32", jax.jit(
+            lambda x: fused_mlp_query(jparams, x, tile_n=4096)), x))
 
     best = None
-    for name, fn in impls:
+    for name, fn, inp in impls:
         try:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(x))
+            _sync(fn(inp))
             print(f"{name} first call (compile): {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr)
-            jax.block_until_ready(fn(x))
+            _sync(fn(inp))
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = fn(x)
-            jax.block_until_ready(out)
+                out = fn(inp)
+            _sync(out)
             dt = (time.perf_counter() - t0) / iters
             rps = rows / dt
-            print(f"{name}: {dt * 1e3:.3f} ms/iter = {rps:,.0f} rows/s",
+            bytes_in = inp.size * inp.dtype.itemsize
+            mfu = model_flops / dt / (PEAK_TFLOPS * 1e12)
+            hbm = bytes_in / dt / (HBM_GBS * 1e9)
+            print(f"{name}: {dt * 1e3:.3f} ms/iter = {rps:,.0f} rows/s "
+                  f"(MFU {mfu * 100:.1f}%, HBM {hbm * 100:.1f}%)",
                   file=sys.stderr)
-            if best is None or rps > best[1]:
-                best = (name, rps)
-                print(json.dumps({"impl": name, "rows_per_s": rps}), flush=True)
+            if best is None or rps > best["rows_per_s"]:
+                best = {"impl": name, "rows_per_s": rps,
+                        "mfu": round(mfu, 4), "hbm_frac": round(hbm, 4)}
+                print(json.dumps(best), flush=True)
         except Exception as e:  # pragma: no cover - pallas fallback
             print(f"{name} path failed: {type(e).__name__}: {e}", file=sys.stderr)
     if best is None:
@@ -219,12 +250,16 @@ def main():
     if result is not None:
         tpu_rows_s = result["rows_per_s"]
         vs_baseline = (tpu_rows_s / cpu_rows_s) if cpu_rows_s else 1.0
-        print(json.dumps({
+        out = {
             "metric": "mlp_batched_inference_query_rows_per_s_per_chip",
             "value": round(tpu_rows_s, 1),
             "unit": "rows/s",
             "vs_baseline": round(vs_baseline, 3),
-        }))
+        }
+        for k in ("impl", "mfu", "hbm_frac"):
+            if k in result:
+                out[k] = result[k]
+        print(json.dumps(out))
         return
     # Last resort: the compile queue never returned. Report the same query
     # measured on the CPU backend of this engine so the driver records an

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE_N = 4096
 
 
-def _query_kernel(n_layers, x_ref, *refs):
+def _query_kernel(n_layers, compute_dtype, x_ref, *refs):
     # refs: w0, b0, ..., counts_ref, sums_ref
     counts_ref = refs[-2]
     sums_ref = refs[-1]
@@ -38,13 +38,16 @@ def _query_kernel(n_layers, x_ref, *refs):
         counts_ref[:] = jnp.zeros_like(counts_ref)
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
-    h = x_ref[:]
+    # bf16 mode: weights arrive pre-cast, activations feed the MXU in bf16
+    # (2x the f32 MXU issue rate on v5e), accumulation stays f32 — biases,
+    # ReLU, and the aggregate tail all run in f32.
+    h = x_ref[:].astype(compute_dtype)
     for li in range(n_layers):
         w = refs[2 * li][:]
         b = refs[2 * li + 1][:]
         h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b[0, :]
         if li < n_layers - 1:
-            h = jnp.maximum(h, 0.0)
+            h = jnp.maximum(h, 0.0).astype(compute_dtype)
 
     pred = jnp.argmax(h, axis=-1)
     onehot = (
@@ -60,11 +63,15 @@ def _query_kernel(n_layers, x_ref, *refs):
 
 def fused_mlp_query(params: list, x: jnp.ndarray,
                     tile_n: int = DEFAULT_TILE_N,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    compute_dtype=jnp.float32):
     """Run predict→filter→group-by-class aggregate in one kernel.
 
     params: [(w [din, dout] f32, b [dout] f32), ...] ReLU MLP.
-    x: [N, d0] f32, N % tile_n == 0.
+    x: [N, d0] f32 or bf16, N % tile_n == 0.
+    compute_dtype: jnp.float32 (parity default) or jnp.bfloat16 — bf16
+      feeds the MXU at twice the f32 issue rate with f32 accumulation
+      (weights cast once at call time; biases/tail stay f32).
     Returns (counts [n_classes], sums [n_classes]):
       counts[c] = #rows with argmax class c and score0 > 0
       sums[c]   = sum of score0 over those rows
@@ -77,17 +84,18 @@ def fused_mlp_query(params: list, x: jnp.ndarray,
     weight_specs = []
     weight_args = []
     for w, b in params:
+        w = jnp.asarray(w, compute_dtype)
         weight_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
         weight_args.append(w)
-        b2 = b.reshape(1, -1)
+        b2 = jnp.asarray(b, jnp.float32).reshape(1, -1)
         weight_specs.append(pl.BlockSpec(b2.shape, lambda i: (0, 0),
                                          memory_space=pltpu.VMEM))
         weight_args.append(b2)
 
     flops = 2 * n * sum(w.shape[0] * w.shape[1] for w, _ in params)
     counts, sums = pl.pallas_call(
-        functools.partial(_query_kernel, n_layers),
+        functools.partial(_query_kernel, n_layers, compute_dtype),
         grid=(n // tile_n,),
         in_specs=[
             pl.BlockSpec((tile_n, d0), lambda i: (i, 0),
@@ -105,7 +113,8 @@ def fused_mlp_query(params: list, x: jnp.ndarray,
             jax.ShapeDtypeStruct((1, n_classes), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x.size * 4, transcendentals=0
+            flops=flops, bytes_accessed=x.size * x.dtype.itemsize,
+            transcendentals=0
         ),
         interpret=interpret,
     )(x, *weight_args)

@@ -56,6 +56,36 @@ def test_fused_query_matches_reference(mlp_params):
     assert float(counts.sum()) == float(sel.sum())
 
 
+def test_fused_query_bf16_matches_bf16_reference(mlp_params):
+    """bf16-compute variant (f32 accumulate): must match a numpy emulation
+    of the same precision recipe, and stay near the f32 answer."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2048, 32)), jnp.float32)
+    counts, sums = fused_mlp_query(mlp_params, x, tile_n=256, interpret=True,
+                                   compute_dtype=jnp.bfloat16)
+    # numpy bf16 emulation: round inputs/weights to bf16, accumulate in f32
+    def bf16(a):
+        return np.asarray(jnp.asarray(a, jnp.bfloat16).astype(jnp.float32))
+
+    h = bf16(x)
+    for i, (w, b) in enumerate(mlp_params):
+        h = (h @ bf16(w)).astype(np.float32) + np.asarray(b)
+        if i < len(mlp_params) - 1:
+            h = bf16(np.maximum(h, 0))
+    pred = h.argmax(-1)
+    sel = h[:, 0] > 0
+    ec = np.zeros(16)
+    es = np.zeros(16)
+    np.add.at(ec, pred, sel.astype(float))
+    np.add.at(es, pred, np.where(sel, h[:, 0], 0.0))
+    np.testing.assert_allclose(np.asarray(counts), ec, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sums), es, rtol=2e-2, atol=1e-2)
+    # and the bf16 answer is a faithful approximation of the f32 one
+    c32, s32 = fused_mlp_query(mlp_params, x, tile_n=256, interpret=True)
+    assert abs(float(counts.sum()) - float(c32.sum())) <= 8
+    np.testing.assert_allclose(float(sums.sum()), float(s32.sum()), rtol=5e-2)
+
+
 def test_vmem_budget_check(mlp_params):
     small = [(np.asarray(w), np.asarray(b)) for w, b in mlp_params]
     assert vmem_fits(small, 1024, 32)
