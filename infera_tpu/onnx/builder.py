@@ -167,6 +167,76 @@ def gbt_regressor_model(
     return Model(graph=g, opset_imports=[("", 13), ("ai.onnx.ml", 3)])
 
 
+def mobilenet_like_model(seed: int = 0, n_classes: int = 1000) -> Model:
+    """A mobilenet-class depthwise-separable CNN with the REAL input shape.
+
+    Offline stand-in for the HuggingFace mobilenetv3 model the reference's
+    test_advanced_features.test downloads
+    (/root/reference/test/sql/test_advanced_features.test:47-58): fixed
+    input of 1*224*224*3 floats (the pinned 602,112-byte blob), stride-2
+    depthwise-separable stages with HardSwish, global average pooling, and a
+    1000-class head — so the blob path is exercised at mobilenet scale
+    without the network.
+    """
+    rng = np.random.default_rng(seed)
+    nodes = []
+    inits = {}
+
+    def conv(idx, inp, out, cin, cout, k, stride, group=1):
+        wshape = (cout, cin // group, k, k)
+        w = (rng.standard_normal(wshape, dtype=np.float32)
+             * np.float32(1.0 / np.sqrt(cin * k * k / group)))
+        b = rng.standard_normal(cout, dtype=np.float32) * np.float32(0.05)
+        inits[f"CW{idx}"] = Tensor.from_array(f"CW{idx}", w)
+        inits[f"CB{idx}"] = Tensor.from_array(f"CB{idx}", b)
+        pad = (k - 1) // 2
+        nodes.append(Node(
+            op_type="Conv", inputs=[inp, f"CW{idx}", f"CB{idx}"], outputs=[out],
+            attributes={
+                "kernel_shape": Attribute.make("kernel_shape", [k, k]),
+                "strides": Attribute.make("strides", [stride, stride]),
+                "pads": Attribute.make("pads", [pad, pad, pad, pad]),
+                "group": Attribute.make("group", group),
+            }))
+
+    def act(op, inp, out):
+        nodes.append(Node(op_type=op, inputs=[inp], outputs=[out]))
+
+    # stem: 3→16 s2 (224→112), then 3 depthwise-separable stages s2 each
+    conv(0, "X", "c0", 3, 16, 3, 2)
+    act("HardSwish", "c0", "a0")
+    widths = [16, 24, 48, 96]
+    prev = "a0"
+    for si in range(3):
+        cin, cout = widths[si], widths[si + 1]
+        conv(10 + si, prev, f"dw{si}", cin, cin, 3, 2, group=cin)
+        act("Relu", f"dw{si}", f"dwa{si}")
+        conv(20 + si, f"dwa{si}", f"pw{si}", cin, cout, 1, 1)
+        act("HardSwish", f"pw{si}", f"pwa{si}")
+        prev = f"pwa{si}"
+    nodes.append(Node(op_type="GlobalAveragePool", inputs=[prev],
+                      outputs=["gap"]))
+    nodes.append(Node(op_type="Flatten", inputs=["gap"], outputs=["flat"],
+                      attributes={"axis": Attribute.make("axis", 1)}))
+    w = (rng.standard_normal((widths[-1], n_classes), dtype=np.float32)
+         * np.float32(1.0 / np.sqrt(widths[-1])))
+    b = rng.standard_normal(n_classes, dtype=np.float32) * np.float32(0.05)
+    inits["FW"] = Tensor.from_array("FW", w)
+    inits["FB"] = Tensor.from_array("FB", b)
+    nodes.append(Node(op_type="Gemm", inputs=["flat", "FW", "FB"],
+                      outputs=["Y"]))
+    g = Graph(
+        name="MobilenetLike",
+        nodes=nodes,
+        initializers=inits,
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT,
+                          shape=[1, 3, 224, 224])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT,
+                           shape=[1, n_classes])],
+    )
+    return Model(graph=g, opset_imports=[("", 17)])
+
+
 def write_reference_test_models(directory) -> dict:
     """Write linear.onnx and multi_output.onnx into `directory`.
 

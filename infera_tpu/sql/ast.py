@@ -237,6 +237,17 @@ class CreateTable(Statement):
 
 
 @dataclass
+class CreateMacro(Statement):
+    """CREATE [OR REPLACE] MACRO name(params...) AS expr — scalar macro,
+    expanded by argument substitution at evaluation time (DuckDB semantics;
+    the reference's test_advanced_features.test uses zero-arg macros)."""
+    name: str = ""
+    params: list = field(default_factory=list)
+    expr: Expr | None = None
+    or_replace: bool = False
+
+
+@dataclass
 class Insert(Statement):
     table: str
     columns: list | None = None

@@ -126,6 +126,7 @@ class Connection:
     def __init__(self, catalog: Catalog | None = None):
         self.catalog = catalog or Catalog()
         self._exec_path = "host"  # path that served the current statement
+        self._macros: dict = {}   # name → (params, body Expr)
 
     # -- public API -------------------------------------------------------
 
@@ -178,6 +179,13 @@ class Connection:
         if isinstance(stmt, A.CreateTableAs):
             table = self._execute_query(stmt.query)
             self.catalog.put(stmt.name, table, stmt.or_replace)
+            return QueryResult()
+        if isinstance(stmt, A.CreateMacro):
+            key = stmt.name.lower()
+            if key in self._macros and not stmt.or_replace:
+                raise SqlError(
+                    f"Catalog Error: Macro with name \"{stmt.name}\" already exists!")
+            self._macros[key] = (stmt.params, stmt.expr)
             return QueryResult()
         if isinstance(stmt, A.CreateTable):
             cols = {}
@@ -968,6 +976,15 @@ class Connection:
 
     def _eval_func(self, expr: A.FuncCall, scope: Scope) -> Column:
         name = expr.name.lower()
+        if name in self._macros:
+            params, body = self._macros[name]
+            if len(params) != len(expr.args):
+                raise SqlError(
+                    f"Binder Error: Macro function '{expr.name}' requires "
+                    f"{len(params)} positional arguments, but "
+                    f"{len(expr.args)} positional arguments were provided.")
+            bindings = {p.lower(): a for p, a in zip(params, expr.args)}
+            return self._eval(_substitute_macro(body, bindings), scope)
         if name == "__scalar_subquery__":
             sub = self._execute_select(expr.args[0])
             v = None
@@ -988,6 +1005,30 @@ class Connection:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _substitute_macro(expr, bindings: dict):
+    """Clone a macro body with parameter references replaced by the call's
+    argument expressions (textual-substitution semantics, like DuckDB)."""
+    import dataclasses
+
+    if isinstance(expr, A.ColumnRef) and expr.table is None \
+            and expr.name.lower() in bindings:
+        return bindings[expr.name.lower()]
+    if not dataclasses.is_dataclass(expr):
+        return expr
+    kwargs = {}
+    for f in dataclasses.fields(expr):
+        v = getattr(expr, f.name)
+        if isinstance(v, A.Expr):
+            kwargs[f.name] = _substitute_macro(v, bindings)
+        elif isinstance(v, list):
+            kwargs[f.name] = [
+                _substitute_macro(i, bindings) if isinstance(i, A.Expr) else i
+                for i in v]
+        else:
+            kwargs[f.name] = v
+    return type(expr)(**kwargs)
+
 
 def _str_to_blob(s: str) -> bytes:
     """VARCHAR → BLOB cast with DuckDB-style ``\\xHH`` escapes."""

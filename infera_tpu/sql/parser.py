@@ -192,6 +192,18 @@ class Parser:
         if self.accept_kw("OR"):
             self.expect_kw("REPLACE")
             or_replace = True
+        if self.accept_kw("MACRO"):
+            name = self.expect_ident()
+            self.expect_op("(")
+            params = []
+            if not self.at_op(")"):
+                while True:
+                    params.append(self.expect_ident())
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            self.expect_kw("AS")
+            return A.CreateMacro(name, params, self.parse_expr(), or_replace)
         self.expect_kw("TABLE")
         if self.accept_kw("IF"):
             self.expect_kw("NOT")
