@@ -237,6 +237,140 @@ def mobilenet_like_model(seed: int = 0, n_classes: int = 1000) -> Model:
     return Model(graph=g, opset_imports=[("", 17)])
 
 
+def if_model(static_cond: bool | None = None) -> Model:
+    """y = If(mean(X) > 0) ? 2*X + 1 : -X  over input [-1, 4].
+
+    Branch subgraphs capture X from the outer scope (ONNX scoping rules).
+    With ``static_cond`` set, the condition is an initializer so the branch
+    folds at trace time; otherwise it is computed from X and lowers to
+    lax.cond. Covers tract's control-flow opset (engine.rs:49-55)."""
+    two = Tensor.from_array("two", np.float32(2.0))
+    one = Tensor.from_array("one", np.float32(1.0))
+    then_g = Graph(
+        name="then",
+        nodes=[
+            Node(op_type="Mul", inputs=["X", "two"], outputs=["t0"]),
+            Node(op_type="Add", inputs=["t0", "one"], outputs=["then_out"]),
+        ],
+        outputs=[ValueInfo(name="then_out", elem_type=DataType.FLOAT,
+                           shape=[-1, 4])],
+    )
+    else_g = Graph(
+        name="else",
+        nodes=[Node(op_type="Neg", inputs=["X"], outputs=["else_out"])],
+        outputs=[ValueInfo(name="else_out", elem_type=DataType.FLOAT,
+                           shape=[-1, 4])],
+    )
+    inits = {"two": two, "one": one,
+             "zero": Tensor.from_array("zero", np.float32(0.0))}
+    nodes = []
+    if static_cond is None:
+        nodes.append(Node(op_type="ReduceMean", inputs=["X"], outputs=["m"],
+                          attributes={"keepdims": Attribute.make("keepdims", 0)}))
+        nodes.append(Node(op_type="Greater", inputs=["m", "zero"],
+                          outputs=["cond"]))
+    else:
+        inits["cond"] = Tensor.from_array(
+            "cond", np.asarray(static_cond, np.bool_))
+    nodes.append(Node(
+        op_type="If", inputs=["cond"], outputs=["Y"],
+        attributes={"then_branch": Attribute.make("then_branch", then_g),
+                    "else_branch": Attribute.make("else_branch", else_g)}))
+    g = Graph(
+        name="IfModel", nodes=nodes, initializers=inits,
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT, shape=[-1, 4])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[-1, 4])],
+    )
+    return Model(graph=g, opset_imports=[("", 17)])
+
+
+def loop_model(trips: int = 5, scan_output: bool = False) -> Model:
+    """v_{k+1} = v_k + X for ``trips`` iterations starting at v_0 = X
+    (so Y = (trips+1) * X), input [-1, 4].
+
+    Without scan_output the Loop lowers to lax.while_loop; with it, the body
+    also emits ReduceSum(v) per iteration (shape [1]) and the Loop lowers to
+    lax.scan with a static trip count."""
+    body_nodes = [
+        Node(op_type="Identity", inputs=["c_in"], outputs=["c_out"]),
+        Node(op_type="Add", inputs=["v_in", "X"], outputs=["v_out"]),
+    ]
+    body_outputs = [
+        ValueInfo(name="c_out", elem_type=DataType.BOOL, shape=[]),
+        ValueInfo(name="v_out", elem_type=DataType.FLOAT, shape=[-1, 4]),
+    ]
+    if scan_output:
+        body_nodes.append(Node(op_type="ReduceSum", inputs=["v_out"],
+                               outputs=["s_out"],
+                               attributes={"keepdims": Attribute.make("keepdims", 0)}))
+        body_outputs.append(ValueInfo(name="s_out", elem_type=DataType.FLOAT,
+                                      shape=[]))
+    body = Graph(
+        name="loop_body",
+        nodes=body_nodes,
+        inputs=[
+            ValueInfo(name="i", elem_type=DataType.INT64, shape=[]),
+            ValueInfo(name="c_in", elem_type=DataType.BOOL, shape=[]),
+            ValueInfo(name="v_in", elem_type=DataType.FLOAT, shape=[-1, 4]),
+        ],
+        outputs=body_outputs,
+    )
+    inits = {
+        "M": Tensor.from_array("M", np.asarray(trips, np.int64)),
+        "keep_going": Tensor.from_array("keep_going", np.asarray(True, np.bool_)),
+    }
+    outputs = [ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[-1, 4])]
+    loop_outputs = ["Y"]
+    if scan_output:
+        loop_outputs.append("S")
+        outputs.append(ValueInfo(name="S", elem_type=DataType.FLOAT,
+                                 shape=[trips]))
+    g = Graph(
+        name="LoopModel",
+        nodes=[Node(op_type="Loop", inputs=["M", "keep_going", "X"],
+                    outputs=loop_outputs,
+                    attributes={"body": Attribute.make("body", body)})],
+        initializers=inits,
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT, shape=[-1, 4])],
+        outputs=outputs,
+    )
+    return Model(graph=g, opset_imports=[("", 17)])
+
+
+def scan_model() -> Model:
+    """Cumulative sum over axis 0 via Scan: state s [4] + scan input row;
+    outputs the final sum [4] and the running cumsum [N, 4]."""
+    body = Graph(
+        name="scan_body",
+        nodes=[
+            Node(op_type="Add", inputs=["s_in", "x_t"], outputs=["s_out"]),
+            Node(op_type="Identity", inputs=["s_out"], outputs=["y_t"]),
+        ],
+        inputs=[
+            ValueInfo(name="s_in", elem_type=DataType.FLOAT, shape=[4]),
+            ValueInfo(name="x_t", elem_type=DataType.FLOAT, shape=[4]),
+        ],
+        outputs=[
+            ValueInfo(name="s_out", elem_type=DataType.FLOAT, shape=[4]),
+            ValueInfo(name="y_t", elem_type=DataType.FLOAT, shape=[4]),
+        ],
+    )
+    g = Graph(
+        name="ScanModel",
+        nodes=[Node(
+            op_type="Scan", inputs=["S0", "X"], outputs=["SF", "Y"],
+            attributes={"body": Attribute.make("body", body),
+                        "num_scan_inputs": Attribute.make("num_scan_inputs", 1)})],
+        initializers={"S0": Tensor.from_array("S0", np.zeros(4, np.float32))},
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT, shape=[-1, 4])],
+        outputs=[
+            ValueInfo(name="SF", elem_type=DataType.FLOAT, shape=[4]),
+            ValueInfo(name="Y", elem_type=DataType.FLOAT, shape=[-1, 4]),
+        ],
+    )
+    return Model(graph=g, opset_imports=[("", 17)])
+
+
 def write_reference_test_models(directory) -> dict:
     """Write linear.onnx and multi_output.onnx into `directory`.
 

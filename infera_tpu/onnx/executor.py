@@ -50,16 +50,32 @@ class _Ctx:
             return np.asarray(value)
         return None
 
+    def run_subgraph(self, graph, inputs: list) -> list:
+        """Execute a nested GraphProto (If branch, Loop/Scan body) with ONNX
+        outer-scope capture: names not bound by the subgraph resolve against
+        this context's values. ``inputs`` bind positionally to graph.inputs.
 
-def _toposort(graph: proto.Graph) -> list:
+        The reference inherits this from tract's full opset
+        (/root/reference/infera/src/engine.rs:49-55); here the subgraph
+        traces into the same XLA computation as its parent."""
+        values = dict(self._values)
+        for name, t in graph.initializers.items():
+            values[name] = np.asarray(t.array)
+        for vi, arr in zip(graph.inputs, inputs):
+            values[vi.name] = arr
+        child = _Ctx(values, self.matmul_precision)
+        return _run_nodes(graph, values, child)
+
+
+def _toposort(graph: proto.Graph, extra_available: set | None = None) -> list:
     """Topologically order nodes (ONNX graphs are usually ordered, but not
-    guaranteed)."""
+    guaranteed). ``extra_available`` marks names resolvable from an outer
+    scope (subgraph execution)."""
     produced = set(graph.initializers)
     produced.update(v.name for v in graph.inputs)
     produced.add("")  # optional inputs
-    for n in graph.nodes:
-        for c in n.attributes.values():
-            pass
+    if extra_available:
+        produced.update(extra_available)
     remaining = list(graph.nodes)
     ordered = []
     while remaining:
@@ -77,6 +93,33 @@ def _toposort(graph: proto.Graph) -> list:
             missing = {i for n in remaining for i in n.inputs if i not in produced}
             raise OnnxError(f"graph has unresolvable inputs: {sorted(missing)[:5]}")
     return ordered
+
+
+def _run_nodes(graph: proto.Graph, values: dict, ctx: "_Ctx",
+               ordered: list | None = None) -> list:
+    """Execute graph nodes against ``values`` (mutated in place); returns the
+    graph's declared outputs. Shared by top-level tracing and subgraph
+    execution (If/Loop/Scan bodies).
+
+    Static fold note: if every input is host numpy and the op is pure
+    shape/const manipulation, results stay numpy automatically (jnp ops on
+    numpy return jnp; only ops that return numpy themselves — Shape /
+    Constant / Range — keep values static)."""
+    if ordered is None:
+        ordered = _toposort(graph, extra_available=set(values))
+    for node in ordered:
+        impl = get_impl(node.domain, node.op_type)
+        inputs = [values[i] if i else None for i in node.inputs]
+        outputs = impl(node, inputs, ctx)
+        for out_name, out_val in zip(node.outputs, outputs):
+            if out_name:
+                values[out_name] = out_val
+    outs = []
+    for v in graph.outputs:
+        if v.name not in values:
+            raise OnnxError(f"subgraph '{graph.name}' missing output '{v.name}'")
+        outs.append(values[v.name])
+    return outs
 
 
 class CompiledOnnxModel:
@@ -132,17 +175,7 @@ class CompiledOnnxModel:
         for vi, arr in zip(self.runtime_inputs, args):
             values[vi.name] = arr
         ctx = _Ctx(values, self.precision)
-        for node in self.nodes:
-            impl = get_impl(node.domain, node.op_type)
-            inputs = [values[i] if i else None for i in node.inputs]
-            # Static fold: if every input is host numpy and the op is pure
-            # shape/const manipulation, results stay numpy automatically
-            # (jnp ops on numpy return jnp; we only force numpy for ops that
-            # return numpy themselves, e.g. Shape/Constant/Range).
-            outputs = impl(node, inputs, ctx)
-            for out_name, out_val in zip(node.outputs, outputs):
-                if out_name:
-                    values[out_name] = out_val
+        _run_nodes(self.graph, values, ctx, self.nodes)
         outs = []
         for v in self.graph.outputs:
             if v.name not in values:

@@ -310,9 +310,20 @@ def _post_transform(y, kind: str):
     if kind == "LOGISTIC":
         return jax.nn.sigmoid(y)
     if kind == "SOFTMAX_ZERO":
-        return jax.nn.softmax(y, axis=-1)
+        # ONNX Runtime semantics: zero scores stay zero; softmax over the rest
+        from jax import lax as _lax
+
+        nz = y != 0
+        shifted = jnp.where(nz, y, -jnp.inf)
+        m = jnp.max(shifted, axis=-1, keepdims=True)
+        e = jnp.where(nz, jnp.exp(shifted - jnp.where(jnp.isfinite(m), m, 0.0)), 0.0)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        return jnp.where(s > 0, e / jnp.where(s > 0, s, 1.0), 0.0)
     if kind == "PROBIT":
-        raise OnnxError("PROBIT post_transform not supported")
+        # probit(p) = sqrt(2) * erfinv(2p - 1)  (inverse standard-normal CDF)
+        from jax import lax as _lax
+
+        return np.sqrt(2.0).astype(np.float32) * _lax.erf_inv(2.0 * y - 1.0)
     raise OnnxError(f"unsupported post_transform {kind}")
 
 

@@ -525,3 +525,169 @@ def _qlinear_matmul(node, inputs, ctx):
     signed = yzp_static is not None and yzp_static.dtype == np.int8
     lo, hi = (-128, 127) if signed else (0, 255)
     return [jnp.clip(jnp.rint(y) + y_zp, lo, hi).astype(jnp.int32)]
+
+
+# ---------------------------------------------------------------------------
+# Detection / dynamic-output long tail (toward tract's full opset,
+# /root/reference/infera/src/engine.rs:49-55)
+# ---------------------------------------------------------------------------
+
+
+@register("ConvTranspose")
+def _conv_transpose(node, inputs, ctx):
+    """Transposed convolution: conv_general_dilated with lhs_dilation =
+    strides and a flipped, IO-swapped kernel (XLA-native, MXU-eligible)."""
+    x, w = inputs[0], inputs[1]
+    spatial = x.ndim - 2
+    group = int(node.attr("group", 1))
+    strides = tuple(node.attr("strides") or (1,) * spatial)
+    dilations = tuple(node.attr("dilations") or (1,) * spatial)
+    out_pad = tuple(node.attr("output_padding") or (0,) * spatial)
+    pads = node.attr("pads")
+    auto_pad = node.attr("auto_pad", "NOTSET")
+    if isinstance(auto_pad, bytes):
+        auto_pad = auto_pad.decode()
+    k = w.shape[2:]
+
+    out_shape_attr = node.attr("output_shape")
+    if out_shape_attr:
+        # derive total padding per the ONNX spec, split SAME_UPPER style
+        in_sp = x.shape[2:]
+        pads_begin, pads_end = [], []
+        for i in range(spatial):
+            total = (strides[i] * (in_sp[i] - 1) + out_pad[i]
+                     + ((k[i] - 1) * dilations[i] + 1) - int(out_shape_attr[i]))
+            total = max(total, 0)
+            if auto_pad == "SAME_UPPER":
+                pads_begin.append(total // 2)
+                pads_end.append(total - total // 2)
+            else:
+                pads_begin.append(total - total // 2)
+                pads_end.append(total // 2)
+        pads = pads_begin + pads_end
+    elif not pads:
+        if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+            pads_total = [(k[i] - 1) * dilations[i] + 1 - strides[i]
+                          for i in range(spatial)]
+            pads_total = [max(p, 0) for p in pads_total]
+            if auto_pad == "SAME_UPPER":
+                pads = ([p // 2 for p in pads_total]
+                        + [p - p // 2 for p in pads_total])
+            else:
+                pads = ([p - p // 2 for p in pads_total]
+                        + [p // 2 for p in pads_total])
+        else:
+            pads = [0] * (2 * spatial)
+
+    # ONNX ConvTranspose kernel is [C_in, C_out/group, *k]; XLA wants
+    # [C_out, C_in/group, *k] with spatial dims flipped
+    cin = w.shape[0]
+    cout = w.shape[1] * group
+    wg = w.reshape((group, cin // group, w.shape[1]) + k)
+    wg = jnp.swapaxes(wg, 1, 2)  # [g, C_out/g, C_in/g, *k]
+    wk = wg.reshape((cout, cin // group) + k)
+    wk = jnp.flip(wk, axis=tuple(range(2, 2 + spatial)))
+
+    padding = [
+        (dilations[i] * (k[i] - 1) - pads[i],
+         dilations[i] * (k[i] - 1) - pads[spatial + i] + out_pad[i])
+        for i in range(spatial)
+    ]
+    specs = {1: ("NCH", "OIH", "NCH"), 2: ("NCHW", "OIHW", "NCHW"),
+             3: ("NCDHW", "OIDHW", "NCDHW")}
+    dn = lax.conv_dimension_numbers(x.shape, wk.shape, specs[spatial])
+    y = lax.conv_general_dilated(
+        x, wk, window_strides=(1,) * spatial, padding=padding,
+        lhs_dilation=strides, rhs_dilation=dilations, dimension_numbers=dn,
+        feature_group_count=group, precision=_HIGHEST,
+    )
+    if len(inputs) > 2 and inputs[2] is not None:
+        y = y + inputs[2].reshape((1, -1) + (1,) * spatial)
+    return [y]
+
+
+def _require_static(ctx, node, value, what):
+    arr = ctx.as_static(value)
+    if arr is None:
+        raise OnnxError(
+            f"{node.op_type} '{node.name}': {what} must be statically known "
+            f"(the op's output shape is data-dependent, which XLA cannot "
+            f"express; tract's CPU interpreter can)")
+    return np.asarray(arr)
+
+
+@register("NonMaxSuppression")
+def _non_max_suppression(node, inputs, ctx):
+    """Exact ONNX NMS on statically-known inputs (host fold at trace time).
+
+    Output [num_selected, 3] is data-dependent; under tracing this op raises
+    rather than silently truncating."""
+    boxes = _require_static(ctx, node, node.inputs[0], "boxes")
+    scores = _require_static(ctx, node, node.inputs[1], "scores")
+    max_out = int(_require_static(ctx, node, node.inputs[2],
+                                  "max_output_boxes_per_class").reshape(()).item()) \
+        if len(node.inputs) > 2 and node.inputs[2] else 0
+    iou_thr = float(np.asarray(ctx.as_static(node.inputs[3])).reshape(()).item()) \
+        if len(node.inputs) > 3 and node.inputs[3] else 0.0
+    score_thr = float(np.asarray(ctx.as_static(node.inputs[4])).reshape(()).item()) \
+        if len(node.inputs) > 4 and node.inputs[4] else -np.inf
+    center = bool(node.attr("center_point_box", 0))
+
+    def to_corners(b):
+        if not center:
+            y1, x1, y2, x2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+            return (np.minimum(y1, y2), np.minimum(x1, x2),
+                    np.maximum(y1, y2), np.maximum(x1, x2))
+        xc, yc, w_, h_ = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        return (yc - h_ / 2, xc - w_ / 2, yc + h_ / 2, xc + w_ / 2)
+
+    selected = []
+    for bi in range(scores.shape[0]):
+        y1, x1, y2, x2 = to_corners(boxes[bi])
+        area = (y2 - y1) * (x2 - x1)
+        for ci in range(scores.shape[1]):
+            s = scores[bi, ci]
+            order = np.argsort(-s, kind="stable")
+            order = order[s[order] > score_thr]
+            kept = []
+            for idx in order:
+                if max_out and len(kept) >= max_out:
+                    break
+                ok = True
+                for j in kept:
+                    yy1 = max(y1[idx], y1[j]); xx1 = max(x1[idx], x1[j])
+                    yy2 = min(y2[idx], y2[j]); xx2 = min(x2[idx], x2[j])
+                    inter = max(yy2 - yy1, 0.0) * max(xx2 - xx1, 0.0)
+                    union = area[idx] + area[j] - inter
+                    if union > 0 and inter / union > iou_thr:
+                        ok = False
+                        break
+                if ok:
+                    kept.append(int(idx))
+            selected.extend((bi, ci, k) for k in kept)
+    return [np.asarray(selected, np.int64).reshape(-1, 3)]
+
+
+@register("Unique")
+def _unique(node, inputs, ctx):
+    """Exact ONNX Unique on statically-known input (host fold): outputs Y,
+    indices, inverse_indices, counts. Dynamic-shape output → static-only."""
+    x = _require_static(ctx, node, node.inputs[0], "input")
+    axis = node.attr("axis")
+    want_sorted = bool(node.attr("sorted", 1))
+    flat = x.reshape(-1) if axis is None else x
+    uniq, first_idx, inverse, counts = np.unique(
+        flat, return_index=True, return_inverse=True, return_counts=True,
+        axis=None if axis is None else int(axis))
+    if not want_sorted:
+        # reorder to first-occurrence order
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        uniq = (uniq[order] if axis is None
+                else np.take(uniq, order, axis=int(axis)))
+        first_idx = first_idx[order]
+        counts = counts[order]
+        inverse = rank[inverse]
+    return [uniq, first_idx.astype(np.int64),
+            inverse.reshape(-1).astype(np.int64), counts.astype(np.int64)]

@@ -291,9 +291,11 @@ class Attribute:
     i: int = 0
     s: bytes = b""
     t: Tensor | None = None
+    g: "Graph | None" = None  # subgraph (If branches, Loop/Scan bodies)
     floats: list = field(default_factory=list)
     ints: list = field(default_factory=list)
     strings: list = field(default_factory=list)
+    graphs: list = field(default_factory=list)
 
     @property
     def value(self):
@@ -305,12 +307,16 @@ class Attribute:
             return self.s.decode("utf-8")
         if self.type == AttrType.TENSOR:
             return self.t
+        if self.type == AttrType.GRAPH:
+            return self.g
         if self.type == AttrType.FLOATS:
             return list(self.floats)
         if self.type == AttrType.INTS:
             return list(self.ints)
         if self.type == AttrType.STRINGS:
             return [s.decode("utf-8") for s in self.strings]
+        if self.type == AttrType.GRAPHS:
+            return list(self.graphs)
         return None
 
     @staticmethod
@@ -335,6 +341,13 @@ class Attribute:
                 a.t = Tensor.parse(val)
                 if a.type == AttrType.UNDEFINED:
                     a.type = AttrType.TENSOR
+            elif fnum == 6 and wtype == _WIRE_LEN:  # g (subgraph)
+                a.g = Graph.parse(val)
+                if a.type == AttrType.UNDEFINED:
+                    a.type = AttrType.GRAPH
+            elif fnum == 11 and wtype == _WIRE_LEN:  # graphs
+                a.graphs.append(Graph.parse(val))
+                a.type = AttrType.GRAPHS
             elif fnum == 7:  # floats
                 if wtype == _WIRE_32BIT:
                     a.floats.append(struct.unpack("<f", val)[0])
@@ -366,6 +379,12 @@ class Attribute:
         elif self.type == AttrType.TENSOR:
             assert self.t is not None
             _w_len_field(out, 5, self.t.serialize())
+        elif self.type == AttrType.GRAPH:
+            assert self.g is not None
+            _w_len_field(out, 6, self.g.serialize())
+        elif self.type == AttrType.GRAPHS:
+            for g in self.graphs:
+                _w_len_field(out, 11, g.serialize())
         elif self.type == AttrType.FLOATS:
             for v in self.floats:
                 _w_float_field(out, 7, v)
@@ -393,6 +412,8 @@ class Attribute:
             a.type, a.s = AttrType.STRING, value
         elif isinstance(value, Tensor):
             a.type, a.t = AttrType.TENSOR, value
+        elif isinstance(value, Graph):
+            a.type, a.g = AttrType.GRAPH, value
         elif isinstance(value, np.ndarray):
             a.type, a.t = AttrType.TENSOR, Tensor.from_array(name, value)
         elif isinstance(value, (list, tuple)):

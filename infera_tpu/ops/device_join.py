@@ -133,9 +133,84 @@ def inner_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
     return np.asarray(li, np.int64), np.asarray(ri, np.int64)
 
 
+def left_join_indices_device(left_keys: np.ndarray, right_keys: np.ndarray):
+    """LEFT OUTER join pairs on device: every left row appears; unmatched
+    rows carry ri = -1 (NULL marker). Same sort + searchsorted + prefix-sum
+    expansion as the inner join, with per-left output count max(cnt, 1)."""
+    lk = jnp.asarray(left_keys)
+    rk = jnp.asarray(right_keys)
+    n_right = int(rk.shape[0])
+
+    @jax.jit
+    def phase1(lk, rk):
+        order = jnp.argsort(rk)
+        rk_sorted = rk[order]
+        lb = jnp.searchsorted(rk_sorted, lk, side="left")
+        ub = jnp.searchsorted(rk_sorted, lk, side="right")
+        cnt = ub - lb
+        offsets = jnp.cumsum(jnp.maximum(cnt, 1))
+        return order, lb, cnt, offsets
+
+    order, lb, cnt, offsets = phase1(lk, rk)
+    total = int(offsets[-1]) if offsets.shape[0] else 0
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    @jax.jit
+    def phase2(order, lb, cnt, offsets):
+        excl = offsets - jnp.maximum(cnt, 1)
+        pos = jnp.arange(total)
+        li = jnp.searchsorted(offsets, pos, side="right")
+        within = pos - excl[li]
+        matched = within < cnt[li]
+        gather = jnp.minimum(lb[li] + within, n_right - 1)
+        ri = jnp.where(matched, order[gather], -1)
+        return li, ri
+
+    li, ri = jax.device_get(phase2(order, lb, cnt, offsets))
+    return np.asarray(li, np.int64), np.asarray(ri, np.int64)
+
+
+def _unmatched_mask_device(probe_keys: np.ndarray, build_keys: np.ndarray):
+    """Boolean mask over probe rows with NO equal key on the build side."""
+    pk = jnp.asarray(probe_keys)
+    bk = jnp.asarray(build_keys)
+
+    @jax.jit
+    def run(pk, bk):
+        bs = jnp.sort(bk)
+        lb = jnp.searchsorted(bs, pk, side="left")
+        ub = jnp.searchsorted(bs, pk, side="right")
+        return (ub - lb) == 0
+
+    return np.asarray(jax.device_get(run(pk, bk)), bool)
+
+
+def device_join_indices(lkey_cols: list, rkey_cols: list, kind: str = "INNER"):
+    """SQL-layer entry: equi-join on Column lists; returns (li, ri) numpy
+    index arrays where -1 marks the NULL side of an outer row. Handles
+    INNER / LEFT / RIGHT / FULL and many-to-many duplicates (prefix-sum
+    expansion). VARCHAR keys dictionary-encode (shared across both sides)."""
+    lkey_cols, rkey_cols = _device_key_columns(lkey_cols, rkey_cols)
+    lk, rk = narrow_keys32(_encode_keys(lkey_cols), _encode_keys(rkey_cols))
+    if kind == "INNER":
+        return inner_join_indices_device(lk, rk)
+    if kind == "LEFT":
+        return left_join_indices_device(lk, rk)
+    if kind == "RIGHT":
+        ri, li = left_join_indices_device(rk, lk)
+        return li, ri
+    if kind == "FULL":
+        li, ri = left_join_indices_device(lk, rk)
+        lonely = np.flatnonzero(_unmatched_mask_device(rk, lk))
+        if len(lonely):
+            li = np.concatenate([li, np.full(len(lonely), -1, np.int64)])
+            ri = np.concatenate([ri, lonely.astype(np.int64)])
+        return li, ri
+    raise ValueError(f"unsupported join kind {kind}")
+
+
 def device_inner_join_indices(lkey_cols: list, rkey_cols: list):
     """SQL-layer entry: join on Column lists; returns (li, ri) numpy arrays.
     VARCHAR keys dictionary-encode (shared dictionary across both sides)."""
-    lkey_cols, rkey_cols = _device_key_columns(lkey_cols, rkey_cols)
-    lk, rk = narrow_keys32(_encode_keys(lkey_cols), _encode_keys(rkey_cols))
-    return inner_join_indices_device(lk, rk)
+    return device_join_indices(lkey_cols, rkey_cols, "INNER")

@@ -57,8 +57,10 @@ def _equi_keys(on: A.Expr, left_names: set, right_names: set) -> list | None:
 
 
 def join_tables(left: Table, right: Table, kind: str, on, using,
-                eval_fn, scope_cls) -> Table:
-    """Join two (already qualified) tables."""
+                eval_fn, scope_cls, on_device_path=None) -> Table:
+    """Join two (already qualified) tables. ``on_device_path`` is called
+    (no args) when the device sort-join serves the join, so the caller can
+    record the execution path."""
     if kind == "CROSS" and on is None and using is None:
         li = np.repeat(np.arange(left.num_rows), right.num_rows)
         ri = np.tile(np.arange(right.num_rows), left.num_rows)
@@ -66,12 +68,12 @@ def join_tables(left: Table, right: Table, kind: str, on, using,
 
     if using:
         on = None
-        key_pairs = [(A.ColumnRef(c), A.ColumnRef(c)) for c in using]
         lscope = scope_cls(left)
         rscope = scope_cls(right)
         lkeys = [eval_fn(A.ColumnRef(c), lscope) for c in using]
         rkeys = [eval_fn(A.ColumnRef(c), rscope) for c in using]
-        return _hash_join(left, right, lkeys, rkeys, kind, None, eval_fn, scope_cls)
+        return _hash_join(left, right, lkeys, rkeys, kind, None, eval_fn,
+                          scope_cls, on_device_path)
 
     left_names = set(left.columns.keys())
     right_names = set(right.columns.keys())
@@ -81,7 +83,8 @@ def join_tables(left: Table, right: Table, kind: str, on, using,
         rscope = scope_cls(right)
         lkeys = [eval_fn(le, lscope) for le, re_ in pairs]
         rkeys = [eval_fn(re_, rscope) for le, re_ in pairs]
-        return _hash_join(left, right, lkeys, rkeys, kind, None, eval_fn, scope_cls)
+        return _hash_join(left, right, lkeys, rkeys, kind, None, eval_fn,
+                          scope_cls, on_device_path)
 
     # general theta join: nested-loop over the cross product
     li = np.repeat(np.arange(left.num_rows), right.num_rows)
@@ -104,20 +107,26 @@ def join_tables(left: Table, right: Table, kind: str, on, using,
 
 
 def _hash_join(left: Table, right: Table, lkeys: list, rkeys: list,
-               kind: str, residual, eval_fn, scope_cls) -> Table:
+               kind: str, residual, eval_fn, scope_cls,
+               on_device_path=None) -> Table:
     n_left = left.num_rows
     n_right = right.num_rows
 
-    # device path for large numeric or VARCHAR (dictionary-encoded) keys
+    # device path for large numeric or VARCHAR (dictionary-encoded) keys —
+    # INNER and the outer kinds all ride the sort-join (outer rows come back
+    # as -1 index markers that _combine turns into NULLs)
     if min(n_left, n_right) >= (1 << 14) and all(
         (k.sql_type.is_numeric or k.data.dtype == object) and k.validity is None
         for k in lkeys + rkeys
-    ) and kind == "INNER":
+    ) and kind in ("INNER", "LEFT", "RIGHT", "FULL"):
         try:
-            from .device_join import device_inner_join_indices
+            from .device_join import device_join_indices
 
-            li, ri = device_inner_join_indices(lkeys, rkeys)
-            return _combine(left, right, li, ri, None)
+            li, ri = device_join_indices(lkeys, rkeys, kind)
+            out = _combine(left, right, li, ri, None)
+            if on_device_path is not None:
+                on_device_path()
+            return out
         except Exception:
             pass  # fall back to host join
 
@@ -171,21 +180,32 @@ def _hash_join(left: Table, right: Table, lkeys: list, rkeys: list,
     raise SqlError(f"unsupported join kind {kind}")
 
 
+def _take_nullable(col: Column, idx: np.ndarray, nullmask, has_null: bool):
+    """col.take with -1 treated as NULL (outer-join marker rows)."""
+    if not has_null:
+        return col.take(idx)
+    taken = col.take(np.where(nullmask, 0, idx))
+    validity = taken.valid_mask() & ~nullmask
+    return Column(taken.data, taken.sql_type,
+                  None if validity.all() else validity)
+
+
 def _combine(left: Table, right: Table, li: np.ndarray, ri: np.ndarray,
              drop: set | None) -> Table:
+    lnull = li < 0
+    rnull = ri < 0
+    has_lnull = bool(lnull.any())
+    has_rnull = bool(rnull.any())
     cols: dict = {}
     for name, col in left.columns.items():
-        cols[name] = col.take(li)
+        cols[name] = _take_nullable(col, li, lnull, has_lnull)
     for name, col in right.columns.items():
         if name in cols:
             # bare-name collision: keep qualified versions only
             if "." not in name:
-                taken = col.take(ri)
-                alt = f"{name}_1"
-                cols[alt] = taken
-                continue
+                cols[f"{name}_1"] = _take_nullable(col, ri, rnull, has_rnull)
             continue
-        cols[name] = col.take(ri)
+        cols[name] = _take_nullable(col, ri, rnull, has_rnull)
     return Table(cols)
 
 

@@ -649,9 +649,14 @@ class Connection:
 
             left = self._execute_from(ref.left)
             right = self._execute_from(ref.right)
+
+            def _mark_device_join():
+                self._exec_path = "device_join"
+
             return join_tables(
                 left, right, ref.kind, ref.on, ref.using,
                 eval_fn=self._eval, scope_cls=Scope,
+                on_device_path=_mark_device_join,
             )
         raise SqlError(f"unsupported FROM clause {type(ref).__name__}")
 
