@@ -13,6 +13,13 @@ host→device copy with chunk k's compute (ops/streaming.py design).
 Eligibility mirrors device_plan (single base table, numeric exprs,
 count/sum/avg/min/max, optional integer GROUP BY keys — streaming probes
 key maxima host-side, so keys must be plain column references).
+
+Integer aggregates are EXACT (round-2): sum/avg over a plain int column
+ride to device as (lo32, hi32) two's-complement words, 8-bit limbs
+segment-sum in int32 (2^20 rows x 255 < 2^28 — no rounding), and the host
+folds limbs into int64 with a mod-2^64 reconstruction; min/max reduce
+lexicographically on (hi, lo-as-unsigned). An f32 magnitude estimate guards
+genuine int64 overflow (same SqlError as the host path).
 """
 
 from __future__ import annotations
@@ -100,6 +107,7 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
         walk(expr)
         return ok
 
+    int_cols: set = set()
     try:
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
         key_fns = [lowerer.lower(g) for g in sel.group_by]
@@ -114,6 +122,24 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
                 if name != "count":
                     return None
                 agg_plans.append(("count_star", None))
+                continue
+            # exact int64 path: sum/avg/min/max over a plain integer column
+            # ride to device as (lo32, hi32) word pairs — sums via 8-bit-limb
+            # int32 segment sums (exact), min/max via lexicographic (hi, lo)
+            arg = node.args[0]
+            int_key = None
+            if name in ("sum", "avg", "mean", "min", "max") and isinstance(
+                    arg, A.ColumnRef):
+                key = lowerer._column(arg.name, arg.table)
+                col = table.columns[key]
+                if col.validity is None and (
+                        col.sql_type.is_integer or col.data.dtype.kind in "iu"):
+                    int_key = key
+            if int_key is not None:
+                int_cols.add(int_key)
+                iname = {"sum": "isum", "avg": "iavg", "mean": "iavg",
+                         "min": "imin", "max": "imax"}[name]
+                agg_plans.append((iname, int_key))
             else:
                 if name != "count" and not _float_only(node.args[0]):
                     return None
@@ -152,9 +178,16 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
         strides[i] = strides[i + 1] * radices[i + 1]
 
     col_names = sorted(lowerer.used_columns)
+    int_col_names = sorted(int_cols)
+    INT32_MIN = np.int32(-(1 << 31))
+    INT32_MAX = np.int32((1 << 31) - 1)
 
-    def step(valid, *col_arrays):
-        cols = dict(zip(col_names, col_arrays))
+    def step(valid, *arrays):
+        cols = dict(zip(col_names, arrays[: len(col_names)]))
+        int_pairs = {}
+        for i, k in enumerate(int_col_names):
+            base = len(col_names) + 2 * i
+            int_pairs[k] = (arrays[base], arrays[base + 1])
         mask = valid
         if where_fn is not None:
             mask = mask & jnp.asarray(where_fn(cols), bool)
@@ -182,6 +215,51 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
                 continue
             if name in ("count_star", "count"):
                 outs.append(jax.ops.segment_sum(w, keys, num_segments=n_groups))
+                continue
+            if name in ("isum", "iavg"):
+                # exact int64 SUM: 8 × 8-bit limbs of the two's-complement
+                # words, each segment-summed in int32 (max 2^20 rows × 255
+                # < 2^28 — exact); host folds limbs into int64. The f32
+                # magnitude estimate drives the overflow guard.
+                lo, hi = int_pairs[fn]
+                wi = mask.astype(jnp.int32)
+                limbs = []
+                for word in (lo, hi):
+                    for j in range(4):
+                        byte = jnp.bitwise_and(
+                            jnp.right_shift(word, 8 * j), 0xFF)
+                        limbs.append(jax.ops.segment_sum(
+                            byte * wi, keys, num_segments=n_groups))
+                lof = jnp.where(lo < 0,
+                                lo.astype(jnp.float32) + np.float32(2.0**32),
+                                lo.astype(jnp.float32))
+                vf = hi.astype(jnp.float32) * np.float32(2.0**32) + lof
+                est = jax.ops.segment_sum(jnp.abs(vf) * w, keys,
+                                          num_segments=n_groups)
+                outs.append((jnp.stack(limbs), est))
+                continue
+            if name in ("imin", "imax"):
+                # lexicographic (hi, lo-as-unsigned) on device: exact int64
+                # extrema without 64-bit arithmetic
+                lo, hi = int_pairs[fn]
+                lo_b = jnp.bitwise_xor(lo, INT32_MIN)  # unsigned order
+                if name == "imin":
+                    hi_eff = jnp.where(mask, hi, INT32_MAX)
+                    sel_hi = jax.ops.segment_min(hi_eff, keys,
+                                                 num_segments=n_groups)
+                    at_sel = mask & (hi == sel_hi[keys])
+                    lo_eff = jnp.where(at_sel, lo_b, INT32_MAX)
+                    sel_lo = jax.ops.segment_min(lo_eff, keys,
+                                                 num_segments=n_groups)
+                else:
+                    hi_eff = jnp.where(mask, hi, INT32_MIN)
+                    sel_hi = jax.ops.segment_max(hi_eff, keys,
+                                                 num_segments=n_groups)
+                    at_sel = mask & (hi == sel_hi[keys])
+                    lo_eff = jnp.where(at_sel, lo_b, INT32_MIN)
+                    sel_lo = jax.ops.segment_max(lo_eff, keys,
+                                                 num_segments=n_groups)
+                outs.append((sel_hi, sel_lo))
                 continue
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name == "sum":
@@ -218,17 +296,28 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
     acc_kmin = [np.full(n_groups, 2**31 - 1, np.int64) for _ in key_fns]
     acc_kmax = [np.full(n_groups, -(2**31), np.int64) for _ in key_fns]
     host_cols = {k: lowerer.used_columns[k].data for k in col_names}
+    int_host = {k: table.columns[k].data for k in int_col_names}
 
     def fold(res):
         nonlocal acc_outs, acc_count
         # ONE batched device→host transfer per chunk (see device_plan.py)
         outs, gcount, kmins, kmaxs = jax.device_get(res)
-        outs = [
-            None if o is None else
-            (np.asarray(o[0], np.float64), np.asarray(o[1], np.float64))
-            if isinstance(o, tuple) else np.asarray(o, np.float64)
-            for o in outs
-        ]
+        conv = []
+        for (name, _), o in zip(agg_plans, outs):
+            if o is None:
+                conv.append(None)
+            elif name in ("isum", "iavg"):
+                conv.append((np.asarray(o[0], np.int64),
+                             np.asarray(o[1], np.float64)))
+            elif name in ("imin", "imax"):
+                conv.append((np.asarray(o[0], np.int32),
+                             np.asarray(o[1], np.int32)))
+            elif isinstance(o, tuple):
+                conv.append((np.asarray(o[0], np.float64),
+                             np.asarray(o[1], np.float64)))
+            else:
+                conv.append(np.asarray(o, np.float64))
+        outs = conv
         gcount = np.asarray(gcount, np.float64)
         if acc_outs is None:
             acc_outs = outs
@@ -237,9 +326,21 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
             for i, (name, _) in enumerate(agg_plans):
                 if outs[i] is None:
                     continue
-                if name in ("avg", "mean"):
+                if name in ("avg", "mean", "isum", "iavg"):
                     acc_outs[i] = (acc_outs[i][0] + outs[i][0],
                                    acc_outs[i][1] + outs[i][1])
+                elif name == "imin":
+                    ah, al = acc_outs[i]
+                    nh, nl = outs[i]
+                    better = (nh < ah) | ((nh == ah) & (nl < al))
+                    acc_outs[i] = (np.where(better, nh, ah),
+                                   np.where(better, nl, al))
+                elif name == "imax":
+                    ah, al = acc_outs[i]
+                    nh, nl = outs[i]
+                    better = (nh > ah) | ((nh == ah) & (nl > al))
+                    acc_outs[i] = (np.where(better, nh, ah),
+                                   np.where(better, nl, al))
                 elif name == "min":
                     acc_outs[i] = np.minimum(acc_outs[i], outs[i])
                 elif name == "max":
@@ -266,6 +367,15 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
                         np.zeros((CHUNK_ROWS - len(part),) + part.shape[1:],
                                  part.dtype)])
                 chunk_arrays.append(part)
+            for k in int_col_names:
+                v = np.asarray(int_host[k][start:stop]).astype(np.int64)
+                if len(v) < CHUNK_ROWS:
+                    v = np.concatenate([v, np.zeros(CHUNK_ROWS - len(v),
+                                                    np.int64)])
+                # two's-complement word split: device works in int32 only
+                chunk_arrays.append(
+                    (v & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
+                chunk_arrays.append((v >> 32).astype(np.int32))
             in_flight.append(step_jit(valid, *chunk_arrays))
             if len(in_flight) >= 2:  # keep one chunk in flight (overlap)
                 fold(in_flight.pop(0))
@@ -283,8 +393,10 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
     for (kind, node), (pname, _), res in zip(items_plan, agg_plans, acc_outs):
         idx = len(out_cols)
         item = sel.items[idx]
-        name = item.alias or (node.name if isinstance(node, A.FuncCall)
-                              else f"col{idx}")
+        name = item.alias or (
+            node.name if isinstance(node, A.FuncCall)
+            else item.expr.name if isinstance(item.expr, A.ColumnRef)
+            else f"col{idx}")
         base, k = name, 1
         while name in out_cols:
             name = f"{base}_{k}"
@@ -295,6 +407,31 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
             continue
         if pname in ("count", "count_star"):
             out_cols[name] = Column(res[live].astype(np.int64), T.BIGINT)
+        elif pname in ("isum", "iavg"):
+            limbs, est = res
+            u = np.zeros(limbs.shape[1], np.uint64)
+            for j in range(8):
+                u = u + (limbs[j].astype(np.uint64) << np.uint64(8 * j))
+            signed = u.astype(np.int64)  # mod-2^64 fold → two's complement
+            if pname == "isum":
+                if (est[live] >= 2.0**62).any():
+                    from ..errors import SqlError
+
+                    raise SqlError("Out of Range Error: overflow in SUM(BIGINT)")
+                out_cols[name] = Column(signed[live], T.BIGINT)
+            else:
+                if (est[live] >= 2.0**62).any():
+                    return None  # exact sum impossible → host path
+                c = acc_count
+                vals = (signed[live].astype(np.float64)
+                        / np.where(c[live] == 0, 1.0, c[live]))
+                out_cols[name] = Column(vals, T.DOUBLE)
+        elif pname in ("imin", "imax"):
+            hi_, lob = res
+            lo_u = ((lob.astype(np.int64) ^ -(np.int64(1) << 31))
+                    & np.int64(0xFFFFFFFF))
+            vals = (hi_.astype(np.int64) << 32) + lo_u
+            out_cols[name] = Column(vals[live], T.BIGINT)
         elif pname in ("avg", "mean"):
             s, c = res
             vals = s[live] / np.where(c[live] == 0, 1.0, c[live])

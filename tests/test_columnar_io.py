@@ -151,9 +151,11 @@ def test_streaming_over_columnar_file(monkeypatch, tmp_path):
         assert s == pytest.approx(float(f[m].sum()), rel=1e-9)
 
 
-def test_streaming_rejects_integer_sum(monkeypatch):
-    """Integer SUM must stay exact: the streaming plan (f32 per-chunk
-    accumulate) must decline and leave it to the host path."""
+def test_streaming_integer_sum_exact(monkeypatch):
+    """Integer SUM on the STREAMING path is bit-exact: values ride to the
+    device as (lo32, hi32) words, 8-bit limbs segment-sum in int32 (exact),
+    and the host folds limbs into int64 (round-2 upgrade — round 1 declined
+    integer aggregates here)."""
     from infera_tpu.sql import streaming_plan
 
     monkeypatch.setattr(streaming_plan, "STREAM_MIN_ROWS", 1 << 14)
@@ -164,7 +166,51 @@ def test_streaming_rejects_integer_sum(monkeypatch):
     conn.execute(f"create table ti as select x % 4 as g, {big}::bigint as v "
                  f"from range({n}) r(x)")
     rows = conn.execute("select g, sum(v) from ti group by g order by g").rows
+    assert conn._exec_path == "streaming_plan"
     assert rows == [(g, (n // 4) * big) for g in range(4)]
+
+
+def test_streaming_integer_min_max_avg_negative(monkeypatch):
+    """int64 MIN/MAX via lexicographic (hi, lo) device reduction and AVG via
+    the exact limb sum — negative values and >2^53 magnitudes included."""
+    from infera_tpu.sql import streaming_plan
+
+    monkeypatch.setattr(streaming_plan, "STREAM_MIN_ROWS", 1 << 14)
+    monkeypatch.setattr(streaming_plan, "CHUNK_ROWS", 8192)
+    conn = Connection()
+    n = 30000
+    base = (1 << 48) + 7  # group sums land past 2^53 but under the 2^62 guard
+    # v alternates sign and scales with x so each group's extrema differ
+    conn.execute(
+        f"create table tm as select x % 3 as g, "
+        f"(x - {n // 2}) * 700000007 + {base} as v from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, min(v), max(v), avg(v), sum(v) from tm group by g "
+        "order by g").rows
+    assert conn._exec_path == "streaming_plan"
+    import numpy as np
+
+    xs = np.arange(n, dtype=object)
+    vs = (xs - n // 2) * 700000007 + base
+    for g, mn, mx, av, sm in rows:
+        grp = vs[np.arange(n) % 3 == g]
+        assert mn == int(grp.min())
+        assert mx == int(grp.max())
+        assert sm == int(grp.sum())
+        assert av == pytest.approx(int(grp.sum()) / len(grp), rel=1e-12)
+
+
+def test_streaming_integer_sum_overflow_raises(monkeypatch):
+    from infera_tpu.sql import streaming_plan
+    from infera_tpu.errors import SqlError
+
+    monkeypatch.setattr(streaming_plan, "STREAM_MIN_ROWS", 1 << 14)
+    monkeypatch.setattr(streaming_plan, "CHUNK_ROWS", 8192)
+    conn = Connection()
+    conn.execute("create table ov as select 9000000000000000000::bigint as v "
+                 "from range(20000) r(x)")
+    with pytest.raises(SqlError, match="overflow in SUM"):
+        conn.execute("select sum(v) from ov")
 
 
 def test_export_import_database(tmp_path, clean_registry):
@@ -183,3 +229,24 @@ def test_export_import_database(tmp_path, clean_registry):
     # imported tables are queryable with models / ordinary operators
     got = conn2.execute("select s from labels order by s limit 2").rows
     assert got == [("id_0",), ("id_1",)]
+
+
+def test_streaming_integer_sum_default_scale():
+    """int64 SUM at the real streaming threshold (>4M rows), bit-exact
+    (VERDICT r1 item 6 'done' criterion, scaled to suite budget)."""
+    conn = Connection()
+    n = (1 << 22) + 4321  # past STREAM_MIN_ROWS
+    conn.execute(
+        f"create table tbig as select x % 5 as g, "
+        f"(x * 262147 + 1099511627777) as v from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, sum(v), count(*) from tbig group by g order by g").rows
+    assert conn._exec_path == "streaming_plan"
+    xs = np.arange(n, dtype=object)
+    # group sums land near 2^60 (> 2^53: f64 would round) yet under the
+    # 2^62 overflow guard
+    vs = xs * 262147 + 1099511627777
+    for g, s, c in rows:
+        m = np.arange(n) % 5 == g
+        assert c == int(m.sum())
+        assert s == int(vs[m].sum())

@@ -19,8 +19,14 @@ def test_example_runs(path, tmp_path):
     repo_root = str(pathlib.Path(__file__).parent.parent)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     # examples must not hit the TPU: force (not setdefault) because the
-    # ambient environment exports JAX_PLATFORMS=axon for the tunneled chip
+    # ambient environment exports JAX_PLATFORMS=axon for the tunneled chip.
+    # The tunnel's sitecustomize registers the axon PJRT plugin whenever
+    # PALLAS_AXON_POOL_IPS is set — even under JAX_PLATFORMS=cpu — so strip
+    # the tunnel variables entirely (remote compiles can hang for minutes).
     env["JAX_PLATFORMS"] = "cpu"
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+            env.pop(k)
     if "xla_force_host_platform_device_count" not in env.get("XLA_FLAGS", ""):
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=8").strip()

@@ -63,7 +63,10 @@ def test_two_process_group(tmp_path, model_dir):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"  # axon sitecustomize registers the TPU
+    # plugin whenever PALLAS_AXON_POOL_IPS is set, so strip tunnel vars
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)  # workers need single-device CPU each
     procs = [
@@ -163,7 +166,10 @@ def test_two_process_distributed_pipeline(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"  # axon sitecustomize registers the TPU
+    # plugin whenever PALLAS_AXON_POOL_IPS is set, so strip tunnel vars
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
     procs = [
