@@ -57,7 +57,7 @@ def _sync(out):
     jnp.sum(out[0]).block_until_ready()
 
 
-def bench_tpu(params, rows, iters=10, use_pallas=True):
+def bench_tpu(params, rows, iters=200, use_pallas=True):
     import jax
     import jax.numpy as jnp
 
@@ -118,6 +118,11 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
             print(f"{name} first call (compile): {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr)
             _sync(fn(inp))
+            # Steady state at iters=200: one host sync per timed window costs
+            # a full tunnel round-trip (~26-30 ms measured by
+            # testing/profile_query.py exp "iters"); at the old iters=10 that
+            # baked +2.6 ms/iter of pure measurement artifact into the metric
+            # (BENCH_r02's 5.1 ms/iter was really ~2.7 ms of kernel).
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(inp)
@@ -144,6 +149,10 @@ def bench_tpu(params, rows, iters=10, use_pallas=True):
 def bench_torch_cpu(params, rows, iters=2):
     import torch
 
+    # Pin the thread count: BENCH_r01 vs r02 swung 4.5x (89k vs 398k rows/s)
+    # because torch picked different thread counts on the shared 2-core box;
+    # vs_baseline is only comparable across rounds with this fixed.
+    torch.set_num_threads(int(os.environ.get("INFERA_BENCH_TORCH_THREADS", "2")))
     rng = np.random.default_rng(1)
     x = torch.from_numpy(rng.standard_normal((rows, IN_DIM)).astype(np.float32))
     tparams = [(torch.from_numpy(w), torch.from_numpy(b)) for w, b in params]
@@ -242,7 +251,8 @@ def main():
 
     try:
         cpu_rows_s = bench_torch_cpu(params, min(rows, 1 << 20))
-        print(f"torch-cpu baseline: {cpu_rows_s:,.0f} rows/s", file=sys.stderr)
+        print(f"torch-cpu baseline (2 threads pinned): {cpu_rows_s:,.0f} rows/s",
+              file=sys.stderr)
     except Exception as e:
         print(f"torch baseline failed: {e}", file=sys.stderr)
         cpu_rows_s = None

@@ -225,6 +225,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 agg_plans.append(("key", node))
                 continue
             name = node.name.lower()
+            if name not in ("count", "sum", "avg", "mean", "min", "max"):
+                return None  # var/stddev family: single-table plans only
             if node.is_star or not node.args:
                 if name != "count":
                     return None

@@ -34,8 +34,17 @@ from . import ast as A
 # row count below which fusion isn't worth the compile
 MIN_DEVICE_ROWS = 1 << 14
 
-_AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max"}
+_AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max",
+              "stddev", "stddev_samp", "stddev_pop",
+              "var_samp", "var_pop", "variance"}
 _SCALAR_FNS = {"abs", "sqrt", "floor", "ceil", "round", "exp", "log"}
+
+# variance family: (ddof, apply_sqrt) — decomposes into (sum, sum-of-squares)
+# partials that commute with the mesh exchange (VERDICT round-2 item 4)
+_VAR_FAMILY = {
+    "stddev": (1, True), "stddev_samp": (1, True), "stddev_pop": (0, True),
+    "var_samp": (1, False), "variance": (1, False), "var_pop": (0, False),
+}
 
 # group-count cap for the segment reduction (static shape requirement)
 MAX_GROUPS = 1 << 16
@@ -300,6 +309,72 @@ def _find_aggs(expr: A.Expr, out: list):
                 _find_aggs(a, out)
 
 
+def _finalize_agg(pname, payload, res, group_count):
+    """Fold one device aggregate's raw output into final host values.
+
+    Returns (values [Gtot], sql_type, badmask | None) — badmask marks groups
+    whose result is undefined (var with count <= ddof, avg of 0 rows); the
+    caller falls back to the host path when a LIVE group is bad. Returns
+    None for host fallback (distinct invalid flag, iavg overflow); raises
+    SqlError for genuine SUM(BIGINT) overflow (host-path parity)."""
+    from .int_agg import fold_lex_host, fold_limbs_host
+
+    if pname in ("count", "count_star"):
+        return np.asarray(res).astype(np.int64), T.BIGINT, None
+    if pname in ("isum", "iavg"):
+        if len(res) == 3:  # mesh merge returns 16-bit-widened limb words
+            lo16, hi16, est = res
+            limbs = (np.asarray(lo16, np.int64)
+                     + (np.asarray(hi16, np.int64) << 16))
+        else:
+            limbs_d, est = res
+            limbs = np.asarray(limbs_d, np.int64)
+        est = np.asarray(est, np.float64)
+        total = fold_limbs_host(limbs)
+        if pname == "isum":
+            if (est >= 2.0**62).any():
+                from ..errors import SqlError
+
+                raise SqlError("Out of Range Error: overflow in SUM(BIGINT)")
+            return total, T.BIGINT, None
+        if (est >= 2.0**62).any():
+            return None  # exact int64 sum impossible → host path
+        c = np.asarray(group_count, np.float64)
+        return (total.astype(np.float64) / np.where(c == 0, 1.0, c),
+                T.DOUBLE, c == 0)
+    if pname in ("imin", "imax"):
+        hi, lo = res
+        return fold_lex_host(np.asarray(hi), np.asarray(lo)), T.BIGINT, None
+    if pname == "var":
+        _fn, ddof, sq, _shift = payload
+        s = np.asarray(res[0], np.float64)
+        s2 = np.asarray(res[1], np.float64)
+        c = np.asarray(group_count, np.float64)
+        bad = c <= ddof
+        var = (s2 - s * s / np.where(c == 0, 1.0, c)) / np.where(
+            bad, 1.0, c - ddof)
+        var = np.maximum(var, 0.0)
+        return (np.sqrt(var) if sq else var), T.DOUBLE, bad
+    if pname == "dcount":
+        dcount, bad = res
+        if bool(np.asarray(bad)):
+            return None  # fractional / negative / out-of-domain values
+        return np.asarray(dcount).astype(np.int64), T.BIGINT, None
+    if pname in ("dsum", "davg"):
+        dcount, dlo, dhi, bad = res
+        if bool(np.asarray(bad)):
+            return None
+        total = (np.rint(np.asarray(dlo, np.float64)).astype(np.int64)
+                 + (np.rint(np.asarray(dhi, np.float64)).astype(np.int64) << 7))
+        if pname == "dsum":
+            return total, T.BIGINT, None
+        c = np.asarray(dcount, np.float64)
+        return (total.astype(np.float64) / np.where(c == 0, 1.0, c),
+                T.DOUBLE, c == 0)
+    # plain f32 aggregates (sum/avg/min/max)
+    return np.asarray(res).astype(np.float64), T.DOUBLE, None
+
+
 def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,
                      results, group_count, key_mins, key_maxs, frac_flags,
                      has_keys: bool):
@@ -320,15 +395,24 @@ def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,
         kmax = np.asarray(kmax_d)[live]
         if (kmin != kmax).any():
             return None  # modulo bucket held distinct keys — host path
+    # finalize every aggregate once (select items + hidden HAVING outputs)
+    finals = []
+    for (pname, payload), res in zip(agg_plans, results):
+        if pname == "key":
+            finals.append(None)
+            continue
+        fin = _finalize_agg(pname, payload, res, group_count)
+        if fin is None:
+            return None
+        vals, styp, badmask = fin
+        if badmask is not None and bool((badmask & live).any()):
+            return None  # NULL-producing group → host path renders it
+        finals.append((vals, styp))
     hmask = None
     if sel.having is not None:
         agg_arrays = {}
         for hnode, pidx in having_plan:
-            pname = agg_plans[pidx][0]
-            arr = results[pidx][live]
-            if pname in ("count", "count_star"):
-                arr = arr.astype(np.int64)
-            agg_arrays[id(hnode)] = arr
+            agg_arrays[id(hnode)] = finals[pidx][0][live]
         try:
             hmask = np.asarray(_eval_having(sel.having, agg_arrays), bool)
         except Exception:
@@ -336,7 +420,8 @@ def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,
         if hmask.ndim == 0:
             hmask = np.full(int(np.sum(live)), bool(hmask))
     out_cols: dict = {}
-    for (kind, node), (pname, _), res in zip(items_plan, agg_plans, results):
+    for (kind, node), (pname, _), res, fin in zip(
+            items_plan, agg_plans, results, finals):
         idx = len(out_cols)
         item = sel.items[idx]
         # match host-path naming: bare key columns keep their name so a
@@ -349,17 +434,20 @@ def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,
         while name in out_cols:
             name = f"{base}_{k}"
             k += 1
-        vals = res[live]
+        if pname == "key":
+            vals = np.asarray(res)[live]
+            if hmask is not None:
+                vals = vals[hmask]
+            is_int = np.all(vals == np.round(vals))
+            out_cols[name] = Column(
+                vals.astype(np.int64) if is_int else vals,
+                T.BIGINT if is_int else T.DOUBLE)
+            continue
+        vals, styp = fin
+        vals = vals[live]
         if hmask is not None:
             vals = vals[hmask]
-        if pname in ("count", "count_star"):
-            out_cols[name] = Column(vals.astype(np.int64), T.BIGINT)
-        elif pname == "key":
-            out_cols[name] = Column(vals.astype(np.int64)
-                                    if np.all(vals == np.round(vals)) else vals,
-                                    T.BIGINT if np.all(vals == np.round(vals)) else T.DOUBLE)
-        else:
-            out_cols[name] = Column(vals.astype(np.float64), T.DOUBLE)
+        out_cols[name] = Column(vals, styp)
     return Table(out_cols)
 
 
@@ -391,12 +479,12 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     if not agg_nodes:
         return None
     # every select item must be exactly one aggregate call or a group key
+    # (DISTINCT aggregates are planned below: count/sum/avg via the dense
+    # presence matrix, min/max are distinct-insensitive)
     items_plan = []
     for item in sel.items:
         e = item.expr
         if isinstance(e, A.FuncCall) and e.name.lower() in _AGG_NAMES:
-            if e.distinct:
-                return None  # DISTINCT aggregates stay on the host path
             items_plan.append(("agg", e))
         elif sel.group_by and e in sel.group_by:
             items_plan.append(("key", sel.group_by.index(e)))
@@ -440,6 +528,113 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         walk(expr)
         return ok
 
+    def _f32_safe(expr: A.Expr) -> bool:
+        """Like _float_only, but additionally admits integer columns whose
+        probed value range fits f32 exactly (|v| <= 2^24) — var/stddev over
+        small-int columns lose nothing to the f32 carrier."""
+        ok = True
+
+        def walk(e):
+            nonlocal ok
+            if isinstance(e, A.ColumnRef):
+                try:
+                    key = lowerer._column(e.name, e.table)
+                except _Unsupported:
+                    ok = False
+                    return
+                col = table.columns[key]
+                t = col.sql_type
+                if t.is_float or t.name == "DECIMAL":
+                    return
+                d = col.data
+                if d.dtype.kind in "iu" and d.size:
+                    rng = getattr(col, "_int_range", None)
+                    if rng is None:
+                        rng = (int(d.min()), int(d.max()))
+                        col._int_range = rng
+                    if rng[0] >= -(1 << 24) and rng[1] <= (1 << 24):
+                        return
+                ok = False
+                return
+            if isinstance(e, A.FuncCall):
+                if e.name.lower() == "infera_predict":
+                    return
+                for a in e.args:
+                    if isinstance(a, A.Expr):
+                        walk(a)
+                return
+            for attr in ("operand", "left", "right", "low", "high"):
+                child = getattr(e, attr, None)
+                if isinstance(child, A.Expr):
+                    walk(child)
+
+        walk(expr)
+        return ok
+
+    from .int_agg import MAX_LIMB_ROWS, word_columns
+
+    n = table.num_rows
+    int_cols: set = set()
+
+    def _plan_one_agg(node):
+        """One aggregate call -> agg_plans entry, or None (host path).
+
+        Entry shapes: (name, fn) float aggs; ("count_star", None);
+        ("isum"|"iavg"|"imin"|"imax", col_key) exact int64 over a plain
+        integer column (limb sums / lexicographic words, sql/int_agg.py);
+        ("var", (fn, ddof, sqrt, shift)) variance family via shifted
+        (sum, sum^2) partials; ("dcount"|"dsum"|"davg", fn) DISTINCT via a
+        dense [G, V] presence matrix (V probed after analyze_only)."""
+        name = node.name.lower()
+        if node.is_star or not node.args:
+            if name != "count" or node.distinct:
+                return None
+            return ("count_star", None)
+        arg = node.args[0]
+        if node.distinct:
+            if name == "count":
+                return ("dcount", lowerer.lower(arg))
+            if name in ("sum", "avg", "mean"):
+                return ("dsum" if name == "sum" else "davg",
+                        lowerer.lower(arg))
+            if name not in ("min", "max"):
+                return None  # DISTINCT var/stddev stays on the host path
+            # min/max are distinct-insensitive — plan as plain min/max
+        if name in _VAR_FAMILY:
+            if not _f32_safe(arg):
+                return None
+            fn = lowerer.lower(arg)
+            # shift by a sample mean for conditioning: var is shift-
+            # invariant, and |x - mean| << |x| keeps s^2 - s*s/c from
+            # cancelling in f32
+            shift = 0.0
+            if isinstance(arg, A.ColumnRef):
+                key = lowerer._column(arg.name, arg.table)
+                col = table.columns[key]
+                shift = getattr(col, "_var_shift", None)
+                if shift is None:
+                    head = col.data[:4096]
+                    shift = (float(head.astype(np.float64).mean())
+                             if len(head) else 0.0)
+                    col._var_shift = shift
+            ddof, sq = _VAR_FAMILY[name]
+            return ("var", (fn, ddof, sq, np.float32(shift)))
+        # exact int64: sum/avg/min/max over a plain no-NULL integer column
+        if name in ("sum", "avg", "mean", "min", "max") and isinstance(
+                arg, A.ColumnRef):
+            key = lowerer._column(arg.name, arg.table)
+            col = table.columns[key]
+            if col.validity is None and (
+                    col.sql_type.is_integer or col.data.dtype.kind in "iu"):
+                if name in ("sum", "avg", "mean") and n > MAX_LIMB_ROWS:
+                    return None  # 8-bit-limb int32 exactness bound
+                int_cols.add(key)
+                return ({"sum": "isum", "avg": "iavg", "mean": "iavg",
+                         "min": "imin", "max": "imax"}[name], key)
+        if name != "count" and not _float_only(arg):
+            return None
+        return (name, lowerer.lower(arg))
+
     try:
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
         key_fns = [lowerer.lower(g) for g in sel.group_by]
@@ -450,37 +645,55 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             if kind == "key":
                 agg_plans.append(("key", node))  # node = group_by index
                 continue
-            name = node.name.lower()
-            if node.is_star or not node.args:
-                if name != "count":
-                    return None
-                agg_plans.append(("count_star", None))
-            else:
-                if name != "count" and not _float_only(node.args[0]):
-                    return None
-                agg_plans.append((name, lowerer.lower(node.args[0])))
+            plan = _plan_one_agg(node)
+            if plan is None:
+                return None
+            agg_plans.append(plan)
         # hidden device outputs for HAVING aggregates
         having_plan = []
         for node in having_aggs:
-            if node.distinct:
-                return None  # DISTINCT aggregates stay on the host path
-            name = node.name.lower()
-            if node.is_star or not node.args:
-                if name != "count":
-                    return None
-                agg_plans.append(("count_star", None))
-            else:
-                if name != "count" and not _float_only(node.args[0]):
-                    return None
-                agg_plans.append((name, lowerer.lower(node.args[0])))
+            plan = _plan_one_agg(node)
+            if plan is None:
+                return None
+            agg_plans.append(plan)
             having_plan.append((node, len(agg_plans) - 1))
     except _Unsupported:
         return None
 
     if analyze_only:
         return True
+    # --- device value probes (cached): one cheap jitted max per expression,
+    # used for the adaptive group-key radices and DISTINCT value domains
+    probe_cols = {}
+    for k, c in lowerer.used_columns.items():
+        dev = getattr(c, "_device_array", None)
+        if dev is None:
+            dev = jnp.asarray(c.data)
+            c._device_array = dev
+        probe_cols[k] = dev
+    kmax_cache = getattr(conn, "_device_plan_kmax_cache", None)
+    if kmax_cache is None:
+        kmax_cache = {}
+        conn._device_plan_kmax_cache = kmax_cache
+    kmax_fn = getattr(conn, "_device_plan_kmax", None)
+    if kmax_fn is None:
+        kmax_fn = jax.jit(
+            lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
+        )
+        conn._device_plan_kmax = kmax_fn
 
-    n = table.num_rows
+    def _probe_max(tag, fn):
+        """max(fn(cols), 0) on device, cached per (tag, column buffers)."""
+        probe_key = (tag,
+                     tuple(sorted((k, id(v)) for k, v in probe_cols.items())))
+        got = kmax_cache.get(probe_key)
+        if got is None:
+            got = int(kmax_fn(jnp.asarray(fn(probe_cols))))
+            if len(kmax_cache) >= 64:
+                kmax_cache.pop(next(iter(kmax_cache)))
+            kmax_cache[probe_key] = got
+        return got
+
     n_groups = 1
     strides = []
     if key_fns:
@@ -491,37 +704,9 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         # (radix_i = kmax_i + 1); domains beyond MAX_GROUPS wrap and rely
         # on the collision guard.
         try:
-            probe_cols = {}
-            for k, c in lowerer.used_columns.items():
-                dev = getattr(c, "_device_array", None)
-                if dev is None:
-                    dev = jnp.asarray(c.data)
-                    c._device_array = dev
-                probe_cols[k] = dev
-            # probe result cached per (key expr, column buffers) — repeated
-            # executions of the same query skip the eager evaluation + sync
-            kmax_cache = getattr(conn, "_device_plan_kmax_cache", None)
-            if kmax_cache is None:
-                kmax_cache = {}
-                conn._device_plan_kmax_cache = kmax_cache
-            kmax_fn = getattr(conn, "_device_plan_kmax", None)
-            if kmax_fn is None:
-                import jax as _jax
-
-                kmax_fn = _jax.jit(
-                    lambda a: jnp.max(jnp.maximum(a.astype(jnp.int32), 0))
-                )
-                conn._device_plan_kmax = kmax_fn
             radices = []
             for gi, kf in enumerate(key_fns):
-                probe_key = (repr(sel.group_by[gi]),
-                             tuple(sorted((k, id(v)) for k, v in probe_cols.items())))
-                kmax = kmax_cache.get(probe_key)
-                if kmax is None:
-                    kmax = int(kmax_fn(jnp.asarray(kf(probe_cols))))
-                    if len(kmax_cache) >= 64:
-                        kmax_cache.pop(next(iter(kmax_cache)))
-                    kmax_cache[probe_key] = kmax
+                kmax = _probe_max(repr(sel.group_by[gi]), kf)
                 radices.append(max(kmax, 0) + 1)
             domain = 1
             for r in radices:
@@ -539,6 +724,29 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 strides[i] = strides[i + 1] * MAX_GROUPS
             n_groups = MAX_GROUPS
 
+    # --- DISTINCT value domains: probe max(expr), pick V = next pow2; the
+    # presence matrix is [n_groups, V] so cap the product; negative or
+    # fractional values are caught in-program by the invalid flag (guard ->
+    # host fallback), oversized domains are rejected here
+    from .int_agg import MAX_DISTINCT_SUM_DOMAIN, MAX_PRESENCE_ELEMS
+
+    dist_domains: dict = {}
+    for ai, (pname, fn) in enumerate(agg_plans):
+        if pname not in ("dcount", "dsum", "davg"):
+            continue
+        try:
+            vmax = _probe_max((f"dist{ai}", repr(sel)), fn)
+        except Exception:
+            return None
+        v_dom = 8
+        while v_dom <= vmax:
+            v_dom <<= 1
+        if pname in ("dsum", "davg") and v_dom > MAX_DISTINCT_SUM_DOMAIN:
+            return None  # limb-matmul exactness bound — host path
+        if n_groups * v_dom > MAX_PRESENCE_ELEMS:
+            return None
+        dist_domains[ai] = v_dom
+
     plan_key = (
         repr(sel),
         tuple(sorted((k, c.data.dtype.str, len(c))
@@ -546,6 +754,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         tuple(sorted((name, id(m)) for name, m in lowerer.models.items())),
         n,
         n_groups,
+        tuple(sorted(dist_domains.items())),
     )
 
     # --- mesh-partitioned execution (INFERA_MESH / Connection.set_mesh) ---
@@ -557,11 +766,17 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     conn._mesh_plan_used = False
     mesh = get_mesh(conn)
     if mesh is not None:
+        mesh_sharded = dict(lowerer.used_columns)
+        for k in int_cols:
+            locol, hicol = word_columns(table.columns[k])
+            mesh_sharded[k + "#lo"] = locol
+            mesh_sharded[k + "#hi"] = hicol
         mesh_out = execute_fused_on_mesh(
             conn, mesh, n=n, plan_key=plan_key,
-            sharded_columns=lowerer.used_columns, replicated_arrays={},
+            sharded_columns=mesh_sharded, replicated_arrays={},
             prologue=None, where_fn=where_fn, key_fns=key_fns,
-            strides=strides, n_groups=n_groups, agg_plans=agg_plans)
+            strides=strides, n_groups=n_groups, agg_plans=agg_plans,
+            dist_domains=dist_domains)
         if mesh_out is not None:
             out_table = _assemble_result(sel, items_plan, agg_plans,
                                          having_plan, *mesh_out,
@@ -603,12 +818,45 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             key_maxs.append(jax.ops.segment_max(
                 jnp.where(w > 0, ri, -big - 1), keys, num_segments=n_groups))
             frac_flags.append(jnp.any((w > 0) & (rf != ri.astype(jnp.float32))))
-        for name, fn in agg_plans:
+        from .int_agg import (device_lex_minmax, device_limb_sums,
+                              device_presence, presence_reduce)
+
+        mask_b = w > 0
+        for ai, (name, fn) in enumerate(agg_plans):
             if name == "key":
                 outs.append(("key", key_maxs[fn]))
                 continue
             if name == "count_star":
                 outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+                continue
+            if name in ("isum", "iavg"):
+                lo, hi = cols[fn + "#lo"], cols[fn + "#hi"]
+                limbs, est = device_limb_sums(
+                    jnp, jax, lo, hi, mask_b.astype(jnp.int32), keys, n_groups)
+                outs.append(("v", (limbs, est)))
+                continue
+            if name in ("imin", "imax"):
+                lo, hi = cols[fn + "#lo"], cols[fn + "#hi"]
+                sel_hi, sel_lo = device_lex_minmax(
+                    jnp, jax, lo, hi, mask_b, keys, n_groups, name == "imin")
+                outs.append(("v", (sel_hi, sel_lo)))
+                continue
+            if name == "var":
+                vfn, _ddof, _sq, shift = fn
+                v = jnp.asarray(vfn(cols), jnp.float32) - shift
+                s = jax.ops.segment_sum(v * w, keys, num_segments=n_groups)
+                s2 = jax.ops.segment_sum(v * v * w, keys, num_segments=n_groups)
+                outs.append(("v", (s, s2)))
+                continue
+            if name in ("dcount", "dsum", "davg"):
+                vals = jnp.asarray(fn(cols), jnp.float32)
+                pres, bad = device_presence(
+                    jnp, vals, mask_b, keys, n_groups, dist_domains[ai])
+                dcount, dlo, dhi = presence_reduce(jnp, pres, dist_domains[ai])
+                if name == "dcount":
+                    outs.append(("v", (dcount, bad)))
+                else:
+                    outs.append(("v", (dcount, dlo, dhi, bad)))
                 continue
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name == "count":
@@ -644,20 +892,21 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             cache.pop(next(iter(cache)))
         cache[plan_key] = compiled
 
-    device_cols = {}
-    for k, c in lowerer.used_columns.items():
-        dev = getattr(c, "_device_array", None)
-        if dev is None:
-            dev = jnp.asarray(c.data)
-            c._device_array = dev
-        device_cols[k] = dev
+    device_cols = dict(probe_cols)
+    for k in int_cols:
+        for suffix, wc in zip(("#lo", "#hi"), word_columns(table.columns[k])):
+            dev = getattr(wc, "_device_array", None)
+            if dev is None:
+                dev = jnp.asarray(wc.data)
+                wc._device_array = dev
+            device_cols[k + suffix] = dev
     try:
         out = compiled(device_cols)
         # ONE batched device→host transfer: per-array np.asarray costs a
         # round-trip each (~30ms over the tunneled platform — dominated the
-        # 1M-row query before this)
+        # 1M-row query before this). Structured aggregates (isum limbs, var
+        # partials, distinct reductions) come back as tuples — keep them.
         results, group_count, key_mins, key_maxs, frac_flags = jax.device_get(out)
-        results = [np.asarray(r) for r in results]
         group_count = np.asarray(group_count)
     except _Unsupported:
         return None

@@ -91,7 +91,7 @@ def _shard_column(col, mesh, n: int, n_pad: int, sharding):
 
 def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                           replicated_arrays, prologue, where_fn, key_fns,
-                          strides, n_groups, agg_plans):
+                          strides, n_groups, agg_plans, dist_domains=None):
     """Run a fused plan data-parallel over the mesh.
 
     - ``sharded_columns``: {name: Column} — row-sharded over dp.
@@ -119,29 +119,44 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
     G = int(n_groups)
     nk = len(key_fns)
 
-    # decompose aggregates into partial slots + finalize recipe
-    partial_slots = []  # (kind, fn) with kind in {sum, min, max}
+    # decompose aggregates into partial slots + finalize recipe; every slot
+    # kind commutes with the bucket exchange (VERDICT round-2 item 4):
+    #   sum/min/max — f32 partials;  var — shifted (sum, sum^2) pair;
+    #   ilimb — [G,8] int32 8-bit-limb sums of (lo,hi) int64 words, widened
+    #     to 16-bit halves at the merge so the cross-device fold stays exact;
+    #   lexmin/lexmax — (hi, lo-as-unsigned) int32 lexicographic words;
+    #   pres — [G,V] 0/1 presence matrix (DISTINCT), max-merge.
+    partial_slots = []  # (kind, payload)
     finalize = []       # (out_kind, slot_index | key_index | None)
-    for name, fn in agg_plans:
+    for ai, (name, fn) in enumerate(agg_plans):
         if name == "key":
             finalize.append(("key", fn))
         elif name in ("count", "count_star"):
             finalize.append(("count", None))
-        elif name == "sum":
+        elif name in ("sum", "avg", "mean"):
             partial_slots.append(("sum", fn))
-            finalize.append(("sum", len(partial_slots) - 1))
-        elif name in ("avg", "mean"):
-            partial_slots.append(("sum", fn))
-            finalize.append(("avg", len(partial_slots) - 1))
-        elif name == "min":
-            partial_slots.append(("min", fn))
-            finalize.append(("min", len(partial_slots) - 1))
-        elif name == "max":
-            partial_slots.append(("max", fn))
-            finalize.append(("max", len(partial_slots) - 1))
+            finalize.append(("sum" if name == "sum" else "avg",
+                             len(partial_slots) - 1))
+        elif name in ("min", "max"):
+            partial_slots.append((name, fn))
+            finalize.append((name, len(partial_slots) - 1))
+        elif name in ("isum", "iavg"):
+            partial_slots.append(("ilimb", fn))
+            finalize.append((name, len(partial_slots) - 1))
+        elif name in ("imin", "imax"):
+            partial_slots.append(("lex" + name[1:], fn))
+            finalize.append((name, len(partial_slots) - 1))
+        elif name == "var":
+            vfn, _ddof, _sq, shift = fn
+            partial_slots.append(("var", (vfn, shift)))
+            finalize.append(("var", len(partial_slots) - 1))
+        elif name in ("dcount", "dsum", "davg"):
+            if not dist_domains or ai not in dist_domains:
+                return None
+            partial_slots.append(("pres", (fn, int(dist_domains[ai]))))
+            finalize.append((name, len(partial_slots) - 1))
         else:
             return None
-    n_slots = len(partial_slots)
 
     sharded_keys = sorted(sharded_columns)
     repl_keys = sorted(replicated_arrays)
@@ -172,19 +187,49 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
             keys = jnp.zeros(local_n, jnp.int32)
 
         # --- local partial aggregation (phase 1) -------------------------
+        from .int_agg import (device_lex_minmax, device_limb_sums,
+                              device_presence, presence_reduce)
+
         cnt = jax.ops.segment_sum(w, keys, num_segments=G)
-        slot_partials = []
-        for kind, fn in partial_slots:
-            vals = jnp.asarray(fn(cols), jnp.float32)
+        slot_arrays = []   # flat exchange payload entries, [G, ...] each
+        slot_index = []    # per slot: (kind, start, n_arrays)
+        slot_flags = {}    # pres slots: local invalid-value flag
+        for si, (kind, payload) in enumerate(partial_slots):
             if kind == "sum":
-                slot_partials.append(
-                    jax.ops.segment_sum(vals * w, keys, num_segments=G))
+                vals = jnp.asarray(payload(cols), jnp.float32)
+                arrs = [jax.ops.segment_sum(vals * w, keys, num_segments=G)]
             elif kind == "min":
-                slot_partials.append(jax.ops.segment_min(
-                    jnp.where(mask, vals, jnp.inf), keys, num_segments=G))
-            else:
-                slot_partials.append(jax.ops.segment_max(
-                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=G))
+                vals = jnp.asarray(payload(cols), jnp.float32)
+                arrs = [jax.ops.segment_min(
+                    jnp.where(mask, vals, jnp.inf), keys, num_segments=G)]
+            elif kind == "max":
+                vals = jnp.asarray(payload(cols), jnp.float32)
+                arrs = [jax.ops.segment_max(
+                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=G)]
+            elif kind == "ilimb":
+                lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
+                limbs, est = device_limb_sums(
+                    jnp, jax, lo, hi, mask.astype(jnp.int32), keys, G)
+                arrs = [limbs, est]
+            elif kind in ("lexmin", "lexmax"):
+                lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
+                sel_hi, sel_lo = device_lex_minmax(
+                    jnp, jax, lo, hi, mask, keys, G, kind == "lexmin")
+                arrs = [sel_hi, sel_lo]
+            elif kind == "var":
+                vfn, shift = payload
+                v = jnp.asarray(vfn(cols), jnp.float32) - shift
+                arrs = [jax.ops.segment_sum(v * w, keys, num_segments=G),
+                        jax.ops.segment_sum(v * v * w, keys, num_segments=G)]
+            else:  # pres
+                vfn, v_dom = payload
+                pres, badf = device_presence(
+                    jnp, jnp.asarray(vfn(cols), jnp.float32), mask, keys,
+                    G, v_dom)
+                slot_flags[si] = badf
+                arrs = [pres]
+            slot_index.append((kind, len(slot_arrays), len(arrs)))
+            slot_arrays.extend(arrs)
         kmins, kmaxs, fracs = [], [], []
         for r in raws:
             ri = jnp.asarray(r, jnp.int32)
@@ -200,7 +245,7 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
 
         # --- exchange partial buckets (phase 2: the distributed shuffle) --
         owner = jnp.where(cnt > 0, jnp.mod(repr_key, ndev), 0).astype(jnp.int32)
-        payload = [repr_key, cnt] + slot_partials + kmins + kmaxs
+        payload = [repr_key, cnt] + slot_arrays + kmins + kmaxs
         packed, send_valid = _pack_buckets(owner, payload, ndev, G)
         recv_valid = jax.lax.all_to_all(
             send_valid, "dp", split_axis=0, concat_axis=0).reshape(ndev * G)
@@ -209,9 +254,10 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
             r = jax.lax.all_to_all(buf, "dp", split_axis=0, concat_axis=0)
             recv.append(r.reshape((ndev * G,) + r.shape[2:]))
         r_repr, r_cnt = recv[0], recv[1]
-        r_slots = recv[2:2 + n_slots]
-        r_kmins = recv[2 + n_slots:2 + n_slots + nk]
-        r_kmaxs = recv[2 + n_slots + nk:]
+        n_arrs = len(slot_arrays)
+        r_slots = recv[2:2 + n_arrs]
+        r_kmins = recv[2 + n_arrs:2 + n_arrs + nk]
+        r_kmaxs = recv[2 + n_arrs + nk:]
 
         # --- owner-side merge (phase 3) -----------------------------------
         live = recv_valid & (r_cnt > 0)
@@ -219,20 +265,68 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
         mkeys = jnp.where(live, jnp.mod(r_repr, G), G).astype(jnp.int32)
         m_cnt = jax.ops.segment_sum(
             jnp.where(live, r_cnt, 0.0), mkeys, num_segments=GS)[:G]
-        merged_slots = []
-        for i, (kind, _) in enumerate(partial_slots):
+
+        def _merge_sum(r):
+            return jax.ops.segment_sum(
+                jnp.where(live, r, 0.0), mkeys, num_segments=GS)[:G]
+
+        INT32_MIN = np.int32(-(1 << 31))
+        INT32_MAX = np.int32((1 << 31) - 1)
+        merged = {}
+        for si, (kind, start, cnt_a) in enumerate(slot_index):
+            rs = r_slots[start:start + cnt_a]
             if kind == "sum":
-                merged_slots.append(jax.ops.segment_sum(
-                    jnp.where(live, r_slots[i], 0.0), mkeys,
-                    num_segments=GS)[:G])
+                merged[si] = (_merge_sum(rs[0]),)
             elif kind == "min":
-                merged_slots.append(jax.ops.segment_min(
-                    jnp.where(live, r_slots[i], jnp.inf), mkeys,
-                    num_segments=GS)[:G])
-            else:
-                merged_slots.append(jax.ops.segment_max(
-                    jnp.where(live, r_slots[i], -jnp.inf), mkeys,
-                    num_segments=GS)[:G])
+                merged[si] = (jax.ops.segment_min(
+                    jnp.where(live, rs[0], jnp.inf), mkeys,
+                    num_segments=GS)[:G],)
+            elif kind == "max":
+                merged[si] = (jax.ops.segment_max(
+                    jnp.where(live, rs[0], -jnp.inf), mkeys,
+                    num_segments=GS)[:G],)
+            elif kind == "var":
+                merged[si] = (_merge_sum(rs[0]), _merge_sum(rs[1]))
+            elif kind == "ilimb":
+                # widen each int32 limb partial (< 2^31) into 16-bit halves
+                # before the cross-bucket sum: the merged halves stay below
+                # 2^16 * ndev and 2^15 * ndev — int32-exact for any mesh,
+                # host folds limb = lo16 + (hi16 << 16)
+                rl, rest = rs
+                live2 = live[:, None]
+                lo16 = jnp.bitwise_and(rl, 0xFFFF)
+                hi16 = jnp.right_shift(rl, 16)
+                m_lo = jax.ops.segment_sum(
+                    jnp.where(live2, lo16, 0), mkeys, num_segments=GS)[:G]
+                m_hi = jax.ops.segment_sum(
+                    jnp.where(live2, hi16, 0), mkeys, num_segments=GS)[:G]
+                merged[si] = (m_lo, m_hi, _merge_sum(rest))
+            elif kind in ("lexmin", "lexmax"):
+                r_hi, r_lo = rs
+                if kind == "lexmin":
+                    m_hi_full = jax.ops.segment_min(
+                        jnp.where(live, r_hi, INT32_MAX), mkeys,
+                        num_segments=GS)
+                    at = live & (r_hi == m_hi_full[mkeys])
+                    m_lo_full = jax.ops.segment_min(
+                        jnp.where(at, r_lo, INT32_MAX), mkeys,
+                        num_segments=GS)
+                else:
+                    m_hi_full = jax.ops.segment_max(
+                        jnp.where(live, r_hi, INT32_MIN), mkeys,
+                        num_segments=GS)
+                    at = live & (r_hi == m_hi_full[mkeys])
+                    m_lo_full = jax.ops.segment_max(
+                        jnp.where(at, r_lo, INT32_MIN), mkeys,
+                        num_segments=GS)
+                merged[si] = (m_hi_full[:G], m_lo_full[:G])
+            else:  # pres: 0/1 matrix, max-merge (dead buckets contribute 0;
+                #        empty segments yield segment_max's -inf identity —
+                #        clamp so dead groups read 0, not -inf)
+                live2 = live[:, None]
+                merged[si] = (jnp.maximum(jax.ops.segment_max(
+                    jnp.where(live2, rs[0], 0.0), mkeys,
+                    num_segments=GS)[:G], 0.0),)
         m_kmins = [jax.ops.segment_min(
             jnp.where(live, r, big), mkeys, num_segments=GS)[:G]
             for r in r_kmins]
@@ -251,16 +345,40 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
             elif out_kind == "count":
                 outs.append(m_cnt)
             elif out_kind == "avg":
-                outs.append(merged_slots[ref] / safe_cnt)
-            else:
-                outs.append(merged_slots[ref])
+                outs.append(merged[ref][0] / safe_cnt)
+            elif out_kind in ("sum", "min", "max"):
+                outs.append(merged[ref][0])
+            elif out_kind in ("isum", "iavg", "imin", "imax", "var"):
+                outs.append(merged[ref])
+            else:  # dcount / dsum / davg
+                v_dom = partial_slots[ref][1][1]
+                dc, dlo, dhi = presence_reduce(jnp, merged[ref][0], v_dom)
+                bad = jax.lax.psum(
+                    slot_flags[ref].astype(jnp.float32), "dp") > 0
+                if out_kind == "dcount":
+                    outs.append((dc, bad))
+                else:
+                    outs.append((dc, dlo, dhi, bad))
         return tuple(outs) + (m_cnt,) + tuple(m_kmins) + tuple(m_kmaxs) \
             + tuple(frac_flags)
 
-    n_out = len(finalize) + 1 + 2 * nk
+    def _spec_for(out_kind):
+        """out_specs mirror the finalize pytree: [G]-per-device arrays shard
+        over dp; psum'd scalar flags are replicated."""
+        if out_kind in ("isum", "iavg"):
+            return (P("dp"), P("dp"), P("dp"))
+        if out_kind in ("imin", "imax", "var"):
+            return (P("dp"), P("dp"))
+        if out_kind == "dcount":
+            return (P("dp"), P())
+        if out_kind in ("dsum", "davg"):
+            return (P("dp"), P("dp"), P("dp"), P())
+        return P("dp")
+
     in_specs = ((P("dp"),) + tuple(P("dp") for _ in sharded_keys)
                 + tuple(P() for _ in repl_keys))
-    out_specs = tuple(P("dp") for _ in range(n_out)) \
+    out_specs = tuple(_spec_for(k) for k, _ in finalize) \
+        + tuple(P("dp") for _ in range(1 + 2 * nk)) \
         + tuple(P() for _ in range(nk))
 
     full_key = ("mesh", id(mesh), plan_key)
@@ -314,7 +432,10 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
     except Exception:
         return None
     nf = len(finalize)
-    results = [np.asarray(o) for o in out[:nf]]
+    # structured aggregates (isum/var/distinct) come back as tuples of
+    # arrays — keep the structure for _finalize_agg
+    results = [o if isinstance(o, tuple) else np.asarray(o)
+               for o in out[:nf]]
     group_count = np.asarray(out[nf])
     key_mins = [np.asarray(o) for o in out[nf + 1: nf + 1 + nk]]
     key_maxs = [np.asarray(o) for o in out[nf + 1 + nk: nf + 1 + 2 * nk]]

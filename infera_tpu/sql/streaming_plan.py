@@ -118,6 +118,8 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
                 agg_plans.append(("key", node))
                 continue
             name = node.name.lower()
+            if name not in ("count", "sum", "avg", "mean", "min", "max"):
+                return None  # var/stddev family: non-streaming plans only
             if node.is_star or not node.args:
                 if name != "count":
                     return None

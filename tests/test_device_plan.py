@@ -104,8 +104,12 @@ def test_explain_reports_fused_plan(conn_big):
     text = "\n".join(r[0] for r in rows)
     assert "fused device plan" in text
     assert "SCAN big" in text
-    # integer sum → host operators
+    # integer sum over a plain column now fuses (exact limb sums, round 3)
     rows = conn.execute("explain select sum(g) from big").rows
+    text = "\n".join(r[0] for r in rows)
+    assert "fused device plan" in text
+    # ... but integer EXPRESSIONS still need the host's exact arithmetic
+    rows = conn.execute("explain select sum(g * 2) from big").rows
     text = "\n".join(r[0] for r in rows)
     assert "host/hybrid operators" in text
 
@@ -336,3 +340,111 @@ def test_groupby_int64_keys_beyond_int32_host_path(conn_big):
     rows = conn.execute(
         "select g2, count(*) from bigg group by g2 order by g2").rows
     assert rows == [(0, n // 2), (big_key, n // 2)]
+
+
+def test_fused_int_sum_exact_single_device(conn_big):
+    """Exact int64 SUM/AVG/MIN/MAX on the single-device path via
+    (lo,hi)-word limb sums (sql/int_agg.py) — values past 2^53 where f64
+    accumulation would round."""
+    conn, n = conn_big
+    base = (1 << 41) + 1
+    conn.execute(
+        f"create table widesd as select x % 3 as g, {base} + x as v, "
+        f"-{base} - 3 * x as nv from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, sum(v), avg(v), min(v), max(v), sum(nv), max(nv) "
+        "from widesd group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    g = np.arange(n) % 3
+    for key, sv, av, mn, mx, snv, mxnv in rows:
+        idx = np.flatnonzero(g == key)
+        vs = [base + int(i) for i in idx]
+        nvs = [-base - 3 * int(i) for i in idx]
+        assert sv == sum(vs)
+        assert av == pytest.approx(sum(vs) / len(vs), rel=1e-12)
+        assert mn == min(vs) and mx == max(vs)
+        assert snv == sum(nvs) and mxnv == max(nvs)
+
+
+def test_fused_int_sum_overflow_raises_single_device(conn_big):
+    conn, n = conn_big
+    big = (1 << 62) // (n // 2)
+    conn.execute(f"create table ovfsd as select {big} as v from range({n}) r(x)")
+    with pytest.raises(Exception) as ei:
+        conn.execute("select sum(v) from ovfsd")
+    assert "Out of Range Error: overflow in SUM(BIGINT)" in str(ei.value)
+
+
+def test_fused_stddev_variance_single_device(conn_big):
+    conn, n = conn_big
+    rows = conn.execute(
+        "select g, stddev(f1), var_pop(f2), stddev_pop(f3) "
+        "from big group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    g, f1, f2, f3 = _host_frame(n)
+    for key, sd, vp, sp in rows:
+        m = g == key
+        assert sd == pytest.approx(float(np.std(f1[m], ddof=1)), rel=1e-3)
+        assert vp == pytest.approx(float(np.var(f2[m], ddof=0)), rel=1e-3)
+        assert sp == pytest.approx(float(np.std(f3[m], ddof=0)), rel=1e-3)
+
+
+def test_fused_stddev_single_row_group_falls_back(conn_big):
+    """stddev over 1-row groups is NULL — the fused path must hand those to
+    the host renderer instead of emitting 0."""
+    conn, n = conn_big
+    conn.execute(f"create table onerow as select x as g, x::float as f "
+                 f"from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, stddev(f) from onerow group by g order by g limit 3").rows
+    assert conn._exec_path == "host"
+    assert rows[0][1] is None
+
+
+def test_fused_distinct_aggregates_single_device(conn_big):
+    conn, n = conn_big
+    conn.execute(f"create table ddsd as select x % 5 as g, (x * 13) % 41 as v "
+                 f"from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, count(distinct v), sum(distinct v), avg(distinct v) "
+        "from ddsd group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    x = np.arange(n, dtype=np.int64)
+    g = x % 5
+    v = (x * 13) % 41
+    for key, c, s, a in rows:
+        vals = np.unique(v[g == key])
+        assert c == len(vals)
+        assert s == int(vals.sum())
+        assert a == pytest.approx(float(vals.mean()), rel=1e-9)
+
+
+def test_fused_distinct_matches_host_path(conn_big):
+    """Same DISTINCT query through the host path (small table) agrees."""
+    conn, n = conn_big
+    conn.execute(f"create table dd_dev as select x % 4 as g, x % 23 as v "
+                 f"from range({n}) r(x)")
+    conn.execute("create table dd_host as select * from dd_dev limit 1000")
+    dev = conn.execute(
+        "select g, count(distinct v), sum(distinct v) from dd_dev "
+        "group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    host = conn.execute(
+        "select g, count(distinct v), sum(distinct v) from dd_host "
+        "group by g order by g").rows
+    assert conn._exec_path == "host"
+    x = np.arange(1000, dtype=np.int64)
+    for key, c, s in host:
+        vals = np.unique((x % 23)[x % 4 == key])
+        assert c == len(vals) and s == int(vals.sum())
+    assert len(dev) == 4
+
+
+def test_fused_min_max_distinct_insensitive(conn_big):
+    conn, n = conn_big
+    rows = conn.execute(
+        "select min(distinct f1), max(distinct f2) from big").rows
+    assert conn._exec_path == "device_plan"
+    g, f1, f2, f3 = _host_frame(n)
+    assert rows[0][0] == pytest.approx(float(f1.min()))
+    assert rows[0][1] == pytest.approx(float(f2.max()))

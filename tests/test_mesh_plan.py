@@ -118,12 +118,118 @@ def test_mesh_multikey_groupby_having(conn_mesh):
     assert len(want) > 0
 
 
-def test_mesh_int_sum_falls_back_to_host(conn_mesh):
+def test_mesh_int_sum_exact_on_mesh(conn_mesh):
+    """Round-2 verdict item 4 inverted: integer SUM no longer regresses to
+    host under a mesh — 8-bit-limb partials ride the exchange exactly."""
     conn, n = conn_mesh
     rows = conn.execute("select sum(g) from big").rows
-    assert conn._exec_path == "host"
+    assert conn._exec_path == "device_plan_mesh"
     g, *_ = _frame(n)
     assert rows[0][0] == int(g.sum())
+
+
+def test_mesh_int_aggs_wide_values(conn_mesh):
+    """Exact int64 sum/avg/min/max over values far beyond int32 and past
+    f64's 2^53 integer exactness, grouped, on the mesh."""
+    conn, n = conn_mesh
+    # per-group sums land past 2^53 (f64 would round) but well under the
+    # 2^62 overflow guard: ~8k rows x (2^41+1)
+    base = (1 << 41) + 1
+    conn.execute(
+        f"create table wide as select x % 4 as g, "
+        f"{base} + x as v, -{base} - 2 * x as nv from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, sum(v), avg(v), min(v), max(v), sum(nv), min(nv) "
+        "from wide group by g order by g").rows
+    assert conn._exec_path == "device_plan_mesh"
+    x = np.arange(n, dtype=object)  # exact python ints
+    g = np.arange(n) % 4
+    for key, sv, av, mn, mx, snv, mnv in rows:
+        m = g == key
+        vs = [base + int(i) for i in np.arange(n)[m]]
+        nvs = [-base - 2 * int(i) for i in np.arange(n)[m]]
+        assert sv == sum(vs)
+        assert av == pytest.approx(sum(vs) / len(vs), rel=1e-12)
+        assert mn == min(vs) and mx == max(vs)
+        assert snv == sum(nvs) and mnv == min(nvs)
+    assert len(x) == n
+
+
+def test_mesh_int_sum_overflow_raises(conn_mesh):
+    """SUM(BIGINT) overflow raises the host path's exact error string."""
+    conn, n = conn_mesh
+    big = (1 << 62) // (n // 2)
+    conn.execute(f"create table ovf as select {big} as v "
+                 f"from range({n}) r(x)")
+    with pytest.raises(Exception) as ei:
+        conn.execute("select sum(v) from ovf")
+    assert "Out of Range Error: overflow in SUM(BIGINT)" in str(ei.value)
+
+
+def test_mesh_stddev_variance(conn_mesh):
+    """var/stddev family decomposes into (sum, sum^2) partials that commute
+    with the exchange; results match numpy within f32 partial tolerance."""
+    conn, n = conn_mesh
+    rows = conn.execute(
+        "select g, stddev(f1), var_pop(f2), variance(f3), stddev_pop(f1) "
+        "from big group by g order by g").rows
+    assert conn._exec_path == "device_plan_mesh"
+    g, f1, f2, f3 = _frame(n)
+    for key, sd, vp, vs, sp in rows:
+        m = g == key
+        assert sd == pytest.approx(float(np.std(f1[m], ddof=1)), rel=1e-3)
+        assert vp == pytest.approx(float(np.var(f2[m], ddof=0)), rel=1e-3)
+        assert vs == pytest.approx(float(np.var(f3[m], ddof=1)), rel=1e-3)
+        assert sp == pytest.approx(float(np.std(f1[m], ddof=0)), rel=1e-3)
+
+
+def test_mesh_stddev_int_column(conn_mesh):
+    """stddev over a small-int column rides the f32 carrier exactly enough
+    (|v| <= 2^24 gate) — EXPLAIN-visible device_plan_mesh per verdict bar."""
+    conn, n = conn_mesh
+    rows = conn.execute("select stddev(g) from big").rows
+    assert conn._exec_path == "device_plan_mesh"
+    g, *_ = _frame(n)
+    assert rows[0][0] == pytest.approx(float(np.std(g, ddof=1)), rel=1e-3)
+
+
+def test_mesh_distinct_aggregates(conn_mesh):
+    """COUNT/SUM/AVG(DISTINCT int-valued) via the [G, V] presence matrix —
+    max-merged across the exchange, exact."""
+    conn, n = conn_mesh
+    conn.execute(f"create table dd as select x % 6 as g, (x * x) % 97 as v "
+                 f"from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, count(distinct v) c, sum(distinct v) s, "
+        "avg(distinct v) a from dd group by g order by g").rows
+    assert conn._exec_path == "device_plan_mesh"
+    x = np.arange(n, dtype=np.int64)
+    g = x % 6
+    v = (x * x) % 97
+    assert len(rows) == 6
+    for key, c, s, a in rows:
+        vals = np.unique(v[g == key])
+        assert c == len(vals)
+        assert s == int(vals.sum())
+        assert a == pytest.approx(float(vals.mean()), rel=1e-9)
+
+
+def test_mesh_distinct_fractional_falls_back(conn_mesh):
+    """Fractional DISTINCT values trip the in-program invalid flag → host."""
+    conn, n = conn_mesh
+    rows = conn.execute("select count(distinct f1) from big").rows
+    assert conn._exec_path == "host"
+    g, f1, *_ = _frame(n)
+    assert rows[0][0] == len(np.unique(f1))
+
+
+def test_mesh_having_stddev(conn_mesh):
+    conn, n = conn_mesh
+    rows = conn.execute(
+        "select g, count(*) from big group by g "
+        "having stddev(f1) > 0 order by g").rows
+    assert conn._exec_path == "device_plan_mesh"
+    assert len(rows) == 7  # every group has spread
 
 
 def test_mesh_int64_key_guard_falls_back(conn_mesh):
