@@ -72,11 +72,29 @@ def _canonical_host(d: np.ndarray) -> np.ndarray:
     return d
 
 
+def _put_sharded(arr_np, sharding):
+    """Upload a host array under a NamedSharding, working in BOTH the
+    single-process (virtual mesh) and multi-process (jax.distributed) cases.
+    Multi-process device_put rejects shardings that span non-addressable
+    devices, so each process uploads only its addressable shards and the
+    global array is assembled from them (every process holds the same full
+    host array — SPMD statement stream, SURVEY.md §2.4)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(arr_np, sharding)
+    shards = [
+        jax.device_put(arr_np[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            arr_np.shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(
+        arr_np.shape, sharding, shards)
+
+
 def _shard_column(col, mesh, n: int, n_pad: int, sharding):
     """Upload one column row-sharded over dp, zero-padded to n_pad; cached on
     the Column object (immutable data → upload once per mesh)."""
-    import jax
-
     cache_key = (id(mesh), n_pad)
     cached = getattr(col, "_mesh_array", None)
     if cached is not None and cached[0] == cache_key:
@@ -84,7 +102,7 @@ def _shard_column(col, mesh, n: int, n_pad: int, sharding):
     d = _canonical_host(np.asarray(col.data))
     if n_pad > n:
         d = np.concatenate([d, np.zeros(n_pad - n, d.dtype)])
-    arr = jax.device_put(d, sharding)
+    arr = _put_sharded(d, sharding)
     col._mesh_array = (cache_key, arr)
     return arr
 
@@ -337,49 +355,43 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                       for f in fracs]
 
         # --- finalize in agg_plans order ----------------------------------
+        # Every [G]-per-device group-table column all_gathers into the full
+        # replicated [ndev*G] table so ANY process can read the result —
+        # required for multi-process execution (a P("dp")-sharded output is
+        # not addressable off-owner), and a negligible collective for the
+        # (small) group table.
+        def _g(x):
+            return jax.lax.all_gather(x, "dp", axis=0, tiled=True)
+
         outs = []
         safe_cnt = jnp.where(m_cnt == 0, 1.0, m_cnt)
         for out_kind, ref in finalize:
             if out_kind == "key":
-                outs.append(m_kmaxs[ref])
+                outs.append(_g(m_kmaxs[ref]))
             elif out_kind == "count":
-                outs.append(m_cnt)
+                outs.append(_g(m_cnt))
             elif out_kind == "avg":
-                outs.append(merged[ref][0] / safe_cnt)
+                outs.append(_g(merged[ref][0] / safe_cnt))
             elif out_kind in ("sum", "min", "max"):
-                outs.append(merged[ref][0])
+                outs.append(_g(merged[ref][0]))
             elif out_kind in ("isum", "iavg", "imin", "imax", "var"):
-                outs.append(merged[ref])
+                outs.append(tuple(_g(a) for a in merged[ref]))
             else:  # dcount / dsum / davg
                 v_dom = partial_slots[ref][1][1]
                 dc, dlo, dhi = presence_reduce(jnp, merged[ref][0], v_dom)
                 bad = jax.lax.psum(
                     slot_flags[ref].astype(jnp.float32), "dp") > 0
                 if out_kind == "dcount":
-                    outs.append((dc, bad))
+                    outs.append((_g(dc), bad))
                 else:
-                    outs.append((dc, dlo, dhi, bad))
-        return tuple(outs) + (m_cnt,) + tuple(m_kmins) + tuple(m_kmaxs) \
+                    outs.append((_g(dc), _g(dlo), _g(dhi), bad))
+        return tuple(outs) + (_g(m_cnt),) \
+            + tuple(_g(k) for k in m_kmins) + tuple(_g(k) for k in m_kmaxs) \
             + tuple(frac_flags)
-
-    def _spec_for(out_kind):
-        """out_specs mirror the finalize pytree: [G]-per-device arrays shard
-        over dp; psum'd scalar flags are replicated."""
-        if out_kind in ("isum", "iavg"):
-            return (P("dp"), P("dp"), P("dp"))
-        if out_kind in ("imin", "imax", "var"):
-            return (P("dp"), P("dp"))
-        if out_kind == "dcount":
-            return (P("dp"), P())
-        if out_kind in ("dsum", "davg"):
-            return (P("dp"), P("dp"), P("dp"), P())
-        return P("dp")
 
     in_specs = ((P("dp"),) + tuple(P("dp") for _ in sharded_keys)
                 + tuple(P() for _ in repl_keys))
-    out_specs = tuple(_spec_for(k) for k, _ in finalize) \
-        + tuple(P("dp") for _ in range(1 + 2 * nk)) \
-        + tuple(P() for _ in range(nk))
+    out_specs = P()  # prefix: every output is replicated (gathered/psum'd)
 
     full_key = ("mesh", id(mesh), plan_key)
     cache = getattr(conn, "_device_plan_cache", None)
@@ -412,7 +424,7 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
     vkey = (id(mesh), n, n_pad)
     valid = vcache.get(vkey)
     if valid is None:
-        valid = _jax.device_put(np.arange(n_pad) < n, row_shard)
+        valid = _put_sharded(np.arange(n_pad) < n, row_shard)
         if len(vcache) >= 8:
             vcache.pop(next(iter(vcache)))
         vcache[vkey] = valid
@@ -424,8 +436,11 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
     for k in repl_keys:
         a = replicated_arrays[k]
         if isinstance(a, np.ndarray):
-            a = _canonical_host(a)
-        args.append(_jax.device_put(_jnp.asarray(a), repl_shard))
+            args.append(_put_sharded(_canonical_host(a), repl_shard))
+        elif _jax.process_count() == 1:
+            args.append(_jax.device_put(_jnp.asarray(a), repl_shard))
+        else:  # device array → host → per-process replicated upload
+            args.append(_put_sharded(np.asarray(a), repl_shard))
 
     try:
         out = _jax.device_get(compiled(*args))

@@ -191,3 +191,102 @@ def test_two_process_distributed_pipeline(tmp_path):
         codes.append(p.returncode)
     assert codes == [0, 0], "\n".join(outputs)
     assert all("PIPELINE OK" in o for o in outputs)
+
+
+SQL_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]; model_dir = sys.argv[3]
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2 and len(jax.devices()) == 8
+
+    import numpy as np
+    import infera_tpu as it
+    from infera_tpu.parallel.distributed import ReplicatedModelOps
+    from infera_tpu.sql import Connection
+
+    # registry broadcast: host0's load op replays on every process
+    ops = ReplicatedModelOps()
+    ops.load("linear", f"{model_dir}/linear.onnx")
+    assert it.is_model_loaded("linear")
+
+    # SPMD statement stream: both processes execute the same statements over
+    # a GLOBAL 8-device mesh (4 local devices each); columns upload as
+    # process-local shards, the group table all_gathers back replicated
+    conn = Connection()
+    conn.set_mesh(8)
+    n = (1 << 15) + 13
+    conn.execute(
+        f"create table big as select x % 7 as g, 2199023255553 + x as v, "
+        f"(x % 100)::float / 10.0 as f1, ((x + 3) % 50)::float / 5.0 as f2, "
+        f"((x * 7) % 30)::float / 3.0 as f3 from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, count(*) c, sum(v) s, "
+        "avg(infera_predict('linear', f1, f2, f3)) p, stddev(f1) sd "
+        "from big where f1 > 2.0 group by g order by g").rows
+    assert conn._exec_path == "device_plan_mesh", conn._exec_path
+
+    x = np.arange(n, dtype=np.int64)
+    g = x % 7
+    f1 = (x % 100).astype(np.float32) / np.float32(10.0)
+    f2 = ((x + 3) % 50).astype(np.float32) / np.float32(5.0)
+    f3 = ((x * 7) % 30).astype(np.float32) / np.float32(3.0)
+    pred = 2 * f1 - f2 + 0.5 * f3 + np.float32(0.25)
+    sel = f1 > 2.0
+    assert len(rows) == 7, rows
+    for key, c, s, p, sd in rows:
+        m = sel & (g == key)
+        assert c == int(m.sum())
+        assert s == sum(2199023255553 + int(i) for i in x[m])  # exact int64
+        assert abs(p - float(pred[m].mean())) < 1e-3 * abs(p)
+        assert abs(sd - float(np.std(f1[m], ddof=1))) < 1e-3 * sd
+
+    # volatile semantics still hold across the process group
+    ops.unload("linear")
+    assert not it.is_model_loaded("linear")
+    print(f"proc{pid} SQL OK", flush=True)
+""")
+
+
+def test_two_process_sql_query(tmp_path, model_dir):
+    """SURVEY §7.2 M5 / round-2 verdict item 2: a Connection.execute
+    aggregate (incl. infera_predict, exact int64 SUM, stddev) executes
+    across TWO jax.distributed OS processes over a global 8-device mesh and
+    matches the host answer on both."""
+    worker_py = tmp_path / "sql_worker.py"
+    worker_py.write_text(SQL_WORKER)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker_py), str(i), str(port), model_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs, codes = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outputs.append(out)
+        codes.append(p.returncode)
+    assert codes == [0, 0], "\n".join(outputs)
+    assert all("SQL OK" in o for o in outputs)
