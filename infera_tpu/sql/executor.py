@@ -567,7 +567,9 @@ class Connection:
                 # combine (exact past the device plan's 2^24-row bound)
                 fused = try_execute_streaming(self, sel, scope.table)
                 if fused is not None:
-                    self._exec_path = "streaming_plan"
+                    self._exec_path = ("streaming_plan_mesh"
+                                       if getattr(self, "_mesh_plan_used", False)
+                                       else "streaming_plan")
             if fused is None:
                 fused = try_execute_on_device(self, sel, scope.table)
                 if fused is not None:

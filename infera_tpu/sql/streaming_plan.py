@@ -279,8 +279,72 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
         group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
         return outs, group_count, key_mins, key_maxs
 
+    # --- mesh-partitioned streaming (round-3: streaming ∘ mesh) ----------
+    # Each dp device scans its row-range of every chunk (global chunk =
+    # CHUNK_ROWS × ndev, fixed per-device HBM footprint), computes the same
+    # per-chunk partial group table, and the partials merge ACROSS DEVICES
+    # inside the program with one psum/pmin/pmax tree over ICI — exact for
+    # every aggregate kind (int64 limb partials widen to 16-bit halves
+    # first). Outputs come back replicated, so the f64 host fold below is
+    # byte-identical to the single-device path, and the whole thing works
+    # across jax.distributed processes (mesh_plan._put_sharded uploads).
+    from .mesh_plan import _put_sharded, get_mesh
+
+    conn._mesh_plan_used = False
+    mesh = get_mesh(conn)
+    ndev = int(mesh.shape["dp"]) if mesh is not None else 1
+    if ndev > 1:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        INT32_MIN_ = np.int32(-(1 << 31))
+        INT32_MAX_ = np.int32((1 << 31) - 1)
+        local_step = step  # the per-CHUNK_ROWS body becomes the per-device fn
+
+        def mesh_step(valid, *arrays):
+            outs, gcount, kmins, kmaxs = local_step(valid, *arrays)
+            psum = lambda a: jax.lax.psum(a, "dp")  # noqa: E731
+            pmin = lambda a: jax.lax.pmin(a, "dp")  # noqa: E731
+            pmax = lambda a: jax.lax.pmax(a, "dp")  # noqa: E731
+            m_outs = []
+            for (name, _), o in zip(agg_plans, outs):
+                if o is None:
+                    m_outs.append(None)
+                elif name in ("count", "count_star", "sum"):
+                    m_outs.append(psum(o))
+                elif name in ("avg", "mean"):
+                    m_outs.append((psum(o[0]), psum(o[1])))
+                elif name in ("isum", "iavg"):
+                    limbs, est = o  # [8, G] int32, each < 2^28
+                    lo16 = jnp.bitwise_and(limbs, 0xFFFF)
+                    hi16 = jnp.right_shift(limbs, 16)
+                    m_outs.append((psum(lo16), psum(hi16), psum(est)))
+                elif name in ("imin", "imax"):
+                    hi_, lo_ = o
+                    red = pmin if name == "imin" else pmax
+                    fill = INT32_MAX_ if name == "imin" else INT32_MIN_
+                    m_hi = red(hi_)
+                    m_lo = red(jnp.where(hi_ == m_hi, lo_, fill))
+                    m_outs.append((m_hi, m_lo))
+                elif name == "min":
+                    m_outs.append(pmin(o))
+                else:  # max
+                    m_outs.append(pmax(o))
+            gcount = psum(gcount)
+            kmins = [pmin(k) for k in kmins]
+            kmaxs = [pmax(k) for k in kmaxs]
+            return m_outs, gcount, kmins, kmaxs
+
+        step = shard_map(mesh_step, mesh=mesh,
+                         in_specs=P("dp"), out_specs=P(), check_vma=False)
+        chunk_sharding = NamedSharding(mesh, P("dp"))
+        conn._mesh_plan_used = True
+
+    rows_per_step = CHUNK_ROWS * ndev
+
     plan_key = ("stream", repr(sel), tuple(col_names), n_groups,
-                tuple(sorted((nm, id(m)) for nm, m in lowerer.models.items())))
+                tuple(sorted((nm, id(m)) for nm, m in lowerer.models.items())),
+                ("mesh", id(mesh)) if ndev > 1 else ())
     cache = getattr(conn, "_device_plan_cache", None)
     if cache is None:
         cache = {}
@@ -309,6 +373,9 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
             if o is None:
                 conv.append(None)
             elif name in ("isum", "iavg"):
+                if len(o) == 3:  # mesh: 16-bit-widened limb halves
+                    o = (np.asarray(o[0], np.int64)
+                         + (np.asarray(o[1], np.int64) << 16), o[2])
                 conv.append((np.asarray(o[0], np.int64),
                              np.asarray(o[1], np.float64)))
             elif name in ("imin", "imax"):
@@ -356,28 +423,35 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
 
     try:
         in_flight = []
-        for start in range(0, n, CHUNK_ROWS):
-            stop = min(start + CHUNK_ROWS, n)
-            valid = np.zeros(CHUNK_ROWS, bool)
+        for start in range(0, n, rows_per_step):
+            stop = min(start + rows_per_step, n)
+            valid = np.zeros(rows_per_step, bool)
             valid[: stop - start] = True
             chunk_arrays = []
             for k in col_names:
                 part = np.asarray(host_cols[k][start:stop])
-                if len(part) < CHUNK_ROWS:
+                if len(part) < rows_per_step:
                     part = np.concatenate([
                         part,
-                        np.zeros((CHUNK_ROWS - len(part),) + part.shape[1:],
+                        np.zeros((rows_per_step - len(part),) + part.shape[1:],
                                  part.dtype)])
                 chunk_arrays.append(part)
             for k in int_col_names:
                 v = np.asarray(int_host[k][start:stop]).astype(np.int64)
-                if len(v) < CHUNK_ROWS:
-                    v = np.concatenate([v, np.zeros(CHUNK_ROWS - len(v),
+                if len(v) < rows_per_step:
+                    v = np.concatenate([v, np.zeros(rows_per_step - len(v),
                                                     np.int64)])
                 # two's-complement word split: device works in int32 only
                 chunk_arrays.append(
                     (v & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
                 chunk_arrays.append((v >> 32).astype(np.int32))
+            if ndev > 1:
+                # row-shard the global chunk over dp (process-local shards
+                # in the multi-process case); per-device HBM footprint stays
+                # CHUNK_ROWS regardless of table size
+                valid = _put_sharded(valid, chunk_sharding)
+                chunk_arrays = [_put_sharded(a, chunk_sharding)
+                                for a in chunk_arrays]
             in_flight.append(step_jit(valid, *chunk_arrays))
             if len(in_flight) >= 2:  # keep one chunk in flight (overlap)
                 fold(in_flight.pop(0))
