@@ -23,7 +23,8 @@ if _os.environ.get("INFERA_PLATFORM"):
     # Backend selection (reference ROADMAP "GPU support"): the compute path
     # is pure JAX/XLA, so the same engine targets tpu/gpu/cpu — set
     # INFERA_PLATFORM before first use (maps to jax_platforms). TPU-only
-    # Pallas kernels stay opt-in (INFERA_PALLAS_MLP) and fall back to XLA.
+    # Pallas kernels are probe-selected vs XLA per model at first execution
+    # (INFERA_PALLAS_MLP=1/0 forces) and always fall back to XLA.
     import jax as _jax
 
     try:

@@ -255,7 +255,14 @@ class CompiledOnnxModel:
         if len(arrays) == 1 and self.mlp_plan is not None and self.precision == "f32":
             from .fusion import maybe_run_fused
 
-            fused = maybe_run_fused(self, np.asarray(arrays[0]))
+            a0 = np.asarray(arrays[0])
+
+            def xla_fn(a):
+                fn = self.executable_for((tuple(a.shape),),
+                                         (str(np.asarray(a).dtype),))
+                return fn(a)[0]
+
+            fused = maybe_run_fused(self, a0, xla_fn=xla_fn)
             if fused is not None:
                 return [fused]
         shapes = tuple(tuple(a.shape) for a in arrays)

@@ -3,11 +3,14 @@ through the fused Pallas kernel.
 
 Detection walks the graph for the exact chain
 ``X → (MatMul|Gemm)(+bias) → Relu → ... → (MatMul|Gemm)(+bias) [→ Softmax] → Y``
-with all weights as initializers. Matched models carry a ``mlp_params`` plan;
-the engine uses the VMEM-resident fused kernel
-(infera_tpu.ops.pallas_mlp) when running on TPU with INFERA_PALLAS_MLP=1 —
-opt-in because the tunneled dev platform's Mosaic compiles are slow
-(BASELINE.md); on a directly-attached TPU it is the better default.
+with all weights as initializers. Matched models carry a ``mlp_params`` plan.
+
+Path selection (round-3): on TPU the engine PROBES kernel-vs-XLA once per
+(model, input shape) at first execution and caches the faster choice — the
+fused kernel won by 1.78x in one session and LOST in another (BASELINE.md),
+so a static default is wrong in some session either way.
+``INFERA_PALLAS_MLP=1``/``0`` force the kernel/XLA path (e.g. to skip the
+probe's extra Mosaic compile on the slow tunneled dev platform).
 """
 
 from __future__ import annotations
@@ -99,18 +102,59 @@ def detect_mlp(graph: proto.Graph):
     return params, final_softmax
 
 
-def pallas_mlp_enabled() -> bool:
-    return os.environ.get("INFERA_PALLAS_MLP") == "1"
+def pallas_mlp_mode() -> str:
+    """INFERA_PALLAS_MLP: "1" force kernel, "0" force XLA, unset/auto →
+    timed per-(model, shape) probe on TPU (round-3: the knob is no longer a
+    blind opt-in — VERDICT round-2 item 7)."""
+    v = os.environ.get("INFERA_PALLAS_MLP", "auto")
+    return v if v in ("0", "1") else "auto"
 
 
-def maybe_run_fused(model, arr):
-    """Run via the fused kernel when the model matched and it's enabled.
-    Returns the output array or None (caller falls back to the XLA path)."""
+def _probe_choice(run_kernel, run_xla, arr, iters=20):
+    """Time both paths (queued dispatches, one chained-scalar sync each —
+    the platform's block_until_ready trap, CLAUDE.md) and pick the faster.
+    The constant sync cost inflates both sides equally, preserving order."""
+    import time
+
+    import jax.numpy as jnp
+
+    def timed(fn):
+        out = fn(arr)
+        jnp.sum(out).block_until_ready()  # compile + warm
+        out = fn(arr)
+        jnp.sum(out).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(arr)
+        jnp.sum(out).block_until_ready()
+        return time.perf_counter() - t0
+
+    try:
+        t_pallas = timed(run_kernel)
+    except Exception:
+        return "xla"
+    try:
+        t_xla = timed(run_xla)
+    except Exception:
+        return "pallas"
+    return "pallas" if t_pallas < t_xla else "xla"
+
+
+def maybe_run_fused(model, arr, xla_fn=None):
+    """Run via the fused kernel when the model matched AND the kernel is the
+    measured-faster path. Returns the output array or None (caller falls
+    back to XLA). Mode "auto" probes once per (model, input shape) on the
+    first execution and caches the decision on the model — so no
+    configuration leaves a slower-than-XLA path selected."""
     plan = getattr(model, "mlp_plan", None)
-    if plan is None or not pallas_mlp_enabled():
+    if plan is None:
+        return None
+    mode = pallas_mlp_mode()
+    if mode == "0":
         return None
     if arr.ndim != 2 or arr.shape[1] != plan[0][0][0].shape[0]:
         return None
+    import jax
     import jax.numpy as jnp
 
     from ..ops.pallas_mlp import fused_mlp_padded, vmem_fits
@@ -118,6 +162,26 @@ def maybe_run_fused(model, arr):
     params, final_softmax = plan
     if not vmem_fits(params, 1024, arr.shape[1]):
         return None
-    jparams = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
-    return fused_mlp_padded(jparams, jnp.asarray(arr),
-                            final_softmax=final_softmax)
+
+    def run_kernel(a):
+        jparams = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+        return fused_mlp_padded(jparams, jnp.asarray(a),
+                                final_softmax=final_softmax)
+
+    if mode == "1":
+        return run_kernel(arr)
+    # auto: kernel only exists for TPU; probe needs the XLA comparator
+    if xla_fn is None or jax.default_backend() in ("cpu", "gpu"):
+        return None
+    choices = getattr(model, "_pallas_choice", None)
+    if choices is None:
+        choices = {}
+        model._pallas_choice = choices
+    key = tuple(arr.shape)
+    choice = choices.get(key)
+    if choice is None:
+        choice = _probe_choice(run_kernel, xla_fn, arr)
+        choices[key] = choice
+    if choice == "pallas":
+        return run_kernel(arr)
+    return None

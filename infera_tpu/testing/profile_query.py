@@ -199,8 +199,98 @@ def exp_chain(rows=1 << 20, k=20):
           rows_per_s=rows / dt)
 
 
+def exp_variants(rows=1 << 20, tile_n=4096):
+    """Decompose the 2.7 ms kernel time: scan-only → +L1 → +all matmuls →
+    +filter/aggregate tail without argmax → full kernel. Each variant is its
+    own pallas_call in its own jit, timed with the trusted queued-dispatch
+    method (iters=100 amortizes the sync RTT to ~0.3 ms/iter)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    jparams = [(jnp.asarray(w, jnp.bfloat16), jnp.asarray(b, jnp.float32))
+               for w, b in _params()]
+    x = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(1), (rows, IN_DIM),
+                          jnp.float32).astype(jnp.bfloat16))
+
+    def make(variant):
+        ws = [w for w, _ in jparams]
+        bs = [b.reshape(1, -1) for _, b in jparams]
+
+        def kernel(x_ref, *refs):
+            acc_ref = refs[-1]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            h = x_ref[:]
+            if variant == "scan":
+                acc_ref[:, :IN_DIM] += jnp.sum(h.astype(jnp.float32), axis=0,
+                                               keepdims=True)
+                return
+            n_mm = {"mm1": 1, "mm_all": 3, "tail_nomax": 3, "full": 3}[variant]
+            for li in range(n_mm):
+                w = refs[2 * li][:]
+                b = refs[2 * li + 1][:]
+                h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b[0, :]
+                if li < n_mm - 1:
+                    h = jnp.maximum(h, 0.0).astype(jnp.bfloat16)
+            if variant in ("mm1", "mm_all"):
+                acc_ref[:, : h.shape[1]] += jnp.sum(h, axis=0, keepdims=True)
+                return
+            if variant == "tail_nomax":
+                # aggregate tail with max+compare instead of argmax
+                mx = jnp.max(h, axis=-1, keepdims=True)
+                onehot = (h == mx).astype(jnp.float32)
+            else:
+                pred = jnp.argmax(h, axis=-1)
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+                          == pred[:, None]).astype(jnp.float32)
+            sel = (h[:, 0] > 0.0).astype(jnp.float32)
+            acc_ref[:, :OUT_DIM] += jnp.sum(
+                onehot * sel[:, None], axis=0, keepdims=True)[:, :OUT_DIM]
+            acc_ref[:, OUT_DIM:2 * OUT_DIM] += jnp.sum(
+                onehot * (h[:, 0] * sel)[:, None], axis=0,
+                keepdims=True)[:, :OUT_DIM]
+
+        n_mm = {"scan": 0, "mm1": 1, "mm_all": 3, "tail_nomax": 3,
+                "full": 3}[variant]
+        specs = [pl.BlockSpec((tile_n, IN_DIM), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+        args = []
+        for li in range(n_mm):
+            specs.append(pl.BlockSpec(ws[li].shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec(bs[li].shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            args.extend([ws[li], bs[li]])
+
+        def fn(x):
+            return pl.pallas_call(
+                kernel,
+                grid=(rows // tile_n,),
+                in_specs=specs,
+                out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            )(x, *args)
+        return jax.jit(fn), args
+
+    for variant in ("scan", "mm1", "mm_all", "tail_nomax", "full"):
+        try:
+            fn, _ = make(variant)
+            dt = _time_queued(jnp, lambda x, f=fn: (f(x),), x, 100)
+            _emit(exp="variants", variant=variant, rows=rows,
+                  ms_per_iter=dt * 1e3, rows_per_s=rows / dt)
+        except Exception as e:
+            _emit(exp="variants", variant=variant,
+                  error=f"{type(e).__name__}: {e}"[:160])
+
+
 EXPS = {"iters": exp_iters, "rows": exp_rows, "empty": exp_empty,
-        "tiles": exp_tiles, "chain": exp_chain}
+        "tiles": exp_tiles, "chain": exp_chain, "variants": exp_variants}
 
 
 def main():

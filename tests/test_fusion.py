@@ -57,3 +57,69 @@ def test_fused_path_matches_xla(monkeypatch):
     compiled2 = compile_model_bytes(m.serialize(), "mlp2")
     out_xla = np.asarray(compiled2.run(x)[0])
     np.testing.assert_allclose(out_fused, out_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_auto_probe_picks_faster_path(monkeypatch):
+    """Mode auto (env unset): the engine times kernel vs XLA once per
+    (model, shape), caches the choice on the model, and never re-probes."""
+    import infera_tpu.onnx.fusion as fu
+
+    monkeypatch.delenv("INFERA_PALLAS_MLP", raising=False)
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    probes = {"n": 0}
+
+    def fake_probe(run_kernel, run_xla, arr, iters=20):
+        probes["n"] += 1
+        return "xla"
+
+    monkeypatch.setattr(fu, "_probe_choice", fake_probe)
+    m = builder.mlp_model(in_dim=8, hidden=(16,), out_dim=4)
+    compiled = compile_model_bytes(m.serialize(), "mlp_probe")
+    x = np.random.default_rng(0).standard_normal((32, 8)).astype(np.float32)
+    out1 = np.asarray(compiled.run(x)[0])   # probes once, picks xla
+    out2 = np.asarray(compiled.run(x)[0])   # cached decision, no re-probe
+    assert probes["n"] == 1
+    assert compiled._pallas_choice == {(32, 8): "xla"}
+    np.testing.assert_allclose(out1, out2)
+
+    # a different batch shape probes again
+    x2 = np.random.default_rng(1).standard_normal((64, 8)).astype(np.float32)
+    compiled.run(x2)
+    assert probes["n"] == 2
+
+
+def test_auto_probe_kernel_wins(monkeypatch):
+    """When the probe says the kernel is faster, the kernel path runs
+    (validated through interpret mode off-TPU) and matches XLA."""
+    import infera_tpu.onnx.fusion as fu
+    import infera_tpu.ops.pallas_mlp as pm
+
+    monkeypatch.delenv("INFERA_PALLAS_MLP", raising=False)
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    monkeypatch.setattr(fu, "_probe_choice", lambda *a, **k: "pallas")
+    orig = pm.fused_mlp_padded
+    monkeypatch.setattr(
+        pm, "fused_mlp_padded",
+        lambda params, x, tile_n=1024, final_softmax=False, interpret=False:
+        orig(params, x, tile_n=256, final_softmax=final_softmax,
+             interpret=True))
+    m = builder.mlp_model(in_dim=8, hidden=(16,), out_dim=4)
+    compiled = compile_model_bytes(m.serialize(), "mlp_pwin")
+    x = np.random.default_rng(0).standard_normal((32, 8)).astype(np.float32)
+    out_fused = np.asarray(compiled.run(x)[0])
+    monkeypatch.setenv("INFERA_PALLAS_MLP", "0")
+    out_xla = np.asarray(compiled.run(x)[0])
+    np.testing.assert_allclose(out_fused, out_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_force_off_skips_probe(monkeypatch):
+    import infera_tpu.onnx.fusion as fu
+
+    monkeypatch.setenv("INFERA_PALLAS_MLP", "0")
+    monkeypatch.setattr(fu, "_probe_choice",
+                        lambda *a, **k: (_ for _ in ()).throw(AssertionError))
+    m = builder.mlp_model(in_dim=8, hidden=(16,), out_dim=4)
+    compiled = compile_model_bytes(m.serialize(), "mlp_off")
+    x = np.random.default_rng(0).standard_normal((16, 8)).astype(np.float32)
+    compiled.run(x)
+    assert not hasattr(compiled, "_pallas_choice")
