@@ -52,15 +52,18 @@ class QueryMetrics:
     wall_s: float = 0.0
     bytes_in: int = 0
     # execution path that served the statement: host | device_plan |
-    # device_join_plan | streaming_plan
+    # device_join_plan | streaming_plan (+ _mesh variants)
     path: str = "host"
+    # per-phase wall-clock breakdown for fused plans (plan_ms, probe_ms,
+    # upload_ms, exec_readback_ms, compiled) — VERDICT round-2 item 5
+    phases: dict | None = None
 
     @property
     def rows_per_s(self) -> float:
         return self.rows / self.wall_s if self.wall_s > 0 else 0.0
 
     def as_dict(self) -> dict:
-        return {
+        d = {
             "name": self.name,
             "rows": self.rows,
             "wall_ms": round(self.wall_s * 1e3, 3),
@@ -68,6 +71,9 @@ class QueryMetrics:
             "bytes_in": self.bytes_in,
             "path": self.path,
         }
+        if self.phases:
+            d["phases"] = self.phases
+        return d
 
 
 @dataclass

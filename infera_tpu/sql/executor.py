@@ -141,8 +141,10 @@ class Connection:
             for stmt in parse_sql(sql):
                 with measure(type(stmt).__name__) as m:
                     self._exec_path = "host"
+                    self._last_phases = None
                     result = self._execute_statement(stmt)
                     m.path = self._exec_path
+                    m.phases = getattr(self, "_last_phases", None)
                     if result.table is not None:
                         m.rows = result.table.num_rows
         finally:
@@ -340,6 +342,10 @@ class Connection:
                     f"ACTUAL: {out.num_rows} rows",
                     f"PATH: {self._exec_path}",
                 ]
+                phases = getattr(self, "_last_phases", None)
+                if phases:
+                    lines.append("PHASES: " + "  ".join(
+                        f"{k}={v}" for k, v in phases.items()))
             col = Column.from_values(lines, T.VARCHAR)
             t = Table({"explain": col})
             return QueryResult(t, t.names)

@@ -101,3 +101,35 @@ def test_explain_analyze_reports_actuals(model_dir, clean_registry):
     # plain EXPLAIN must not execute: ACTUAL line absent
     rows = conn.execute("explain select g, sum(f) from ea group by g").rows
     assert not any("ACTUAL" in r[0] for r in rows)
+
+
+def test_device_plan_phase_breakdown(clean_registry):
+    """Fused plans record a per-phase wall breakdown (plan/probe/upload/
+    exec+readback) in METRICS and EXPLAIN ANALYZE (round-3, VERDICT item 5)."""
+    from infera_tpu.observability import METRICS
+    from infera_tpu.sql import Connection
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(f"create table t as select x % 4 as g, (x % 9)::float as f "
+                 f"from range({n}) r(x)")
+    conn.execute("select g, count(*), sum(f) from t group by g order by g")
+    assert conn._exec_path == "device_plan"
+    m = METRICS.entries[0].as_dict()
+    assert m["path"] == "device_plan"
+    ph = m["phases"]
+    assert set(ph) >= {"plan_ms", "probe_ms", "upload_ms",
+                       "exec_readback_ms", "compiled"}
+    assert ph["compiled"] is True  # first execution traced+compiled
+    text = "\n".join(r[0] for r in conn.execute(
+        "explain analyze select g, count(*), sum(f) from t group by g").rows)
+    assert "PHASES: " in text and "exec_readback_ms=" in text
+    # identical statement re-runs against the cached compiled plan
+    conn.execute("select g, count(*), sum(f) from t group by g order by g")
+    m2 = METRICS.entries[0].as_dict()
+    assert m2["phases"]["compiled"] is False
+
+    # host statements carry no phase breakdown
+    conn.execute("select 1")
+    assert METRICS.entries[0].as_dict().get("phases") is None
