@@ -168,21 +168,28 @@ def gbt_regressor_model(
 
 
 def mobilenet_like_model(seed: int = 0, n_classes: int = 1000) -> Model:
-    """A mobilenet-class depthwise-separable CNN with the REAL input shape.
+    """MobileNetV3-Small topology at the REAL input shape (round-3 depth).
 
     Offline stand-in for the HuggingFace mobilenetv3 model the reference's
     test_advanced_features.test downloads
     (/root/reference/test/sql/test_advanced_features.test:47-58): fixed
-    input of 1*224*224*3 floats (the pinned 602,112-byte blob), stride-2
-    depthwise-separable stages with HardSwish, global average pooling, and a
-    1000-class head — so the blob path is exercised at mobilenet scale
-    without the network.
+    input of 1*224*224*3 floats (the pinned 602,112-byte blob). Round 2
+    shipped a 4-stage sketch; this is the full v3-small layer table
+    (Howard et al. 2019, Table 2): stem conv + 11 inverted-residual bneck
+    blocks (expand 1x1 → depthwise 3x3/5x5 → squeeze-excite with
+    hardsigmoid gating → linear project, residual when stride 1 and
+    cin==cout), 576-wide conv head, pooled 1024-wide classifier —
+    ~2.5M params, so compile/perf behavior is exercised at real depth
+    under one jit.
     """
     rng = np.random.default_rng(seed)
     nodes = []
     inits = {}
+    uid = [0]
 
-    def conv(idx, inp, out, cin, cout, k, stride, group=1):
+    def conv(inp, out, cin, cout, k, stride, group=1):
+        idx = uid[0]
+        uid[0] += 1
         wshape = (cout, cin // group, k, k)
         w = (rng.standard_normal(wshape, dtype=np.float32)
              * np.float32(1.0 / np.sqrt(cin * k * k / group)))
@@ -202,24 +209,74 @@ def mobilenet_like_model(seed: int = 0, n_classes: int = 1000) -> Model:
     def act(op, inp, out):
         nodes.append(Node(op_type=op, inputs=[inp], outputs=[out]))
 
-    # stem: 3→16 s2 (224→112), then 3 depthwise-separable stages s2 each
-    conv(0, "X", "c0", 3, 16, 3, 2)
+    def squeeze_excite(inp, out, ch, tag):
+        """SE: gap → 1x1 reduce (ch/4) → relu → 1x1 expand → hardsigmoid →
+        channel-scale (v3 uses the hard gate)."""
+        red = max(ch // 4, 8)
+        nodes.append(Node(op_type="GlobalAveragePool", inputs=[inp],
+                          outputs=[f"{tag}_gap"]))
+        conv(f"{tag}_gap", f"{tag}_r", ch, red, 1, 1)
+        act("Relu", f"{tag}_r", f"{tag}_ra")
+        conv(f"{tag}_ra", f"{tag}_e", red, ch, 1, 1)
+        act("HardSigmoid", f"{tag}_e", f"{tag}_g")
+        nodes.append(Node(op_type="Mul", inputs=[inp, f"{tag}_g"],
+                          outputs=[out]))
+
+    def bneck(bi, inp, cin, exp, cout, k, stride, se, nl):
+        """Inverted residual: expand → depthwise → [SE] → linear project."""
+        tag = f"b{bi}"
+        cur = inp
+        if exp != cin:
+            conv(cur, f"{tag}_x", cin, exp, 1, 1)
+            act(nl, f"{tag}_x", f"{tag}_xa")
+            cur = f"{tag}_xa"
+        conv(cur, f"{tag}_d", exp, exp, k, stride, group=exp)
+        act(nl, f"{tag}_d", f"{tag}_da")
+        cur = f"{tag}_da"
+        if se:
+            squeeze_excite(cur, f"{tag}_se", exp, tag)
+            cur = f"{tag}_se"
+        conv(cur, f"{tag}_p", exp, cout, 1, 1)  # linear bottleneck
+        cur = f"{tag}_p"
+        if stride == 1 and cin == cout:
+            nodes.append(Node(op_type="Add", inputs=[inp, cur],
+                              outputs=[f"{tag}_o"]))
+            cur = f"{tag}_o"
+        return cur
+
+    # stem: 3→16 s2 hardswish (224→112)
+    conv("X", "c0", 3, 16, 3, 2)
     act("HardSwish", "c0", "a0")
-    widths = [16, 24, 48, 96]
+    # the 11 v3-small bneck rows: (exp, out, k, stride, SE, NL)
+    table = [
+        (16, 16, 3, 2, True, "Relu"),
+        (72, 24, 3, 2, False, "Relu"),
+        (88, 24, 3, 1, False, "Relu"),
+        (96, 40, 5, 2, True, "HardSwish"),
+        (240, 40, 5, 1, True, "HardSwish"),
+        (240, 40, 5, 1, True, "HardSwish"),
+        (120, 48, 5, 1, True, "HardSwish"),
+        (144, 48, 5, 1, True, "HardSwish"),
+        (288, 96, 5, 2, True, "HardSwish"),
+        (576, 96, 5, 1, True, "HardSwish"),
+        (576, 96, 5, 1, True, "HardSwish"),
+    ]
     prev = "a0"
-    for si in range(3):
-        cin, cout = widths[si], widths[si + 1]
-        conv(10 + si, prev, f"dw{si}", cin, cin, 3, 2, group=cin)
-        act("Relu", f"dw{si}", f"dwa{si}")
-        conv(20 + si, f"dwa{si}", f"pw{si}", cin, cout, 1, 1)
-        act("HardSwish", f"pw{si}", f"pwa{si}")
-        prev = f"pwa{si}"
-    nodes.append(Node(op_type="GlobalAveragePool", inputs=[prev],
+    cin = 16
+    for bi, (exp, cout, k, stride, se, nl) in enumerate(table):
+        prev = bneck(bi, prev, cin, exp, cout, k, stride, se, nl)
+        cin = cout
+    # head: 1x1 conv to 576 + SE-free hardswish, pool, 1024-wide classifier
+    conv(prev, "h0", cin, 576, 1, 1)
+    act("HardSwish", "h0", "h0a")
+    nodes.append(Node(op_type="GlobalAveragePool", inputs=["h0a"],
                       outputs=["gap"]))
-    nodes.append(Node(op_type="Flatten", inputs=["gap"], outputs=["flat"],
+    conv("gap", "h1", 576, 1024, 1, 1)
+    act("HardSwish", "h1", "h1a")
+    nodes.append(Node(op_type="Flatten", inputs=["h1a"], outputs=["flat"],
                       attributes={"axis": Attribute.make("axis", 1)}))
-    w = (rng.standard_normal((widths[-1], n_classes), dtype=np.float32)
-         * np.float32(1.0 / np.sqrt(widths[-1])))
+    w = (rng.standard_normal((1024, n_classes), dtype=np.float32)
+         * np.float32(1.0 / np.sqrt(1024)))
     b = rng.standard_normal(n_classes, dtype=np.float32) * np.float32(0.05)
     inits["FW"] = Tensor.from_array("FW", w)
     inits["FB"] = Tensor.from_array("FB", b)
