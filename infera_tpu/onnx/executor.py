@@ -250,8 +250,41 @@ class CompiledOnnxModel:
         except Exception as e:
             raise OnnxError(str(e))
 
+    def calibrate_int8(self, sample_arrays) -> None:
+        """Record static per-tensor activation scales from a calibration
+        sample (round-3): one eager f32 pass through the graph stores
+        max|activation|/127 on each matmul node, after which int8 inference
+        quantizes with trace-time-constant scales — no per-row max/divide,
+        dequant folded into the per-channel weight scales. Reference parity
+        note: quantization is an unchecked ROADMAP item there
+        (/root/reference/ROADMAP.md); this is the static-calibration design
+        its "Model quantization" row describes."""
+        if self.precision != "int8" or getattr(self, "_int8_calibrated", False):
+            return
+        with self._cache_lock:
+            if getattr(self, "_int8_calibrated", False):
+                return
+            sample = []
+            for a in sample_arrays:
+                a = np.asarray(a)
+                if a.ndim and a.shape[0] > 4096:
+                    a = a[:4096]  # a slice calibrates as well as the batch
+                sample.append(a)
+            self._calibrating = True
+            try:
+                self._run_graph(*sample)
+            except Exception:
+                pass  # dynamic per-row fallback stays available and correct
+            finally:
+                self._calibrating = False
+            self._int8_calibrated = True
+
     def run(self, *arrays) -> list:
         """Run the model on device arrays / numpy arrays; returns jnp arrays."""
+        if self.precision == "int8" and not getattr(self, "_int8_calibrated",
+                                                    False):
+            # first execution doubles as the calibration sample
+            self.calibrate_int8(arrays)
         if len(arrays) == 1 and self.mlp_plan is not None and self.precision == "f32":
             from .fusion import maybe_run_fused
 

@@ -240,6 +240,30 @@ def _policy_dot(node, a, b, ctx, key="w"):
     if prec == "int8" and isinstance(b, np.ndarray) and b.ndim == 2:
         w_q, w_scale = _quantize_weight_int8(node, key, b)
         a = jnp.asarray(a, jnp.float32)
+        if getattr(ctx, "_calibrating", False):
+            # eager (unjitted) calibration pass: record the per-tensor
+            # activation range for this matmul input, compute in f32
+            amax = float(jnp.max(jnp.abs(a)))
+            prev = getattr(node, "_infera_act_scale", 0.0) or 0.0
+            node._infera_act_scale = max(prev, amax / 127.0)
+            return jnp.matmul(a, jnp.asarray(b), precision=_HIGHEST,
+                              preferred_element_type=jnp.float32)
+        act_scale = getattr(node, "_infera_act_scale", None)
+        if act_scale:
+            # STATIC path (round-3): the calibrated per-tensor scale is a
+            # trace-time constant, so quantization is one multiply +
+            # rint/clip (no per-row max reduce or divide) and the dequant
+            # folds act_scale into the per-channel weight-scale vector
+            inv = np.float32(1.0 / act_scale)
+            a_q = jnp.clip(jnp.rint(a * inv), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                a_q, jnp.asarray(w_q),
+                (((a.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return y.astype(jnp.float32) * jnp.asarray(
+                w_scale * np.float32(act_scale))
+        # dynamic fallback (no calibration yet): per-row abs-max scales
         a_scale = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
         a_scale = jnp.where(a_scale == 0, 1.0, a_scale)
         a_q = jnp.clip(jnp.rint(a / a_scale), -127, 127).astype(jnp.int8)

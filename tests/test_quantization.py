@@ -102,3 +102,44 @@ def test_sql_invalid_precision_message(tmp_path, clean_registry):
     with pytest.raises(SqlError,
                        match="Failed to load model 'lq'.*unsupported precision"):
         conn.execute(f"select infera_load_model('lq', '{p}', 'q4')")
+
+
+def test_int8_static_calibration(tmp_path, clean_registry):
+    """First execution calibrates static per-tensor activation scales; the
+    second execution uses them (constant-folded dequant) and stays close to
+    f32. Out-of-range later batches clip (standard int8 semantics) but
+    in-range batches match the dynamic path's accuracy."""
+    from infera_tpu.onnx import builder
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    m = builder.mlp_model(in_dim=16, hidden=(64, 64), out_dim=8)
+    c8 = compile_model_bytes(m.serialize(), "m8", precision="int8")
+    cf = compile_model_bytes(m.serialize(), "mf", precision="f32")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+
+    out1 = np.asarray(c8.run(x)[0])   # calibrates, then runs static
+    assert c8._int8_calibrated
+    out2 = np.asarray(c8.run(x)[0])   # static path, cached scales
+    ref = np.asarray(cf.run(x)[0])
+    np.testing.assert_allclose(out1, ref, rtol=0.15, atol=0.15)
+    np.testing.assert_allclose(out2, ref, rtol=0.15, atol=0.15)
+
+    # a same-distribution second batch also stays close
+    x2 = rng.standard_normal((256, 16)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(c8.run(x2)[0]),
+                               np.asarray(cf.run(x2)[0]),
+                               rtol=0.2, atol=0.2)
+
+
+def test_int8_explicit_calibrate_api(tmp_path, clean_registry):
+    from infera_tpu.onnx import builder
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    m = builder.mlp_model(in_dim=8, hidden=(32,), out_dim=4)
+    c8 = compile_model_bytes(m.serialize(), "m8b", precision="int8")
+    sample = np.random.default_rng(1).standard_normal((128, 8)).astype(np.float32)
+    c8.calibrate_int8([sample])
+    assert c8._int8_calibrated
+    out = np.asarray(c8.run(sample)[0])
+    assert np.isfinite(out).all()
