@@ -98,8 +98,18 @@ def bench_tpu(params, rows, iters=200, use_pallas=True):
     # f32 table, then the f32 parity kernel.
     impls = [("xla", jax.jit(lambda x: query_tail(mlp_xla(x))), x)]
     if use_pallas and rows % 4096 == 0:
-        from infera_tpu.ops.pallas_query import fused_mlp_query
+        from infera_tpu.ops.pallas_query import (fused_mlp_query,
+                                                 fused_mlp_query_columnar)
 
+        # Columnar (feature-major) kernel first: [d, N] blocks are
+        # lane-dense, which round-3 profiling showed is worth ~3x over the
+        # row-major layout (scan 1.17→~0.1 ms, tail 1.22→~0.15 ms @1M).
+        # [d, N] is the engine's native table layout (stacked columns).
+        xc_bf16 = jax.block_until_ready(x.T.astype(jnp.bfloat16))
+        impls.append(("pallas_col_bf16_io", jax.jit(
+            lambda x: fused_mlp_query_columnar(jparams, x, tile_n=8192,
+                                               compute_dtype=jnp.bfloat16)),
+            xc_bf16))
         x_bf16 = jax.block_until_ready(x.astype(jnp.bfloat16))
         impls.append(("pallas_bf16_io", jax.jit(
             lambda x: fused_mlp_query(jparams, x, tile_n=4096,

@@ -114,8 +114,11 @@ def _hash_join(left: Table, right: Table, lkeys: list, rkeys: list,
 
     # device path for large numeric or VARCHAR (dictionary-encoded) keys —
     # INNER and the outer kinds all ride the sort-join (outer rows come back
-    # as -1 index markers that _combine turns into NULLs)
-    if min(n_left, n_right) >= (1 << 14) and all(
+    # as -1 index markers that _combine turns into NULLs). Gate on the LARGE
+    # side: a 1M-fact x 1k-dim join is sort-dominated by the fact side, so a
+    # small dimension table must not force the host path (round 3 — the
+    # min() gate excluded exactly the star-schema shape config 3 cares about)
+    if max(n_left, n_right) >= (1 << 14) and all(
         (k.sql_type.is_numeric or k.data.dtype == object) and k.validity is None
         for k in lkeys + rkeys
     ) and kind in ("INNER", "LEFT", "RIGHT", "FULL"):

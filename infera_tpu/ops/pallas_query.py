@@ -61,6 +61,103 @@ def _query_kernel(n_layers, compute_dtype, x_ref, *refs):
                               keepdims=True)
 
 
+def _query_kernel_columnar(n_layers, compute_dtype, x_ref, *refs):
+    """Feature-major variant: activations live as [features, rows-tile].
+
+    Round-3 profiling (testing/profile_query.py exp "variants") showed the
+    row-major kernel is LAYOUT-bound, not compute-bound: the [tile, 32]
+    input block uses 32 of 128 lanes (scan cost 1.17 ms of the 2.95 ms
+    total @1M rows) and the [tile, 16→128-lane] tail wastes 8x VPU work
+    (+1.22 ms). Feature-major blocks are lane-dense in the ROW dimension —
+    the layout a columnar SQL engine stores anyway — so the same query runs
+    from DMA-efficient [32, tile] blocks, and the aggregate tail reduces
+    rows lane-strided into [classes, 128] accumulators (host folds the last
+    128 lanes)."""
+    counts_ref = refs[-2]
+    sums_ref = refs[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    h = x_ref[:].astype(compute_dtype)  # [d0, tile]
+    for li in range(n_layers):
+        w = refs[2 * li][:]       # [dout, din] (pre-transposed)
+        b = refs[2 * li + 1][:]   # [dout, 1]
+        h = jax.lax.dot_general(
+            w, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b
+        if li < n_layers - 1:
+            h = jnp.maximum(h, 0.0).astype(compute_dtype)
+
+    n_classes, tile = h.shape
+    pred = jnp.argmax(h, axis=0)                     # [tile]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+              == pred[None, :]).astype(jnp.float32)  # [C, tile]
+    sel = (h[0, :] > 0.0).astype(jnp.float32)        # [tile]
+    cnt = onehot * sel[None, :]
+    sms = onehot * (h[0, :] * sel)[None, :]
+    # lane-strided partial reduction tile→128 lanes (cheap VPU adds; the
+    # final 128-lane fold happens on the host over the tiny output)
+    counts_ref[:, :] += jnp.sum(
+        cnt.reshape(n_classes, tile // 128, 128), axis=1)
+    sums_ref[:, :] += jnp.sum(
+        sms.reshape(n_classes, tile // 128, 128), axis=1)
+
+
+def fused_mlp_query_columnar(params: list, xc: jnp.ndarray,
+                             tile_n: int = DEFAULT_TILE_N,
+                             interpret: bool = False,
+                             compute_dtype=jnp.float32):
+    """Feature-major fused query: xc is [d0, N] (stacked table columns —
+    zero-copy from columnar storage). Same contract as fused_mlp_query:
+    returns (counts [n_classes], sums [n_classes])."""
+    d0, n = xc.shape
+    assert n % tile_n == 0 and tile_n % 128 == 0
+    n_layers = len(params)
+    n_classes = params[-1][0].shape[1]
+
+    weight_specs = []
+    weight_args = []
+    for w, b in params:
+        wt = jnp.asarray(w, compute_dtype).T          # [dout, din]
+        weight_specs.append(pl.BlockSpec(wt.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        weight_args.append(wt)
+        b2 = jnp.asarray(b, jnp.float32).reshape(-1, 1)
+        weight_specs.append(pl.BlockSpec(b2.shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        weight_args.append(b2)
+
+    flops = 2 * n * sum(w.shape[0] * w.shape[1] for w, _ in params)
+    counts, sums = pl.pallas_call(
+        functools.partial(_query_kernel_columnar, n_layers, compute_dtype),
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((d0, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((n_classes, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_classes, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_classes, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_classes, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=xc.size * xc.dtype.itemsize,
+            transcendentals=0
+        ),
+        interpret=interpret,
+    )(xc, *weight_args)
+    return jnp.sum(counts, axis=1), jnp.sum(sums, axis=1)
+
+
 def fused_mlp_query(params: list, x: jnp.ndarray,
                     tile_n: int = DEFAULT_TILE_N,
                     interpret: bool = False,

@@ -1,0 +1,146 @@
+"""End-to-end TPU evaluation batch (round-3 verdict items 5, 6, 8).
+
+Subcommands (one per process — the tunneled platform wants a single TPU
+process; each prints JSON lines):
+
+  sql        — 1M-row fused SQL query end-to-end with the per-phase
+               breakdown (plan/probe/upload/exec+readback) from METRICS.
+  outer_join — 1M-row LEFT and FULL joins against a 1k-row dim table, path
+               asserted via EXPLAIN ANALYZE, steady-state timing.
+  int8       — 256-wide MLP @1M rows through the engine path: f32 vs bf16
+               vs int8 (static-calibrated), steady-state.
+
+Usage: python -m infera_tpu.testing.e2e_eval <sql|outer_join|int8>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def _mk_conn_with_table(n):
+    import infera_tpu as it  # noqa: F401
+    from ..sql import Connection
+
+    conn = Connection()
+    t0 = time.perf_counter()
+    conn.execute(
+        f"create table big as select x % 64 as g, "
+        f"(x % 100)::float / 10.0 as f1, ((x + 3) % 50)::float / 5.0 as f2, "
+        f"((x * 7) % 30)::float / 3.0 as f3, ((x * 11) % 90)::float / 9.0 as f4 "
+        f"from range({n}) r(x)")
+    _emit(step="create_table", rows=n, s=round(time.perf_counter() - t0, 2))
+    return conn
+
+
+def eval_sql(n=1 << 20):
+    import tempfile
+
+    import infera_tpu as it
+    from ..observability import METRICS
+    from ..onnx.builder import mlp_model
+
+    conn = _mk_conn_with_table(n)
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(mlp_model(in_dim=4, hidden=(32,), out_dim=1).serialize())
+        path = f.name
+    it.load_model("m", path)
+    q = ("select g, count(*) c, avg(infera_predict('m', f1, f2, f3, f4)) p, "
+         "sum(f1) s from big where f2 > 1.0 group by g order by g")
+    for i in range(6):
+        t0 = time.perf_counter()
+        rows = conn.execute(q).rows
+        wall = time.perf_counter() - t0
+        m = METRICS.entries[0].as_dict()
+        _emit(step="sql_e2e", it=i, wall_ms=round(wall * 1e3, 2),
+              path=m["path"], phases=m.get("phases"), groups=len(rows))
+
+
+def eval_outer_join(n=1 << 20, dim=1000):
+    from ..sql import Connection
+
+    conn = Connection()
+    conn.execute(f"create table fact as select x % 1100 as k, "
+                 f"(x % 40)::float / 4.0 as v from range({n}) r(x)")
+    conn.execute(f"create table dim as select x as k, (x * 2)::float as w "
+                 f"from range({dim}) r(x)")
+    # keys 1000..1099 in fact have no dim row → real outer NULLs
+    for kind in ("left", "full"):
+        q = (f"select fact.k, v, w from fact {kind} join dim "
+             f"on fact.k = dim.k")
+        t0 = time.perf_counter()
+        out = conn.execute(q)
+        wall = time.perf_counter() - t0
+        _emit(step="outer_join_first", kind=kind, wall_ms=round(wall * 1e3, 2),
+              path=conn._exec_path, out_rows=out.table.num_rows)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            conn.execute(q)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        _emit(step="outer_join", kind=kind, wall_ms=round(best * 1e3, 2),
+              rows_per_s=round(n / best), path=conn._exec_path)
+
+
+def eval_int8(n=1 << 20, width=256):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..onnx.builder import mlp_model
+    from ..onnx.executor import compile_model_bytes
+
+    data = mlp_model(in_dim=width, hidden=(width, width), out_dim=16).serialize()
+    x = jax.block_until_ready(jax.random.normal(
+        jax.random.PRNGKey(0), (n, width), jnp.float32))
+    with tempfile.NamedTemporaryFile(suffix=".onnx") as f:
+        f.write(data)
+        f.flush()
+        results = {}
+        for prec in ("f32", "bf16", "int8"):
+            model = compile_model_bytes(data, f"m_{prec}", precision=prec)
+            if prec == "int8":
+                t0 = time.perf_counter()
+                model.calibrate_int8([np.asarray(x[:4096])])
+                _emit(step="calibrate", s=round(time.perf_counter() - t0, 2))
+            out = model.run(x)
+            np.asarray(jnp.sum(out[0]))  # compile+warm, forced readback
+            out = model.run(x)
+            np.asarray(jnp.sum(out[0]))
+            iters = 30
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = model.run(x)
+            np.asarray(jnp.sum(out[0]))
+            dt = (time.perf_counter() - t0) / iters
+            results[prec] = dt
+            _emit(step="int8_bench", precision=prec,
+                  ms_per_iter=round(dt * 1e3, 3),
+                  rows_per_s=round(n / dt))
+        _emit(step="int8_summary",
+              int8_vs_f32=round(results["f32"] / results["int8"], 3),
+              bf16_vs_f32=round(results["f32"] / results["bf16"], 3))
+
+
+CMDS = {"sql": eval_sql, "outer_join": eval_outer_join, "int8": eval_int8}
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "sql"
+    t0 = time.perf_counter()
+    CMDS[name]()
+    _emit(step=name, done=True, wall_s=round(time.perf_counter() - t0, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,14 +70,18 @@ def _setup(rows, dtype_name="bfloat16"):
 
 
 def _time_queued(jnp, fn, x, iters):
-    """Queue `iters` async dispatches, sync once via an out-of-jit scalar
-    reduction (the platform's block_until_ready trap — CLAUDE.md)."""
-    jnp.sum(fn(x)[0]).block_until_ready()  # compile + warm
-    jnp.sum(fn(x)[0]).block_until_ready()
+    """Queue `iters` async dispatches, then force a device→host readback of
+    a chained scalar (np.asarray). block_until_ready alone can return early
+    on the tunneled platform even for chained out-of-jit reductions
+    (CLAUDE.md timing trap; observed again on tiny-output kernels in the
+    round-3 "variants" run), but a host readback cannot lie — the bytes
+    must arrive. The readback RTT amortizes over `iters`."""
+    np.asarray(jnp.sum(fn(x)[0]))  # compile + warm
+    np.asarray(jnp.sum(fn(x)[0]))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(x)
-    jnp.sum(out[0]).block_until_ready()
+    np.asarray(jnp.sum(out[0]))
     return (time.perf_counter() - t0) / iters
 
 
@@ -278,6 +282,16 @@ def exp_variants(rows=1 << 20, tile_n=4096):
             )(x, *args)
         return jax.jit(fn), args
 
+    # calibration op with a known cost: [4096,4096]² bf16 matmul =
+    # 137 GFLOP ≈ 0.7 ms at the 197-TFLOPS peak. If the harness reports
+    # far below that, the timing is lying and the run is invalid.
+    a = jax.block_until_ready(jax.random.normal(
+        jax.random.PRNGKey(2), (4096, 4096), jnp.float32).astype(jnp.bfloat16))
+    mm = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32))
+    dt = _time_queued(jnp, lambda a_, f=mm: (f(a_),), a, 50)
+    _emit(exp="variants", variant="calib_matmul4096", ms_per_iter=dt * 1e3,
+          expected_ms_floor=0.7)
+
     for variant in ("scan", "mm1", "mm_all", "tail_nomax", "full"):
         try:
             fn, _ = make(variant)
@@ -289,8 +303,38 @@ def exp_variants(rows=1 << 20, tile_n=4096):
                   error=f"{type(e).__name__}: {e}"[:160])
 
 
+def exp_col(rows=1 << 20):
+    """The feature-major (columnar) kernel across lane-tile sizes, vs the
+    row-major kernel at its best tile — the round-3 layout fix."""
+    import jax
+
+    from infera_tpu.ops.pallas_query import (fused_mlp_query,
+                                             fused_mlp_query_columnar)
+
+    jax_, jnp, jparams, x = _setup(rows, "float32")
+    xc = jax.block_until_ready(x.T.astype(jnp.bfloat16))
+    x_bf = jax.block_until_ready(x.astype(jnp.bfloat16))
+    fn_row = jax.jit(functools.partial(
+        fused_mlp_query, jparams, tile_n=4096, compute_dtype=jnp.bfloat16))
+    dt = _time_queued(jnp, fn_row, x_bf, 100)
+    _emit(exp="col", variant="row_major_4096", ms_per_iter=dt * 1e3,
+          rows_per_s=rows / dt)
+    for tile in (4096, 8192, 16384, 32768):
+        try:
+            fn = jax.jit(functools.partial(
+                fused_mlp_query_columnar, jparams, tile_n=tile,
+                compute_dtype=jnp.bfloat16))
+            dt = _time_queued(jnp, fn, xc, 100)
+            _emit(exp="col", variant=f"columnar_{tile}", ms_per_iter=dt * 1e3,
+                  rows_per_s=rows / dt)
+        except Exception as e:
+            _emit(exp="col", variant=f"columnar_{tile}",
+                  error=f"{type(e).__name__}: {e}"[:160])
+
+
 EXPS = {"iters": exp_iters, "rows": exp_rows, "empty": exp_empty,
-        "tiles": exp_tiles, "chain": exp_chain, "variants": exp_variants}
+        "tiles": exp_tiles, "chain": exp_chain, "variants": exp_variants,
+        "col": exp_col}
 
 
 def main():

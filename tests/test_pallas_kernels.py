@@ -93,3 +93,28 @@ def test_vmem_budget_check(mlp_params):
     huge = [(rng.standard_normal((4096, 4096)).astype(np.float32),
              np.zeros(4096, np.float32))]
     assert not vmem_fits(huge, 1024, 4096)
+
+
+def test_fused_query_columnar_matches_rowmajor(mlp_params):
+    """The feature-major kernel (round-3 layout fix: lane-dense [d, tile]
+    blocks + lane-strided accumulators) computes identical counts and
+    matching sums to the row-major kernel and numpy reference."""
+    from infera_tpu.ops.pallas_query import fused_mlp_query_columnar
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1024, 32)), jnp.float32)
+    c_row, s_row = fused_mlp_query(mlp_params, x, tile_n=256, interpret=True)
+    c_col, s_col = fused_mlp_query_columnar(mlp_params, x.T, tile_n=256,
+                                            interpret=True)
+    h = _ref_mlp(mlp_params, x)
+    pred = h.argmax(axis=1)
+    sel = h[:, 0] > 0
+    want_c = np.zeros(16)
+    want_s = np.zeros(16)
+    np.add.at(want_c, pred[sel], 1.0)
+    np.add.at(want_s, pred[sel], h[sel, 0])
+    np.testing.assert_allclose(np.asarray(c_col), want_c, atol=0)
+    np.testing.assert_allclose(np.asarray(c_row), np.asarray(c_col), atol=0)
+    np.testing.assert_allclose(np.asarray(s_col), want_s, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_row), np.asarray(s_col),
+                               rtol=1e-4, atol=1e-4)
