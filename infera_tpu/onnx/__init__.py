@@ -2,7 +2,8 @@
 XLA graph executor (replaces the reference's tract pipeline,
 /root/reference/infera/src/engine.rs)."""
 
-from . import builder, control_flow, ml_ops, ops, ops_extra, proto, rnn_ops  # noqa: F401
+from . import (builder, control_flow, ml_ops, ops, ops_extra,  # noqa: F401
+               proto, rnn_ops, sequence_ops)
 from .executor import (  # noqa: F401
     CompiledOnnxModel,
     compile_model_bytes,

@@ -180,7 +180,14 @@ class CompiledOnnxModel:
         for v in self.graph.outputs:
             if v.name not in values:
                 raise OnnxError(f"model '{self.name}' missing output '{v.name}'")
-            outs.append(jnp.asarray(values[v.name]))
+            val = values[v.name]
+            if isinstance(val, tuple):
+                # sequence values are trace-time containers; a sequence
+                # GRAPH OUTPUT has no tensor shape to marshal
+                raise OnnxError(
+                    f"model '{self.name}' output '{v.name}' is a sequence; "
+                    f"concat it (ConcatFromSequence) to a tensor output")
+            outs.append(jnp.asarray(val))
         return outs
 
     def _infer_output_shape(self) -> list[int]:
