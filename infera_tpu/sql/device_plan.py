@@ -36,7 +36,7 @@ MIN_DEVICE_ROWS = 1 << 14
 
 _AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max",
               "stddev", "stddev_samp", "stddev_pop",
-              "var_samp", "var_pop", "variance"}
+              "var_samp", "var_pop", "variance", "median"}
 _SCALAR_FNS = {"abs", "sqrt", "floor", "ceil", "round", "exp", "log"}
 
 # variance family: (ddof, apply_sqrt) — decomposes into (sum, sum-of-squares)
@@ -355,6 +355,11 @@ def _finalize_agg(pname, payload, res, group_count):
             bad, 1.0, c - ddof)
         var = np.maximum(var, 0.0)
         return (np.sqrt(var) if sq else var), T.DOUBLE, bad
+    if pname == "median":
+        lo, hi = res
+        c = np.asarray(group_count, np.float64)
+        vals = (np.asarray(lo, np.float64) + np.asarray(hi, np.float64)) / 2.0
+        return vals, T.DOUBLE, c == 0
     if pname == "dcount":
         dcount, bad = res
         if bool(np.asarray(bad)):
@@ -610,6 +615,14 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             if name not in ("min", "max"):
                 return None  # DISTINCT var/stddev stays on the host path
             # min/max are distinct-insensitive — plan as plain min/max
+        if name == "median":
+            # sort-based per-group median (single-device path; the mesh
+            # decomposition rejects it — medians don't commute with the
+            # exchange — so meshed connections fall to this path's
+            # single-device program via the mesh-None fallback)
+            if not _f32_safe(arg):
+                return None
+            return ("median", lowerer.lower(arg))
         if name in _VAR_FAMILY:
             if not _f32_safe(arg):
                 return None
@@ -866,6 +879,22 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 s = jax.ops.segment_sum(v * w, keys, num_segments=n_groups)
                 s2 = jax.ops.segment_sum(v * v * w, keys, num_segments=n_groups)
                 outs.append(("v", (s, s2)))
+                continue
+            if name == "median":
+                # ONE device sort of (group, value), then per-group middle
+                # gathers; DuckDB-style even-count averaging happens in the
+                # finalize ((lo+hi)/2 — for odd counts lo == hi)
+                vals = jnp.asarray(fn(cols), jnp.float32)
+                sort_keys = jnp.where(mask_b, keys, jnp.int32(n_groups))
+                order = jnp.lexsort((vals, sort_keys))
+                svals = vals[order]
+                cnt_i = jax.ops.segment_sum(mask_b.astype(jnp.int32), keys,
+                                            num_segments=n_groups)
+                start = jnp.cumsum(cnt_i) - cnt_i
+                lo_idx = start + jnp.maximum((cnt_i - 1) // 2, 0)
+                hi_idx = start + jnp.maximum(cnt_i // 2, 0)
+                outs.append(("v", (svals[jnp.clip(lo_idx, 0, n - 1)],
+                                   svals[jnp.clip(hi_idx, 0, n - 1)])))
                 continue
             if name in ("dcount", "dsum", "davg"):
                 vals = jnp.asarray(fn(cols), jnp.float32)

@@ -69,10 +69,12 @@ def test_fused_min_max(conn_big):
     assert rows[0][1] == pytest.approx(float(f3[mask].max()))
 
 
-def test_integer_sum_falls_back_to_exact_host(conn_big):
+def test_integer_sum_exact(conn_big):
     conn, n = conn_big
-    # integer sums must be exact → host path (f32 would lose precision)
+    # integer sums must be exact — since round 3 they fuse on device via
+    # limb sums (sql/int_agg.py) instead of falling back to the host
     rows = conn.execute("select sum(g) from big").rows
+    assert conn._exec_path == "device_plan"
     g, *_ = _host_frame(n)
     assert rows[0][0] == int(g.sum())
 
@@ -448,3 +450,38 @@ def test_fused_min_max_distinct_insensitive(conn_big):
     g, f1, f2, f3 = _host_frame(n)
     assert rows[0][0] == pytest.approx(float(f1.min()))
     assert rows[0][1] == pytest.approx(float(f2.max()))
+
+
+def test_fused_median_single_device(conn_big):
+    """Sort-based per-group median on the fused device path (round-3):
+    float and small-int columns, odd and even group sizes, with a filter."""
+    conn, n = conn_big
+    rows = conn.execute(
+        "select g, median(f1), median(g) from big where f2 > 1.0 "
+        "group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    g, f1, f2, f3 = _host_frame(n)
+    sel = f2 > 1.0
+    assert len(rows) == 7
+    for key, mf, mg in rows:
+        m = sel & (g == key)
+        assert mf == pytest.approx(float(np.median(f1[m].astype(np.float64))))
+        assert mg == float(key)
+
+
+def test_fused_median_matches_host(conn_big):
+    conn, n = conn_big
+    conn.execute(f"create table mt as select x % 3 as g, "
+                 f"((x * 31) % 1000)::float / 8.0 as v from range({n}) r(x)")
+    dev = conn.execute(
+        "select g, median(v) from mt group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    conn.execute("create table mt_small as select * from mt limit 999")
+    host = conn.execute(
+        "select g, median(v) from mt_small group by g order by g").rows
+    assert conn._exec_path == "host"
+    x = np.arange(n)
+    v = ((x * 31) % 1000).astype(np.float64) / 8.0
+    for key, mv in dev:
+        assert mv == pytest.approx(float(np.median(v[x % 3 == key])))
+    assert len(host) == 3
