@@ -107,7 +107,7 @@ def bench_tpu(params, rows, iters=200, use_pallas=True):
         # [d, N] is the engine's native table layout (stacked columns).
         xc_bf16 = jax.block_until_ready(x.T.astype(jnp.bfloat16))
         impls.append(("pallas_col_bf16_io", jax.jit(
-            lambda x: fused_mlp_query_columnar(jparams, x, tile_n=8192,
+            lambda x: fused_mlp_query_columnar(jparams, x, tile_n=16384,
                                                compute_dtype=jnp.bfloat16)),
             xc_bf16))
         x_bf16 = jax.block_until_ready(x.astype(jnp.bfloat16))
