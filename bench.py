@@ -235,6 +235,9 @@ def _run_tpu_subprocess(rows: int, timeout_s: int):
     except subprocess.TimeoutExpired as e:
         print(f"TPU attempt at {rows} rows timed out after {timeout_s}s",
               file=sys.stderr)
+        err = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+        if err:  # show where the child was stuck (compile queue diagnosis)
+            sys.stderr.write(err[-2000:])
         # salvage any result the child printed before the timeout (the XLA
         # number lands before the slower Pallas attempt)
         partial = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
@@ -256,6 +259,11 @@ def main():
 
     result = _run_tpu_subprocess(rows, timeout_s=int(
         os.environ.get("INFERA_BENCH_TIMEOUT", "540")))
+    if result is None:
+        # the remote compile queue's latency is bursty (1.7s–10min for the
+        # same program, CLAUDE.md) — one retry routinely succeeds
+        result = _run_tpu_subprocess(rows, timeout_s=int(
+            os.environ.get("INFERA_BENCH_TIMEOUT", "540")))
     if result is None and rows > (1 << 17):
         result = _run_tpu_subprocess(1 << 17, timeout_s=240)
 

@@ -36,7 +36,7 @@ MIN_DEVICE_ROWS = 1 << 14
 
 _AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max",
               "stddev", "stddev_samp", "stddev_pop",
-              "var_samp", "var_pop", "variance", "median"}
+              "var_samp", "var_pop", "variance", "median", "mode"}
 _SCALAR_FNS = {"abs", "sqrt", "floor", "ceil", "round", "exp", "log"}
 
 # variance family: (ddof, apply_sqrt) — decomposes into (sum, sum-of-squares)
@@ -360,6 +360,13 @@ def _finalize_agg(pname, payload, res, group_count):
         c = np.asarray(group_count, np.float64)
         vals = (np.asarray(lo, np.float64) + np.asarray(hi, np.float64)) / 2.0
         return vals, T.DOUBLE, c == 0
+    if pname == "mode":
+        mode_v, mcount, bad = res
+        if bool(np.asarray(bad)):
+            return None  # fractional / out-of-domain values → host
+        c = np.asarray(mcount, np.float64)
+        return (np.rint(np.asarray(mode_v, np.float64)).astype(np.int64),
+                T.BIGINT, c == 0)
     if pname == "dcount":
         dcount, bad = res
         if bool(np.asarray(bad)):
@@ -615,6 +622,13 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             if name not in ("min", "max"):
                 return None  # DISTINCT var/stddev stays on the host path
             # min/max are distinct-insensitive — plan as plain min/max
+        if name == "mode":
+            # counts-matrix mode over a probed small-int domain (tie-break =
+            # earliest first occurrence, host-catalog semantics); domain
+            # probed below with the DISTINCT machinery
+            if node.distinct:
+                return None
+            return ("mode", lowerer.lower(arg))
         if name == "median":
             # sort-based per-group median (single-device path; the mesh
             # decomposition rejects it — medians don't commute with the
@@ -759,7 +773,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
 
     dist_domains: dict = {}
     for ai, (pname, fn) in enumerate(agg_plans):
-        if pname not in ("dcount", "dsum", "davg"):
+        if pname not in ("dcount", "dsum", "davg", "mode"):
             continue
         try:
             vmax = _probe_max((f"dist{ai}", repr(sel)), fn)
@@ -770,7 +784,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             v_dom <<= 1
         if pname in ("dsum", "davg") and v_dom > MAX_DISTINCT_SUM_DOMAIN:
             return None  # limb-matmul exactness bound — host path
-        if n_groups * v_dom > MAX_PRESENCE_ELEMS:
+        mats = 2 if pname == "mode" else 1  # mode carries counts + first
+        if n_groups * v_dom * mats > MAX_PRESENCE_ELEMS:
             return None
         dist_domains[ai] = v_dom
 
@@ -895,6 +910,16 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 hi_idx = start + jnp.maximum(cnt_i // 2, 0)
                 outs.append(("v", (svals[jnp.clip(lo_idx, 0, n - 1)],
                                    svals[jnp.clip(hi_idx, 0, n - 1)])))
+                continue
+            if name == "mode":
+                from .int_agg import device_mode
+
+                vals = jnp.asarray(fn(cols), jnp.float32)
+                row_idx = jnp.arange(n, dtype=jnp.float32)
+                mode_v, mcount, bad = device_mode(
+                    jnp, jax, vals, mask_b, keys, n_groups,
+                    dist_domains[ai], row_idx)
+                outs.append(("v", (mode_v, mcount, bad)))
                 continue
             if name in ("dcount", "dsum", "davg"):
                 vals = jnp.asarray(fn(cols), jnp.float32)

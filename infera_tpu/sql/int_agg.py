@@ -129,6 +129,52 @@ def device_presence(jnp, vals_f32, mask, keys, n_groups, v_domain):
     return flat.reshape(n_groups, v_domain), invalid
 
 
+def device_mode(jnp, jax, vals_f32, mask, keys, n_groups, v_domain,
+                row_idx_f32):
+    """Per-group MODE over a small integer domain: scatter-add a [G, V]
+    count matrix plus a first-occurrence-index matrix (scatter-min), then
+    select max count with earliest-first-seen tie-break — the host
+    catalog's exact semantics (ops/aggregate.py _agg_mode).
+
+    Returns (mode_value [G] f32, max_count [G] f32, invalid_flag). The two
+    matrices commute with the mesh exchange (sum- and min-merge)."""
+    counts, first, invalid = mode_matrices(
+        jnp, vals_f32, mask, keys, n_groups, v_domain, row_idx_f32)
+    mode_v, mcount = mode_select(jnp, counts, first, v_domain)
+    return mode_v, mcount, invalid
+
+
+def mode_matrices(jnp, vals_f32, mask, keys, n_groups, v_domain, row_idx_f32):
+    """([G,V] counts, [G,V] first-occurrence row index, invalid flag)."""
+    import numpy as _np
+
+    vi = vals_f32.astype(jnp.int32)
+    in_range = (vi >= 0) & (vi < v_domain) & (
+        vi.astype(jnp.float32) == vals_f32)
+    invalid = jnp.any(mask & ~in_range)
+    ok = mask & in_range
+    idx = keys * _np.int32(v_domain) + jnp.clip(vi, 0, v_domain - 1)
+    flat_c = jnp.zeros(n_groups * v_domain, jnp.float32)
+    flat_c = flat_c.at[idx].add(ok.astype(jnp.float32))
+    flat_f = jnp.full(n_groups * v_domain, _np.float32(_np.inf))
+    flat_f = flat_f.at[idx].min(jnp.where(ok, row_idx_f32, _np.inf))
+    return (flat_c.reshape(n_groups, v_domain),
+            flat_f.reshape(n_groups, v_domain), invalid)
+
+
+def mode_select(jnp, counts, first, v_domain):
+    """(mode value [G], max count [G]) from the two matrices."""
+    import numpy as _np
+
+    mcount = jnp.max(counts, axis=1)
+    cand = counts == mcount[:, None]
+    fmin = jnp.min(jnp.where(cand, first, _np.inf), axis=1)
+    at = cand & (first == fmin[:, None])
+    iota = jnp.arange(v_domain, dtype=jnp.float32)[None, :]
+    mode_v = jnp.min(jnp.where(at, iota, _np.float32(v_domain)), axis=1)
+    return mode_v, mcount
+
+
 def presence_reduce(jnp, presence, v_domain):
     """(dcount [G], dsum_lo [G], dsum_hi [G]) from a presence matrix; host
     folds dsum = lo + (hi << 7) exactly."""

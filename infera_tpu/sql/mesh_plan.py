@@ -173,6 +173,11 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                 return None
             partial_slots.append(("pres", (fn, int(dist_domains[ai]))))
             finalize.append((name, len(partial_slots) - 1))
+        elif name == "mode":
+            if not dist_domains or ai not in dist_domains:
+                return None
+            partial_slots.append(("modemat", (fn, int(dist_domains[ai]))))
+            finalize.append(("mode", len(partial_slots) - 1))
         else:
             return None
 
@@ -239,6 +244,20 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                 v = jnp.asarray(vfn(cols), jnp.float32) - shift
                 arrs = [jax.ops.segment_sum(v * w, keys, num_segments=G),
                         jax.ops.segment_sum(v * v * w, keys, num_segments=G)]
+            elif kind == "modemat":
+                from .int_agg import mode_matrices
+
+                vfn, v_dom = payload
+                # global row index (f32-exact: n < 2^24) so the earliest-
+                # first-seen tie-break matches the host's row order
+                row_idx = (jax.lax.axis_index("dp") * np.int32(local_n)
+                           + jnp.arange(local_n, dtype=jnp.int32)
+                           ).astype(jnp.float32)
+                mc, mf, badf = mode_matrices(
+                    jnp, jnp.asarray(vfn(cols), jnp.float32), mask, keys,
+                    G, v_dom, row_idx)
+                slot_flags[si] = badf
+                arrs = [mc, mf]
             else:  # pres
                 vfn, v_dom = payload
                 pres, badf = device_presence(
@@ -338,6 +357,14 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                         jnp.where(at, r_lo, INT32_MIN), mkeys,
                         num_segments=GS)
                 merged[si] = (m_hi_full[:G], m_lo_full[:G])
+            elif kind == "modemat":
+                live2 = live[:, None]
+                m_c = jax.ops.segment_sum(
+                    jnp.where(live2, rs[0], 0.0), mkeys, num_segments=GS)[:G]
+                m_f = jax.ops.segment_min(
+                    jnp.where(live2, rs[1], jnp.inf), mkeys,
+                    num_segments=GS)[:G]
+                merged[si] = (m_c, m_f)
             else:  # pres: 0/1 matrix, max-merge (dead buckets contribute 0;
                 #        empty segments yield segment_max's -inf identity —
                 #        clamp so dead groups read 0, not -inf)
@@ -376,6 +403,15 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                 outs.append(_g(merged[ref][0]))
             elif out_kind in ("isum", "iavg", "imin", "imax", "var"):
                 outs.append(tuple(_g(a) for a in merged[ref]))
+            elif out_kind == "mode":
+                from .int_agg import mode_select
+
+                v_dom = partial_slots[ref][1][1]
+                mode_v, mcount = mode_select(jnp, merged[ref][0],
+                                             merged[ref][1], v_dom)
+                bad = jax.lax.psum(
+                    slot_flags[ref].astype(jnp.float32), "dp") > 0
+                outs.append((_g(mode_v), _g(mcount), bad))
             else:  # dcount / dsum / davg
                 v_dom = partial_slots[ref][1][1]
                 dc, dlo, dhi = presence_reduce(jnp, merged[ref][0], v_dom)

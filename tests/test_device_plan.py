@@ -485,3 +485,25 @@ def test_fused_median_matches_host(conn_big):
     for key, mv in dev:
         assert mv == pytest.approx(float(np.median(v[x % 3 == key])))
     assert len(host) == 3
+
+
+def test_fused_mode_single_device(conn_big):
+    """Counts-matrix MODE with host tie-break semantics (max count, then
+    earliest first occurrence)."""
+    conn, n = conn_big
+    conn.execute(f"create table mo as select x % 4 as g, "
+                 f"case when x % 10 < 4 then 7 when x % 10 < 8 then 3 "
+                 f"else x % 23 end as v from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, mode(v) from mo group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    x = np.arange(n)
+    g = x % 4
+    v = np.where(x % 10 < 4, 7, np.where(x % 10 < 8, 3, x % 23))
+    from collections import Counter
+    for key, mv in rows:
+        vals = v[g == key]
+        cnt = Counter(vals.tolist())
+        best = max(cnt.items(),
+                   key=lambda kv: (kv[1], -int(np.flatnonzero(vals == kv[0])[0])))[0]
+        assert mv == best

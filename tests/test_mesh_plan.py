@@ -327,3 +327,25 @@ def test_mesh_high_cardinality_groups(conn_mesh):
     for kg, c, s in rows[:50] + rows[-50:]:
         assert c == counts[kg]
         assert s == pytest.approx(sums[kg], rel=1e-5)
+
+
+def test_mesh_mode(conn_mesh):
+    """MODE decomposes for the mesh: count matrices sum-merge, first-seen
+    indices (GLOBAL row order) min-merge through the exchange."""
+    conn, n = conn_mesh
+    conn.execute(f"create table mo as select x % 5 as g, "
+                 f"case when x % 7 < 3 then 11 else x % 13 end as v "
+                 f"from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, mode(v), count(*) from mo group by g order by g").rows
+    assert conn._exec_path == "device_plan_mesh"
+    x = np.arange(n)
+    g = x % 5
+    v = np.where(x % 7 < 3, 11, x % 13)
+    from collections import Counter
+    for key, mv, c in rows:
+        vals = v[g == key]
+        cnt = Counter(vals.tolist())
+        best = max(cnt.items(),
+                   key=lambda kv: (kv[1], -int(np.flatnonzero(vals == kv[0])[0])))[0]
+        assert mv == best and c == len(vals)
