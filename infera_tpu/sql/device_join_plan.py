@@ -361,12 +361,14 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
                 continue
             vals = jnp.asarray(fn(cols), jnp.float32)
-            if name == "sum":
-                outs.append(("v", jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)))
-            elif name in ("avg", "mean"):
-                s = jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)
+            if name in ("sum", "avg", "mean"):
+                # compensated (sum, comp) pair + f64 host fold, matching
+                # device_plan.py (DuckDB-host DOUBLE accumulator parity)
+                from .mesh_plan import _compensated_segment_sum
+
                 c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
-                outs.append(("v", s / jnp.where(c == 0, 1.0, c)))
+                outs.append(("v", _compensated_segment_sum(
+                    jax, jnp, vals, w, keys, n_groups, c)))
             elif name == "min":
                 outs.append(("v", jax.ops.segment_min(
                     jnp.where(mask, vals, jnp.inf), keys, num_segments=n_groups)))
@@ -405,7 +407,9 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         # ONE batched device→host transfer (see device_plan.py note)
         results, group_count, key_mins, key_maxs, frac_flags = jax.device_get(
             compiled(device_cols))
-        results = [np.asarray(r) for r in results]
+        # keep tuple structure (compensated sum pairs) for _finalize_agg
+        results = [r if isinstance(r, tuple) else np.asarray(r)
+                   for r in results]
         group_count = np.asarray(group_count)
     except Exception:
         return None  # any trace/compile issue → host path

@@ -383,6 +383,23 @@ def _finalize_agg(pname, payload, res, group_count):
         c = np.asarray(dcount, np.float64)
         return (total.astype(np.float64) / np.where(c == 0, 1.0, c),
                 T.DOUBLE, c == 0)
+    if pname in ("sum", "avg", "mean") and isinstance(res, tuple):
+        # compensated (sum, comp) f32 pair(s), folded here in f64 (exact).
+        # Single-device: a [G] pair. Mesh: per-source [ndev, G] pair tables
+        # aligned so group g sits in column g of every slice — fold them
+        # all, then tile back onto the [ndev*G] group-slot layout (each
+        # bucket column holds at most one accepted group; collisions
+        # already fell back via the key guard).
+        s64 = np.asarray(res[0], np.float64) + np.asarray(res[1], np.float64)
+        if s64.ndim == 2:
+            pair_sum = s64.sum(axis=0)
+            v = np.tile(pair_sum, len(group_count) // pair_sum.shape[0])
+        else:
+            v = s64
+        if pname == "sum":
+            return v, T.DOUBLE, None
+        c = np.asarray(group_count, np.float64)
+        return v / np.where(c == 0, 1.0, c), T.DOUBLE, None
     # plain f32 aggregates (sum/avg/min/max)
     return np.asarray(res).astype(np.float64), T.DOUBLE, None
 
@@ -934,12 +951,16 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name == "count":
                 outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
-            elif name in ("sum",):
-                outs.append(("v", jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)))
-            elif name in ("avg", "mean"):
-                s = jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)
+            elif name in ("sum", "avg", "mean"):
+                # compensated (sum, comp) pair + f64 host fold — matches the
+                # reference host's DOUBLE accumulators (DuckDB sums FLOAT in
+                # double) instead of drifting with plain f32 segment sums
+                from .mesh_plan import _compensated_segment_sum
+
                 c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
-                outs.append(("v", s / jnp.where(c == 0, 1.0, c)))
+                s_pair = _compensated_segment_sum(
+                    jax, jnp, vals, w, keys, n_groups, c)
+                outs.append(("v", s_pair))
             elif name == "min":
                 masked = jnp.where(w > 0, vals, jnp.inf)
                 outs.append(("v", jax.ops.segment_min(masked, keys, num_segments=n_groups)))
