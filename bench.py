@@ -287,6 +287,13 @@ def main():
         for k in ("impl", "mfu", "hbm_frac"):
             if k in result:
                 out[k] = result[k]
+        if cpu_rows_s:
+            # record the baseline itself: the shared 2-core box makes the
+            # torch number swing run-to-run even with threads pinned, so
+            # vs_baseline is only interpretable alongside these fields
+            out["baseline_rows_per_s"] = round(cpu_rows_s, 1)
+            out["baseline_torch_threads"] = int(
+                os.environ.get("INFERA_BENCH_TORCH_THREADS", "2"))
         print(json.dumps(out))
         return
     # Last resort: the compile queue never returned. Report the same query

@@ -3,7 +3,7 @@ XLA graph executor (replaces the reference's tract pipeline,
 /root/reference/infera/src/engine.rs)."""
 
 from . import (builder, control_flow, ml_ops, ops, ops_extra,  # noqa: F401
-               proto, rnn_ops, sequence_ops)
+               proto, rnn_ops, sequence_ops, signal_vision_ops)
 from .executor import (  # noqa: F401
     CompiledOnnxModel,
     compile_model_bytes,

@@ -9,8 +9,10 @@ process; each prints JSON lines):
                asserted via EXPLAIN ANALYZE, steady-state timing.
   int8       — 256-wide MLP @1M rows through the engine path: f32 vs bf16
                vs int8 (static-calibrated), steady-state.
+  mobilenet  — MobileNetV3-Small stand-in blob-path latency at the
+               reference's pinned 602,112-byte input.
 
-Usage: python -m infera_tpu.testing.e2e_eval <sql|outer_join|int8>
+Usage: python -m infera_tpu.testing.e2e_eval <sql|outer_join|int8|mobilenet>
 """
 
 from __future__ import annotations
@@ -132,7 +134,44 @@ def eval_int8(n=1 << 20, width=256):
               bf16_vs_f32=round(results["f32"] / results["bf16"], 3))
 
 
-CMDS = {"sql": eval_sql, "outer_join": eval_outer_join, "int8": eval_int8}
+def eval_mobilenet(iters=20):
+    """Single-chip latency of the MobileNetV3-Small stand-in through the
+    BLOB path at the reference's pinned input (1x224x224x3 f32 = 602,112
+    bytes, /root/reference/test/sql/test_advanced_features.test:55-58) —
+    the VERDICT round-2 item-10 'latency recorded' tail."""
+    import infera_tpu as it
+    from ..onnx.builder import mobilenet_like_model
+    from ..registry import MODELS
+
+    data = mobilenet_like_model().serialize()
+    _emit(step="model_bytes", n=len(data))
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(data)
+        path = f.name
+    t0 = time.perf_counter()
+    it.load_model("mnet", path)
+    _emit(step="load", s=round(time.perf_counter() - t0, 2))
+    blob = np.zeros(1 * 224 * 224 * 3, np.float32).tobytes()
+    t0 = time.perf_counter()
+    out = it.predict_from_blob("mnet", blob)
+    _emit(step="first_call_compile", s=round(time.perf_counter() - t0, 2),
+          n_out=int(out.data.size))
+    for _ in range(3):
+        it.predict_from_blob("mnet", blob)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = it.predict_from_blob("mnet", blob)
+    dt = (time.perf_counter() - t0) / iters
+    _emit(step="mobilenet_blob_latency", ms_per_call=round(dt * 1e3, 2),
+          note="includes blob decode + host readback per call (the "
+               "reference's per-row FFI path shape)")
+    MODELS.clear()
+
+
+CMDS = {"sql": eval_sql, "outer_join": eval_outer_join, "int8": eval_int8,
+        "mobilenet": eval_mobilenet}
 
 
 def main():
