@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import OnnxError
-from .ops import register
+from .ops import _HIGHEST, register
 
 # ---------------------------------------------------------------------------
 # DFT family
@@ -333,3 +333,70 @@ def _roi_align(node, inputs, ctx):
         out = jnp.max(v, axis=(3, 4))
         out = jnp.where(jnp.isfinite(out), out, 0.0)
     return [jnp.transpose(out, (0, 3, 1, 2))]
+
+
+@register("DeformConv")
+def _deform_conv(node, inputs, ctx):
+    """Deformable convolution v2 (opset 19). The sampling OFFSETS are
+    runtime tensors but every shape is static, so each kernel tap lowers
+    to four gathers with bilinear weights (zero padding outside), and the
+    tap-weighted contraction is a single einsum the MXU executes as a
+    matmul — the data-dependence lives in gather indices, never in
+    shapes."""
+    x = jnp.asarray(inputs[0], jnp.float32)
+    w = jnp.asarray(inputs[1], jnp.float32)
+    offset = jnp.asarray(inputs[2], jnp.float32)
+    b = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
+    mask = (jnp.asarray(inputs[4], jnp.float32)
+            if len(inputs) > 4 and inputs[4] is not None else None)
+    if x.ndim != 4:
+        raise OnnxError("DeformConv: only 2-D (NCHW) input is supported")
+    N, C, H, W = x.shape
+    oC, wc, kH, kW = w.shape
+    group = int(node.attr("group", 1))
+    og = int(node.attr("offset_group", 1))
+    strides = [int(v) for v in node.attr("strides", [1, 1])]
+    dil = [int(v) for v in node.attr("dilations", [1, 1])]
+    pads = [int(v) for v in node.attr("pads", [0, 0, 0, 0])]
+    oH, oW = offset.shape[2], offset.shape[3]
+    # base sampling grid per tap: [kH, kW, oH, oW]
+    oy = jnp.arange(oH, dtype=jnp.float32) * strides[0] - pads[0]
+    ox = jnp.arange(oW, dtype=jnp.float32) * strides[1] - pads[1]
+    ky = jnp.arange(kH, dtype=jnp.float32) * dil[0]
+    kx = jnp.arange(kW, dtype=jnp.float32) * dil[1]
+    base_y = ky[:, None, None, None] + oy[None, None, :, None]
+    base_x = kx[None, :, None, None] + ox[None, None, None, :]
+    off = offset.reshape(N, og, kH, kW, 2, oH, oW)
+    ys = base_y[None, None] + off[:, :, :, :, 0]   # [N, og, kH, kW, oH, oW]
+    xs = base_x[None, None] + off[:, :, :, :, 1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = ys - y0
+    lx = xs - x0
+    xp = jnp.transpose(x, (0, 2, 3, 1)).reshape(N, H, W, og, C // og)
+    b_idx = jnp.arange(N, dtype=jnp.int32)[:, None, None, None, None, None]
+    g_idx = jnp.arange(og, dtype=jnp.int32)[None, :, None, None, None, None]
+    sampled = 0.0
+    for dy, wy in ((0, 1.0 - ly), (1, ly)):
+        for dx, wx in ((0, 1.0 - lx), (1, lx)):
+            yi = y0.astype(jnp.int32) + dy
+            xi = x0.astype(jnp.int32) + dx
+            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            v = xp[b_idx, jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1),
+                   g_idx]                      # [N,og,kH,kW,oH,oW,C//og]
+            wgt = jnp.where(inb, wy * wx, 0.0)
+            sampled = sampled + v * wgt[..., None]
+    if mask is not None:
+        sampled = sampled * mask.reshape(
+            N, og, kH, kW, oH, oW)[..., None]
+    # [N, og, kH, kW, oH, oW, C//og] -> [N, C, kH, kW, oH, oW]
+    sampled = jnp.moveaxis(sampled, -1, 2).reshape(N, og * (C // og),
+                                                   kH, kW, oH, oW)
+    # grouped contraction: each output channel sees C/group input channels
+    sg = sampled.reshape(N, group, C // group, kH, kW, oH, oW)
+    wg = w.reshape(group, oC // group, wc, kH, kW)
+    out = jnp.einsum("ngcijhw,gocij->ngohw", sg, wg,
+                     precision=_HIGHEST).reshape(N, oC, oH, oW)
+    if b is not None:
+        out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
+    return [out]

@@ -221,3 +221,87 @@ def test_roi_align_adaptive_needs_static_rois():
         get_impl("", "RoiAlign")(
             node, [jnp.asarray(x), jnp.asarray(rois), jnp.asarray(bidx)],
             _Ctx({}))
+
+
+# ---------------------------------------------------------------------------
+# DeformConv
+# ---------------------------------------------------------------------------
+
+
+def test_deform_conv_zero_offsets_equals_conv():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(8)
+    n, c, h, wd, oc, k = 2, 4, 8, 9, 6, 3
+    x = rng.standard_normal((n, c, h, wd)).astype(np.float32)
+    w = rng.standard_normal((oc, c, k, k)).astype(np.float32)
+    b = rng.standard_normal(oc).astype(np.float32)
+    oh, ow = h - k + 1, wd - k + 1
+    offset = np.zeros((n, 2 * k * k, oh, ow), np.float32)
+    got = _run("DeformConv", [x, w, offset, b], kernel_shape=[k, k])
+    want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                    torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _deform_conv_ref(x, w, offset, b, mask, stride, pad, dil, group, og):
+    N, C, H, W = x.shape
+    oC, _, kH, kW = w.shape
+    oH, oW = offset.shape[2], offset.shape[3]
+    out = np.zeros((N, oC, oH, oW), np.float64)
+    cpg = C // group      # input channels per weight group
+    cpo = C // og         # input channels per offset group
+    off = offset.reshape(N, og, kH, kW, 2, oH, oW)
+    for n in range(N):
+        for o in range(oC):
+            g = o // (oC // group)
+            for oy in range(oH):
+                for ox in range(oW):
+                    acc = 0.0
+                    for ci in range(cpg):
+                        c = g * cpg + ci
+                        eg = c // cpo
+                        for i in range(kH):
+                            for j in range(kW):
+                                y = (oy * stride - pad + i * dil
+                                     + off[n, eg, i, j, 0, oy, ox])
+                                xx = (ox * stride - pad + j * dil
+                                      + off[n, eg, i, j, 1, oy, ox])
+                                y0, x0 = int(np.floor(y)), int(np.floor(xx))
+                                ly, lx = y - y0, xx - x0
+                                v = 0.0
+                                for dy, wy in ((0, 1 - ly), (1, ly)):
+                                    for dx, wx in ((0, 1 - lx), (1, lx)):
+                                        yy, xc = y0 + dy, x0 + dx
+                                        if 0 <= yy < H and 0 <= xc < W:
+                                            v += x[n, c, yy, xc] * wy * wx
+                                if mask is not None:
+                                    v *= mask.reshape(
+                                        N, og, kH, kW, oH, oW)[n, eg, i, j,
+                                                               oy, ox]
+                                acc += v * w[o, ci, i, j]
+                    out[n, o, oy, ox] = acc + (b[o] if b is not None else 0)
+    return out
+
+
+@pytest.mark.parametrize("group,og,with_mask", [(1, 1, False), (2, 2, True)])
+def test_deform_conv_random_offsets_vs_reference(group, og, with_mask):
+    rng = np.random.default_rng(9)
+    n, c, h, wd, oc, k = 1, 4, 6, 7, 4, 3
+    stride, pad, dil = 2, 1, 1
+    oh = (h + 2 * pad - k) // stride + 1
+    ow = (wd + 2 * pad - k) // stride + 1
+    x = rng.standard_normal((n, c, h, wd)).astype(np.float32)
+    w = rng.standard_normal((oc, c // group, k, k)).astype(np.float32)
+    offset = rng.uniform(-1.5, 1.5,
+                         (n, og * 2 * k * k, oh, ow)).astype(np.float32)
+    mask = (rng.uniform(0.2, 1.0, (n, og * k * k, oh, ow)).astype(np.float32)
+            if with_mask else None)
+    inputs = [x, w, offset, None, mask] if with_mask else [x, w, offset]
+    got = _run("DeformConv", inputs, kernel_shape=[k, k],
+               strides=[stride, stride], pads=[pad, pad, pad, pad],
+               dilations=[dil, dil], group=group, offset_group=og)
+    want = _deform_conv_ref(x, w, offset, None, mask, stride, pad, dil,
+                            group, og)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
