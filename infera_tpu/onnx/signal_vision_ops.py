@@ -400,3 +400,93 @@ def _deform_conv(node, inputs, ctx):
     if b is not None:
         out = out + jnp.asarray(b, jnp.float32)[None, :, None, None]
     return [out]
+
+
+# ---------------------------------------------------------------------------
+# Random family — deterministic under jax.random
+# ---------------------------------------------------------------------------
+#
+# ONNX defines these as "arbitrary unless the seed attribute is set". XLA
+# has no ambient RNG, so the lowering derives a jax.random key from the
+# seed attr (or a fixed default when unseeded — a valid "arbitrary" that
+# keeps whole-graph tracing pure and reproducible, which the SQL layer's
+# volatility contract requires anyway).
+
+
+def _rng_key(node):
+    import jax
+
+    seed = node.attr("seed")
+    s = np.float64(seed) if seed is not None else np.float64(0.0)
+    bits = np.uint64(s.view(np.uint64))
+    # fold the full 64 seed bits (the low word of small-float bit patterns
+    # is all zeros — masking alone would alias 3.0 and 4.0)
+    folded = int(bits >> np.uint64(32)) ^ int(bits & np.uint64(0xFFFFFFFF))
+    return jax.random.PRNGKey(folded & 0x7FFFFFFF)
+
+
+def _rand_shape(node, inputs, ctx, like):
+    if like:
+        return jnp.asarray(inputs[0]).shape
+    return tuple(int(v) for v in node.attr("shape"))
+
+
+def _rand_dtype(node, default=1):
+    return {1: jnp.float32, 11: jnp.float64,
+            10: jnp.bfloat16}.get(int(node.attr("dtype", default)),
+                                  jnp.float32)
+
+
+def _random_normal(like):
+    def impl(node, inputs, ctx):
+        import jax
+
+        shape = _rand_shape(node, inputs, ctx, like)
+        mean = float(node.attr("mean", 0.0))
+        scale = float(node.attr("scale", 1.0))
+        v = jax.random.normal(_rng_key(node), shape) * scale + mean
+        return [v.astype(_rand_dtype(node))]
+
+    return impl
+
+
+def _random_uniform(like):
+    def impl(node, inputs, ctx):
+        import jax
+
+        shape = _rand_shape(node, inputs, ctx, like)
+        low = float(node.attr("low", 0.0))
+        high = float(node.attr("high", 1.0))
+        v = jax.random.uniform(_rng_key(node), shape, minval=low, maxval=high)
+        return [v.astype(_rand_dtype(node))]
+
+    return impl
+
+
+register("RandomNormal")(_random_normal(False))
+register("RandomNormalLike")(_random_normal(True))
+register("RandomUniform")(_random_uniform(False))
+register("RandomUniformLike")(_random_uniform(True))
+
+
+@register("Bernoulli")
+def _bernoulli(node, inputs, ctx):
+    import jax
+
+    p = jnp.asarray(inputs[0], jnp.float32)
+    u = jax.random.uniform(_rng_key(node), p.shape)
+    return [(u < p).astype(_rand_dtype(node, default=0) if node.attr(
+        "dtype") is not None else p.dtype)]
+
+
+@register("Multinomial")
+def _multinomial(node, inputs, ctx):
+    import jax
+
+    logits = jnp.asarray(inputs[0], jnp.float32)  # [batch, classes]
+    n = int(node.attr("sample_size", 1))
+    out_dtype = {6: jnp.int32, 7: jnp.int32}.get(
+        int(node.attr("dtype", 6)), jnp.int32)
+    keys = jax.random.split(_rng_key(node), n)
+    cols = [jax.random.categorical(k, logits, axis=-1) for k in keys]
+    return [jnp.stack(cols, axis=-1).astype(out_dtype)]

@@ -305,3 +305,37 @@ def test_deform_conv_random_offsets_vs_reference(group, og, with_mask):
     want = _deform_conv_ref(x, w, offset, None, mask, stride, pad, dil,
                             group, og)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Random family (deterministic under jax.random, seeded via the seed attr)
+# ---------------------------------------------------------------------------
+
+
+def test_random_normal_moments_and_determinism():
+    got = _run("RandomNormal", [], shape=[20000], seed=3.0, mean=2.0,
+               scale=0.5)
+    assert got.shape == (20000,)
+    assert abs(got.mean() - 2.0) < 0.02 and abs(got.std() - 0.5) < 0.02
+    again = _run("RandomNormal", [], shape=[20000], seed=3.0, mean=2.0,
+                 scale=0.5)
+    np.testing.assert_array_equal(got, again)  # same seed -> same stream
+    other = _run("RandomNormal", [], shape=[20000], seed=4.0, mean=2.0,
+                 scale=0.5)
+    assert not np.array_equal(got, other)
+
+
+def test_random_uniform_range_and_like_shapes():
+    got = _run("RandomUniform", [], shape=[5000], low=2.0, high=3.0)
+    assert (got >= 2.0).all() and (got < 3.0).all()
+    like = _run("RandomNormalLike", [np.zeros((3, 4), np.float32)])
+    assert like.shape == (3, 4)
+
+
+def test_bernoulli_and_multinomial():
+    b = _run("Bernoulli", [np.full((20000,), 0.3, np.float32)], seed=1.0)
+    assert set(np.unique(b)) <= {0.0, 1.0}
+    assert abs(b.mean() - 0.3) < 0.02
+    m = _run("Multinomial", [np.log(np.asarray(
+        [[0.005, 0.005, 0.99]], np.float32))], sample_size=8, seed=2.0)
+    assert m.shape == (1, 8) and (m == 2).mean() > 0.8
