@@ -236,6 +236,131 @@ def _agg_bool_or(values, groups, n_groups):
     return out.astype(bool), ~has
 
 
+def _agg_last(values, groups, n_groups):
+    out = np.empty(n_groups, dtype=object)
+    seen = np.zeros(n_groups, dtype=bool)
+    for i, g in enumerate(groups):
+        out[g] = values.value(i)
+        seen[g] = True
+    return out, ~seen
+
+
+def _agg_product(values, groups, n_groups):
+    data, valid = _masked(values)
+    out = np.ones(n_groups, dtype=np.float64)
+    has = np.zeros(n_groups, bool)
+    gv = groups[valid]
+    if len(gv):
+        np.multiply.at(out, gv, data[valid])
+        has[np.unique(gv)] = True
+    return out, ~has
+
+
+def _agg_count_if(values, groups, n_groups):
+    valid = values.valid_mask() & values.data.astype(bool)
+    return (np.bincount(groups[valid], minlength=n_groups).astype(np.int64),
+            None)
+
+
+def _sorted_group_spans(gv, dv):
+    order = np.lexsort((dv, gv))
+    gs, ds = gv[order], dv[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    ends = np.r_[starts[1:], len(gs)]
+    return gs, ds, starts, ends
+
+
+def _const_arg(col, what: str):
+    if len(col.data) == 0 or col.is_null(0):
+        raise SqlError(f"Binder Error: {what} must be a non-NULL constant")
+    return col.value(0)
+
+
+def _quantile(cols, groups, n_groups, cont: bool):
+    """quantile_cont / quantile_disc (percentile_* aliases): q constant in
+    [0, 1]. cont: linear interpolation between closest ranks (DuckDB /
+    PostgreSQL percentile_cont); disc: the exact element at
+    ceil(q*n) - 1 in sort order (type-1 / inverted-CDF quantile)."""
+    values = cols[0]
+    q = float(_const_arg(cols[1], "quantile fraction"))
+    if not 0.0 <= q <= 1.0:
+        raise SqlError("Out of Range Error: quantile fraction must be "
+                       "between 0 and 1")
+    data, valid = _masked(values)
+    gv, dv = groups[valid], data[valid]
+    out = np.full(n_groups, np.nan)
+    has = np.zeros(n_groups, bool)
+    if len(gv):
+        gs, ds, starts, ends = _sorted_group_spans(gv, dv)
+        for st, en in zip(starts, ends):
+            g, n = gs[st], en - st
+            if cont:
+                pos = q * (n - 1)
+                lo = int(np.floor(pos))
+                hi = min(lo + 1, n - 1)
+                frac = pos - lo
+                out[g] = ds[st + lo] * (1 - frac) + ds[st + hi] * frac
+            else:
+                idx = max(int(np.ceil(q * n)) - 1, 0)
+                out[g] = ds[st + idx]
+            has[g] = True
+    return out, ~has, T.DOUBLE
+
+
+def _arg_minmax(cols, groups, n_groups, is_min: bool):
+    """arg_min(arg, val) / arg_max: value of `arg` at the extreme of `val`
+    (ties -> first occurrence, NULL vals skipped)."""
+    arg, val = cols[0], cols[1]
+    data, valid = _masked(val)
+    best = np.full(n_groups, np.inf if is_min else -np.inf)
+    best_i = np.full(n_groups, -1, np.int64)
+    cmp = np.less if is_min else np.greater
+    for i in np.flatnonzero(valid):
+        g = groups[i]
+        if best_i[g] < 0 or cmp(data[i], best[g]):
+            best[g] = data[i]
+            best_i[g] = i
+    out = np.empty(n_groups, dtype=object)
+    for g in range(n_groups):
+        out[g] = arg.value(best_i[g]) if best_i[g] >= 0 else None
+    return out, best_i < 0, arg.sql_type
+
+
+def _string_agg(cols, groups, n_groups):
+    """string_agg(x, sep) (listagg alias): NULLs skipped, input order."""
+    values = cols[0]
+    sep = str(_const_arg(cols[1], "string_agg separator"))
+    valid = values.valid_mask()
+    parts: list = [[] for _ in range(n_groups)]
+    for i in np.flatnonzero(valid):
+        v = values.value(i)
+        parts[groups[i]].append(v if isinstance(v, str) else str(v))
+    out = np.empty(n_groups, dtype=object)
+    has = np.zeros(n_groups, bool)
+    for g in range(n_groups):
+        if parts[g]:
+            out[g] = sep.join(parts[g])
+            has[g] = True
+    return out, ~has, T.VARCHAR
+
+
+# multi-argument aggregates: impl(cols, groups, n_groups) ->
+# (data, null_mask, sql_type)
+_MULTI_AGGS = {
+    "quantile_cont": lambda c, g, n: _quantile(c, g, n, True),
+    "percentile_cont": lambda c, g, n: _quantile(c, g, n, True),
+    "quantile_disc": lambda c, g, n: _quantile(c, g, n, False),
+    "quantile": lambda c, g, n: _quantile(c, g, n, False),
+    "percentile_disc": lambda c, g, n: _quantile(c, g, n, False),
+    "arg_min": lambda c, g, n: _arg_minmax(c, g, n, True),
+    "min_by": lambda c, g, n: _arg_minmax(c, g, n, True),
+    "arg_max": lambda c, g, n: _arg_minmax(c, g, n, False),
+    "max_by": lambda c, g, n: _arg_minmax(c, g, n, False),
+    "string_agg": _string_agg,
+    "listagg": _string_agg,
+}
+
+
 _AGGS = {
     "count": _agg_count,
     "sum": _agg_sum,
@@ -256,13 +381,19 @@ _AGGS = {
     "bool_and": _agg_bool_and,
     "bool_or": _agg_bool_or,
     "approx_count_distinct": _agg_approx_count_distinct,
+    "last": _agg_last,
+    "product": _agg_product,
+    "count_if": _agg_count_if,
+    "countif": _agg_count_if,
 }
+
+_ALL_AGGS = frozenset(_AGGS) | frozenset(_MULTI_AGGS)
 
 
 def _result_type(name: str, values: Column | None) -> T.SqlType:
-    if name in ("count", "approx_count_distinct"):
+    if name in ("count", "approx_count_distinct", "count_if", "countif"):
         return T.BIGINT
-    if name in ("first", "any_value", "mode") and values is not None:
+    if name in ("first", "any_value", "last", "mode") and values is not None:
         return values.sql_type
     if name == "sum" and values is not None and values.sql_type.is_integer:
         return T.BIGINT
@@ -302,7 +433,7 @@ def _distinct_mask(values: Column, groups: np.ndarray) -> np.ndarray:
 # --- group-by machinery ----------------------------------------------------
 
 def _collect_agg_nodes(expr: A.Expr, out: list) -> None:
-    if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGGS:
+    if isinstance(expr, A.FuncCall) and expr.name.lower() in _ALL_AGGS:
         out.append(expr)
         return
     if isinstance(expr, A.FuncCall):
@@ -333,7 +464,7 @@ def _rewrite(expr: A.Expr, agg_map: dict, gb_map: list) -> A.Expr:
     for gb_expr, col_name in gb_map:
         if expr == gb_expr:
             return A.ColumnRef(col_name)
-    if isinstance(expr, A.FuncCall) and expr.name.lower() in _AGGS:
+    if isinstance(expr, A.FuncCall) and expr.name.lower() in _ALL_AGGS:
         return A.ColumnRef(agg_map[id(expr)])
     import copy
 
@@ -413,26 +544,36 @@ def group_aggregate(sel, scope, eval_fn, scope_cls) -> Table:
     agg_map: dict = {}
     for k, node in enumerate(agg_nodes):
         name = node.name.lower()
-        impl = _AGGS[name]
-        if node.is_star or not node.args:
-            values = None
+        if name in _MULTI_AGGS:
+            if getattr(node, "distinct", False):
+                raise SqlError(
+                    f"Binder Error: DISTINCT is not supported in {name}")
+            if node.is_star or len(node.args) != 2:
+                raise SqlError(
+                    f"Binder Error: {name} expects exactly 2 arguments")
+            cols = [conn_eval(a, scope) for a in node.args]
+            data, nulls, rt = _MULTI_AGGS[name](cols, groups, n_groups)
         else:
-            values = conn_eval(node.args[0], scope)
-        if getattr(node, "distinct", False) and values is not None:
-            # DISTINCT: keep only the first occurrence of each (group,
-            # value) pair; every aggregate respects validity, so masking
-            # duplicates implements DISTINCT for all of them
-            values = Column(values.data, values.sql_type,
-                            _distinct_mask(values, groups))
-        if name == "count":
-            data, nulls = impl(values, groups, n_groups)
-        else:
-            if values is None:
-                raise SqlError(f"Binder Error: {name}(*) is not allowed")
-            data, nulls = impl(values, groups, n_groups)
+            impl = _AGGS[name]
+            if node.is_star or not node.args:
+                values = None
+            else:
+                values = conn_eval(node.args[0], scope)
+            if getattr(node, "distinct", False) and values is not None:
+                # DISTINCT: keep only the first occurrence of each (group,
+                # value) pair; every aggregate respects validity, so masking
+                # duplicates implements DISTINCT for all of them
+                values = Column(values.data, values.sql_type,
+                                _distinct_mask(values, groups))
+            if name == "count":
+                data, nulls = impl(values, groups, n_groups)
+            else:
+                if values is None:
+                    raise SqlError(f"Binder Error: {name}(*) is not allowed")
+                data, nulls = impl(values, groups, n_groups)
+            rt = _result_type(name, values)
         col_name = f"__agg_{k}"
         agg_map[id(node)] = col_name
-        rt = _result_type(name, values)
         if isinstance(data, np.ndarray) and data.dtype == object:
             col = Column.from_values(list(data), rt if rt.name != "NULL" else infer_sql_type(list(data)))
             if nulls is not None and nulls.any():

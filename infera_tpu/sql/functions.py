@@ -33,9 +33,12 @@ SCALAR_FUNCTIONS: dict = {}
 # (implementations live in infera_tpu.ops.aggregate)
 AGGREGATE_FUNCTIONS = frozenset(
     {"count", "sum", "avg", "mean", "min", "max", "first", "any_value",
-     "stddev", "stddev_samp", "stddev_pop", "var_samp", "variance",
+     "last", "stddev", "stddev_samp", "stddev_pop", "var_samp", "variance",
      "var_pop", "median", "mode", "bool_and", "bool_or",
-     "approx_count_distinct"}
+     "approx_count_distinct", "product", "count_if", "countif",
+     "quantile_cont", "quantile_disc", "quantile", "percentile_cont",
+     "percentile_disc", "arg_min", "arg_max", "min_by", "max_by",
+     "string_agg", "listagg"}
 )
 
 

@@ -198,6 +198,7 @@ def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt):
     plain-f32 with no compensated/f64-combine option analogous to
     sql/streaming_plan.py's host-side fold)."""
     pin = _opaque_pin(jnp, cnt >= 0.0)
+    n = vals.shape[0]
     # The shift must be DETERMINISTIC under recomputation: XLA clones
     # producers into multiple consumer fusions, and a cloned f32
     # scatter-ADD can re-sum in a different order, so a mean estimated via
@@ -205,17 +206,36 @@ def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt):
     # shift*cnt path — leaking (shift_A - shift_B) * cnt into the total
     # (measured -0.5/device on the CPU backend; optimization_barrier does
     # NOT survive to the passes that clone). segment_min/max are exact in
-    # ANY evaluation order, so the group midrange is clone-proof; every
-    # remaining nondeterministic rounding (the resid chunk sums) is at
-    # residual scale, not total scale.
+    # ANY evaluation order, so a group midrange is clone-proof. The
+    # midrange comes from a strided SAMPLE (scatter volume on the TPU is
+    # the fused-plan tail cost — a full min/max pair would double it);
+    # an unsampled group gets shift 0, i.e. plain-f32 behavior, never
+    # worse than the unshifted sum.
+    cap = 8192
+    if n > cap:
+        stride = n // cap
+        sv = vals[:: stride]
+        sk = keys[:: stride]
+        sw = w[:: stride]
+    else:
+        sv, sk, sw = vals, keys, w
     gmin = jax.ops.segment_min(
-        jnp.where(w > 0, vals, jnp.inf), keys, num_segments=G)
+        jnp.where(sw > 0, sv, jnp.inf), sk, num_segments=G)
     gmax = jax.ops.segment_max(
-        jnp.where(w > 0, vals, -jnp.inf), keys, num_segments=G)
+        jnp.where(sw > 0, sv, -jnp.inf), sk, num_segments=G)
     mid = (gmin + gmax) * jnp.float32(0.5)
     shift = jnp.where(jnp.isfinite(mid), mid, jnp.float32(0.0))
     resid = (vals - shift[keys]) * w
-    rs, rc = _kahan_chunked(jax, jnp, resid, keys, G, pin)
+    if n <= (1 << 18):
+        # cross-chunk Kahan: worthwhile when the scan stays short
+        rs, rc = _kahan_chunked(jax, jnp, resid, keys, G, pin)
+    else:
+        # large n: ONE scatter pass (same volume as a plain sum — the
+        # sequential chunk scan would serialize the fused plan's tail);
+        # residuals are shift-centred, so the accumulator magnitude and
+        # hence the rounding stay at residual scale
+        rs = jax.ops.segment_sum(resid, keys, num_segments=G)
+        rc = jnp.zeros_like(rs)
     p, pe = _two_prod(jnp, shift, cnt, pin)
     s, e = _two_sum(p, rs, pin)
     return pin(s), pin(e + pe + rc)
