@@ -867,6 +867,29 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
         else:
             keys = jnp.zeros(n, jnp.int32)
         w = jnp.ones(n, jnp.float32) if mask is None else mask.astype(jnp.float32)
+        # GEMM group-by (ops/gemm_groupby.py): for small group counts every
+        # segment reduction below runs as one-hot matmul / masked chunk
+        # reductions instead of scatters — the scatter tail was ~9 passes x
+        # ~8 ms on the 1M-row fused query (the single biggest cost)
+        from ..ops import gemm_groupby as GG
+
+        use_gemm = GG.eligible(n, n_groups)
+
+        def segsum(v):
+            if use_gemm:
+                return GG.segment_sum(jnp, jax, v, keys, n_groups)
+            if isinstance(v, (list, tuple)):
+                return [jax.ops.segment_sum(x, keys, num_segments=n_groups)
+                        for x in v]
+            return jax.ops.segment_sum(v, keys, num_segments=n_groups)
+
+        w_sum_cache = []
+
+        def w_sum():
+            if not w_sum_cache:
+                w_sum_cache.append(segsum(w))
+            return w_sum_cache[0]
+
         outs = []
         key_mins, key_maxs, frac_flags = [], [], []
         big = jnp.int32(2**31 - 1)
@@ -877,10 +900,17 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             # the int bucketing would merge 1.2 and 1.5.
             ri = jnp.asarray(r, jnp.int32)
             rf = jnp.asarray(r, jnp.float32)
-            key_mins.append(jax.ops.segment_min(
-                jnp.where(w > 0, ri, big), keys, num_segments=n_groups))
-            key_maxs.append(jax.ops.segment_max(
-                jnp.where(w > 0, ri, -big - 1), keys, num_segments=n_groups))
+            if use_gemm:
+                kmn, kmx = GG.segment_minmax_int32(
+                    jnp, jax, ri, keys, n_groups, w > 0)
+                key_mins.append(kmn)
+                key_maxs.append(kmx)
+            else:
+                key_mins.append(jax.ops.segment_min(
+                    jnp.where(w > 0, ri, big), keys, num_segments=n_groups))
+                key_maxs.append(jax.ops.segment_max(
+                    jnp.where(w > 0, ri, -big - 1), keys,
+                    num_segments=n_groups))
             frac_flags.append(jnp.any((w > 0) & (rf != ri.astype(jnp.float32))))
         from .int_agg import (device_lex_minmax, device_limb_sums,
                               device_presence, presence_reduce)
@@ -891,7 +921,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 outs.append(("key", key_maxs[fn]))
                 continue
             if name == "count_star":
-                outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+                outs.append(("v", w_sum()))
                 continue
             if name in ("isum", "iavg"):
                 lo, hi = cols[fn + "#lo"], cols[fn + "#hi"]
@@ -908,8 +938,7 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             if name == "var":
                 vfn, _ddof, _sq, shift = fn
                 v = jnp.asarray(vfn(cols), jnp.float32) - shift
-                s = jax.ops.segment_sum(v * w, keys, num_segments=n_groups)
-                s2 = jax.ops.segment_sum(v * v * w, keys, num_segments=n_groups)
+                s, s2 = segsum([v * w, v * v * w])
                 outs.append(("v", (s, s2)))
                 continue
             if name == "median":
@@ -950,24 +979,36 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 continue
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name == "count":
-                outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+                outs.append(("v", w_sum()))
             elif name in ("sum", "avg", "mean"):
                 # compensated (sum, comp) pair + f64 host fold — matches the
                 # reference host's DOUBLE accumulators (DuckDB sums FLOAT in
                 # double) instead of drifting with plain f32 segment sums
                 from .mesh_plan import _compensated_segment_sum
 
-                c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
                 s_pair = _compensated_segment_sum(
-                    jax, jnp, vals, w, keys, n_groups, c)
+                    jax, jnp, vals, w, keys, n_groups, w_sum(),
+                    segsum=segsum if use_gemm else None)
                 outs.append(("v", s_pair))
             elif name == "min":
-                masked = jnp.where(w > 0, vals, jnp.inf)
-                outs.append(("v", jax.ops.segment_min(masked, keys, num_segments=n_groups)))
+                if use_gemm:
+                    (mn,), _ = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [w > 0])
+                    outs.append(("v", mn))
+                else:
+                    masked = jnp.where(w > 0, vals, jnp.inf)
+                    outs.append(("v", jax.ops.segment_min(
+                        masked, keys, num_segments=n_groups)))
             elif name == "max":
-                masked = jnp.where(w > 0, vals, -jnp.inf)
-                outs.append(("v", jax.ops.segment_max(masked, keys, num_segments=n_groups)))
-        group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+                if use_gemm:
+                    _, (mx,) = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [w > 0])
+                    outs.append(("v", mx))
+                else:
+                    masked = jnp.where(w > 0, vals, -jnp.inf)
+                    outs.append(("v", jax.ops.segment_max(
+                        masked, keys, num_segments=n_groups)))
+        group_count = w_sum()
         return [o for _, o in outs], group_count, key_mins, key_maxs, frac_flags
 
     # --- caching ---------------------------------------------------------

@@ -182,7 +182,7 @@ def _two_prod(jnp, a, b, pin):
     return p, e
 
 
-def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt):
+def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt, segsum=None):
     """Per-group float SUM as a compensated (sum, comp) f32 pair whose f64
     fold is accurate to ~a few ulps of f32 even for pathological data.
 
@@ -226,15 +226,19 @@ def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt):
     mid = (gmin + gmax) * jnp.float32(0.5)
     shift = jnp.where(jnp.isfinite(mid), mid, jnp.float32(0.0))
     resid = (vals - shift[keys]) * w
-    if n <= (1 << 18):
+    if n <= (1 << 18) and segsum is None:
         # cross-chunk Kahan: worthwhile when the scan stays short
         rs, rc = _kahan_chunked(jax, jnp, resid, keys, G, pin)
     else:
-        # large n: ONE scatter pass (same volume as a plain sum — the
-        # sequential chunk scan would serialize the fused plan's tail);
-        # residuals are shift-centred, so the accumulator magnitude and
-        # hence the rounding stay at residual scale
-        rs = jax.ops.segment_sum(resid, keys, num_segments=G)
+        # large n: ONE pass (same volume as a plain sum — the sequential
+        # chunk scan would serialize the fused plan's tail); residuals
+        # are shift-centred, so the accumulator magnitude and hence the
+        # rounding stay at residual scale. ``segsum`` lets the caller
+        # route this through the GEMM group-by (ops/gemm_groupby.py).
+        if segsum is not None:
+            rs = segsum(resid)
+        else:
+            rs = jax.ops.segment_sum(resid, keys, num_segments=G)
         rc = jnp.zeros_like(rs)
     p, pe = _two_prod(jnp, shift, cnt, pin)
     s, e = _two_sum(p, rs, pin)

@@ -74,15 +74,25 @@ def eval_outer_join(n=1 << 20, dim=1000):
                  f"(x % 40)::float / 4.0 as v from range({n}) r(x)")
     conn.execute(f"create table dim as select x as k, (x * 2)::float as w "
                  f"from range({dim}) r(x)")
-    # keys 1000..1099 in fact have no dim row → real outer NULLs
+    # keys 1000..1099 in fact have no dim row → real outer NULLs.
+    # Aggregate over the joined relation: materializing 1M output rows
+    # would time the tunnel's ~1 MB/s readback, not the join (measured
+    # 19 s/1M rows for the raw materialize — the join itself is ms-scale).
     for kind in ("left", "full"):
-        q = (f"select fact.k, v, w from fact {kind} join dim "
+        q = (f"select count(*) c, count(w) cw, sum(v) sv, "
+             f"sum(coalesce(w, 0.0)) sw from fact {kind} join dim "
              f"on fact.k = dim.k")
         t0 = time.perf_counter()
         out = conn.execute(q)
         wall = time.perf_counter() - t0
-        _emit(step="outer_join_first", kind=kind, wall_ms=round(wall * 1e3, 2),
-              path=conn._exec_path, out_rows=out.table.num_rows)
+        c, cw, sv, sw = out.rows[0]
+        # outer semantics: unmatched fact keys (1000..1099) keep their rows
+        # with NULL dim columns → count(w) < count(*)
+        assert c >= n and cw == (n // 1100) * 1000 + min(n % 1100, 1000), \
+            (c, cw)
+        _emit(step="outer_join_first", kind=kind,
+              wall_ms=round(wall * 1e3, 2), path=conn._exec_path,
+              c=int(c), cw=int(cw))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
