@@ -342,23 +342,47 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         else:
             keys = jnp.zeros(n, jnp.int32)
         w = mask.astype(jnp.float32)
+        # GEMM group-by for the aggregate tail (see device_plan.py)
+        from ..ops import gemm_groupby as GG
+
+        use_gemm = GG.eligible(n, n_groups)
+
+        def segsum(v):
+            if use_gemm:
+                return GG.segment_sum(jnp, jax, v, keys, n_groups)
+            return jax.ops.segment_sum(v, keys, num_segments=n_groups)
+
+        w_sum_cache = []
+
+        def w_sum():
+            if not w_sum_cache:
+                w_sum_cache.append(segsum(w))
+            return w_sum_cache[0]
+
         outs = []
         key_mins, key_maxs, frac_flags = [], [], []
         big = jnp.int32(2**31 - 1)
         for r in raws:
             ri = jnp.asarray(r, jnp.int32)
             rf = jnp.asarray(r, jnp.float32)
-            key_mins.append(jax.ops.segment_min(
-                jnp.where(mask, ri, big), keys, num_segments=n_groups))
-            key_maxs.append(jax.ops.segment_max(
-                jnp.where(mask, ri, -big - 1), keys, num_segments=n_groups))
+            if use_gemm:
+                kmn, kmx = GG.segment_minmax_int32(
+                    jnp, jax, ri, keys, n_groups, mask)
+                key_mins.append(kmn)
+                key_maxs.append(kmx)
+            else:
+                key_mins.append(jax.ops.segment_min(
+                    jnp.where(mask, ri, big), keys, num_segments=n_groups))
+                key_maxs.append(jax.ops.segment_max(
+                    jnp.where(mask, ri, -big - 1), keys,
+                    num_segments=n_groups))
             frac_flags.append(jnp.any(mask & (rf != ri.astype(jnp.float32))))
         for name, fn in agg_plans:
             if name == "key":
                 outs.append(("key", key_maxs[fn]))
                 continue
             if name in ("count_star", "count"):
-                outs.append(("v", jax.ops.segment_sum(w, keys, num_segments=n_groups)))
+                outs.append(("v", w_sum()))
                 continue
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name in ("sum", "avg", "mean"):
@@ -366,16 +390,28 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 # device_plan.py (DuckDB-host DOUBLE accumulator parity)
                 from .mesh_plan import _compensated_segment_sum
 
-                c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
                 outs.append(("v", _compensated_segment_sum(
-                    jax, jnp, vals, w, keys, n_groups, c)))
+                    jax, jnp, vals, w, keys, n_groups, w_sum(),
+                    segsum=segsum if use_gemm else None)))
             elif name == "min":
-                outs.append(("v", jax.ops.segment_min(
-                    jnp.where(mask, vals, jnp.inf), keys, num_segments=n_groups)))
+                if use_gemm:
+                    (mn,), _ = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [mask])
+                    outs.append(("v", mn))
+                else:
+                    outs.append(("v", jax.ops.segment_min(
+                        jnp.where(mask, vals, jnp.inf), keys,
+                        num_segments=n_groups)))
             elif name == "max":
-                outs.append(("v", jax.ops.segment_max(
-                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=n_groups)))
-        group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+                if use_gemm:
+                    _, (mx,) = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [mask])
+                    outs.append(("v", mx))
+                else:
+                    outs.append(("v", jax.ops.segment_max(
+                        jnp.where(mask, vals, -jnp.inf), keys,
+                        num_segments=n_groups)))
+        group_count = w_sum()
         return [o for _, o in outs], group_count, key_mins, key_maxs, frac_flags
 
     cache = getattr(conn, "_device_plan_cache", None)
