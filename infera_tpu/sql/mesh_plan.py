@@ -348,27 +348,48 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
             keys = jnp.zeros(local_n, jnp.int32)
 
         # --- local partial aggregation (phase 1) -------------------------
+        from ..ops import gemm_groupby as GG
         from .int_agg import (device_lex_minmax, device_limb_sums,
                               device_presence, presence_reduce)
 
-        cnt = jax.ops.segment_sum(w, keys, num_segments=G)
+        use_gemm = GG.eligible(local_n, G)
+
+        def _segsum(v):
+            if use_gemm:
+                return GG.segment_sum(jnp, jax, v, keys, G)
+            return jax.ops.segment_sum(v, keys, num_segments=G)
+
+        cnt = _segsum(w)
         slot_arrays = []   # flat exchange payload entries, [G, ...] each
         slot_index = []    # per slot: (kind, start, n_arrays)
         slot_flags = {}    # pres slots: local invalid-value flag
         for si, (kind, payload) in enumerate(partial_slots):
             if kind == "sum":
                 vals = jnp.asarray(payload(cols), jnp.float32)
-                s, c = _compensated_segment_sum(jax, jnp, vals, w, keys, G,
-                                                cnt)
+                s, c = _compensated_segment_sum(
+                    jax, jnp, vals, w, keys, G, cnt,
+                    segsum=_segsum if use_gemm else None)
                 arrs = [s, c]
             elif kind == "min":
                 vals = jnp.asarray(payload(cols), jnp.float32)
-                arrs = [jax.ops.segment_min(
-                    jnp.where(mask, vals, jnp.inf), keys, num_segments=G)]
+                if use_gemm:
+                    (mn,), _ = GG.segment_minmax(jnp, jax, [vals], keys, G,
+                                                 [mask])
+                    arrs = [mn]
+                else:
+                    arrs = [jax.ops.segment_min(
+                        jnp.where(mask, vals, jnp.inf), keys,
+                        num_segments=G)]
             elif kind == "max":
                 vals = jnp.asarray(payload(cols), jnp.float32)
-                arrs = [jax.ops.segment_max(
-                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=G)]
+                if use_gemm:
+                    _, (mx,) = GG.segment_minmax(jnp, jax, [vals], keys, G,
+                                                 [mask])
+                    arrs = [mx]
+                else:
+                    arrs = [jax.ops.segment_max(
+                        jnp.where(mask, vals, -jnp.inf), keys,
+                        num_segments=G)]
             elif kind == "ilimb":
                 lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
                 limbs, est = device_limb_sums(
@@ -382,8 +403,14 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
             elif kind == "var":
                 vfn, shift = payload
                 v = jnp.asarray(vfn(cols), jnp.float32) - shift
-                arrs = [jax.ops.segment_sum(v * w, keys, num_segments=G),
-                        jax.ops.segment_sum(v * v * w, keys, num_segments=G)]
+                if use_gemm:
+                    arrs = GG.segment_sum(jnp, jax, [v * w, v * v * w],
+                                          keys, G)
+                else:
+                    arrs = [
+                        jax.ops.segment_sum(v * w, keys, num_segments=G),
+                        jax.ops.segment_sum(v * v * w, keys,
+                                            num_segments=G)]
             elif kind == "modemat":
                 from .int_agg import mode_matrices
 
@@ -411,14 +438,24 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
         for r in raws:
             ri = jnp.asarray(r, jnp.int32)
             rf = jnp.asarray(r, jnp.float32)
-            kmins.append(jax.ops.segment_min(
-                jnp.where(mask, ri, big), keys, num_segments=G))
-            kmaxs.append(jax.ops.segment_max(
-                jnp.where(mask, ri, -big - 1), keys, num_segments=G))
+            if use_gemm:
+                kmn, kmx = GG.segment_minmax_int32(jnp, jax, ri, keys, G,
+                                                   mask)
+                kmins.append(kmn)
+                kmaxs.append(kmx)
+            else:
+                kmins.append(jax.ops.segment_min(
+                    jnp.where(mask, ri, big), keys, num_segments=G))
+                kmaxs.append(jax.ops.segment_max(
+                    jnp.where(mask, ri, -big - 1), keys, num_segments=G))
             fracs.append(jnp.any(mask & (rf != ri.astype(jnp.float32))))
         # bucket representative key (max of combined in bucket) for routing
-        repr_key = jax.ops.segment_max(
-            jnp.where(mask, combined, -big - 1), keys, num_segments=G)
+        if use_gemm:
+            _, repr_key = GG.segment_minmax_int32(jnp, jax, combined, keys,
+                                                  G, mask)
+        else:
+            repr_key = jax.ops.segment_max(
+                jnp.where(mask, combined, -big - 1), keys, num_segments=G)
 
         # --- exchange partial buckets (phase 2: the distributed shuffle) --
         owner = jnp.where(cnt > 0, jnp.mod(repr_key, ndev), 0).astype(jnp.int32)
