@@ -443,3 +443,109 @@ def write_reference_test_models(directory) -> dict:
         save_model_file(model, p)
         paths[name] = p
     return paths
+
+
+def transformer_encoder_model(
+    seq: int = 16,
+    d_model: int = 64,
+    n_heads: int = 4,
+    n_layers: int = 2,
+    n_classes: int = 8,
+    seed: int = 0,
+) -> Model:
+    """A real multi-head transformer encoder (pre-LN, GELU FFN, mean-pool
+    classifier) over a flat [batch, seq*d_model] float input.
+
+    Exercises the full attention op chain — LayerNormalization, batched
+    MatMul with head reshapes/transposes, Softmax, Gelu, residuals — as ONE
+    ONNX graph through the engine (the reference executes whatever tract
+    parses, /root/reference/infera/src/engine.rs:49-55; transformer exports
+    are the dominant real-world ONNX family). The flat input keeps the SQL
+    blob path natural: batch is inferred from the dynamic dim
+    (engine.rs:221-238 semantics)."""
+    rng = np.random.default_rng(seed)
+    dh = d_model // n_heads
+    nodes = []
+    inits = {}
+
+    def wtensor(name, shape, scale):
+        arr = (rng.standard_normal(shape, dtype=np.float32)
+               * np.float32(scale))
+        inits[name] = Tensor.from_array(name, arr)
+        return name
+
+    def ctensor(name, arr):
+        inits[name] = Tensor.from_array(name, np.asarray(arr))
+        return name
+
+    def node(op, ins, outs, **attrs):
+        nodes.append(Node(op_type=op, inputs=ins, outputs=outs,
+                          attributes={k: Attribute.make(k, v)
+                                      for k, v in attrs.items()}))
+
+    ctensor("shape_bsd", np.asarray([-1, seq, d_model], np.int64))
+    ctensor("shape_heads", np.asarray([-1, seq, n_heads, dh], np.int64))
+    ctensor("shape_flat", np.asarray([-1, seq, d_model], np.int64))
+    ctensor("scale", np.asarray(1.0 / np.sqrt(dh), np.float32))
+    node("Reshape", ["X", "shape_bsd"], ["H0"])
+    h = "H0"
+    for li in range(n_layers):
+        p = f"L{li}_"
+        # --- attention block (pre-LN) ---
+        wtensor(p + "ln1_g", (d_model,), 1.0)
+        wtensor(p + "ln1_b", (d_model,), 0.1)
+        node("LayerNormalization", [h, p + "ln1_g", p + "ln1_b"],
+             [p + "ln1"], epsilon=1e-5)
+        for nm in ("q", "k", "v"):
+            wtensor(p + f"W{nm}", (d_model, d_model),
+                    1.0 / np.sqrt(d_model))
+            node("MatMul", [p + "ln1", p + f"W{nm}"], [p + nm])
+            node("Reshape", [p + nm, "shape_heads"], [p + nm + "h"])
+            # [B, s, h, dh] -> [B, h, s, dh]
+            node("Transpose", [p + nm + "h"], [p + nm + "t"],
+                 perm=[0, 2, 1, 3])
+        # scores = Q @ K^T * scale
+        node("Transpose", [p + "kt"], [p + "ktt"], perm=[0, 1, 3, 2])
+        node("MatMul", [p + "qt", p + "ktt"], [p + "sc0"])
+        node("Mul", [p + "sc0", "scale"], [p + "sc"])
+        node("Softmax", [p + "sc"], [p + "attn"], axis=-1)
+        node("MatMul", [p + "attn", p + "vt"], [p + "ctx0"])
+        node("Transpose", [p + "ctx0"], [p + "ctx1"], perm=[0, 2, 1, 3])
+        node("Reshape", [p + "ctx1", "shape_flat"], [p + "ctx"])
+        wtensor(p + "Wo", (d_model, d_model), 1.0 / np.sqrt(d_model))
+        node("MatMul", [p + "ctx", p + "Wo"], [p + "proj"])
+        node("Add", [h, p + "proj"], [p + "res1"])
+        # --- FFN block (pre-LN, GELU) ---
+        wtensor(p + "ln2_g", (d_model,), 1.0)
+        wtensor(p + "ln2_b", (d_model,), 0.1)
+        node("LayerNormalization",
+             [p + "res1", p + "ln2_g", p + "ln2_b"], [p + "ln2"],
+             epsilon=1e-5)
+        wtensor(p + "W1", (d_model, 4 * d_model), 1.0 / np.sqrt(d_model))
+        wtensor(p + "b1", (4 * d_model,), 0.05)
+        node("MatMul", [p + "ln2", p + "W1"], [p + "ff0"])
+        node("Add", [p + "ff0", p + "b1"], [p + "ff1"])
+        node("Gelu", [p + "ff1"], [p + "ff2"])
+        wtensor(p + "W2", (4 * d_model, d_model),
+                1.0 / np.sqrt(4 * d_model))
+        wtensor(p + "b2", (d_model,), 0.05)
+        node("MatMul", [p + "ff2", p + "W2"], [p + "ff3"])
+        node("Add", [p + "ff3", p + "b2"], [p + "ff4"])
+        node("Add", [p + "res1", p + "ff4"], [p + "out"])
+        h = p + "out"
+    # mean-pool over seq -> classifier
+    node("ReduceMean", [h], ["pooled"], axes=[1], keepdims=0)
+    wtensor("Wcls", (d_model, n_classes), 1.0 / np.sqrt(d_model))
+    wtensor("bcls", (n_classes,), 0.05)
+    node("MatMul", ["pooled", "Wcls"], ["logits"])
+    node("Add", ["logits", "bcls"], ["Y"])
+    g = Graph(
+        name="TransformerEncoder",
+        nodes=nodes,
+        initializers=inits,
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT,
+                          shape=[-1, seq * d_model])],
+        outputs=[ValueInfo(name="Y", elem_type=DataType.FLOAT,
+                           shape=[-1, n_classes])],
+    )
+    return Model(graph=g)

@@ -97,3 +97,66 @@ def test_layernorm_and_gelu_ops():
         t, (d,), torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-5)
     want = torch.nn.functional.gelu(ln).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_encoder_matches_torch():
+    """Full multi-head pre-LN encoder (builder.transformer_encoder_model)
+    vs an independent torch implementation over the SAME weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from infera_tpu.onnx.builder import transformer_encoder_model
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    seq, d, h, layers, ncls = 16, 64, 4, 2, 8
+    m = transformer_encoder_model(seq=seq, d_model=d, n_heads=h,
+                                  n_layers=layers, n_classes=ncls)
+    W = {k: torch.from_numpy(np.asarray(t.array).copy())
+         for k, t in m.graph.initializers.items()}
+    cm = compile_model_bytes(m.serialize(), "tfenc")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, seq * d)).astype(np.float32)
+    got = np.asarray(cm.run(x)[0])
+
+    t = torch.from_numpy(x).reshape(3, seq, d)
+    dh = d // h
+    for li in range(layers):
+        p = f"L{li}_"
+        ln1 = F.layer_norm(t, (d,), W[p + "ln1_g"], W[p + "ln1_b"], 1e-5)
+        q = (ln1 @ W[p + "Wq"]).reshape(3, seq, h, dh).permute(0, 2, 1, 3)
+        k = (ln1 @ W[p + "Wk"]).reshape(3, seq, h, dh).permute(0, 2, 1, 3)
+        v = (ln1 @ W[p + "Wv"]).reshape(3, seq, h, dh).permute(0, 2, 1, 3)
+        sc = (q @ k.transpose(-1, -2)) / np.sqrt(dh)
+        ctx = (sc.softmax(-1) @ v).permute(0, 2, 1, 3).reshape(3, seq, d)
+        t = t + ctx @ W[p + "Wo"]
+        ln2 = F.layer_norm(t, (d,), W[p + "ln2_g"], W[p + "ln2_b"], 1e-5)
+        ff = F.gelu(ln2 @ W[p + "W1"] + W[p + "b1"], approximate="none")
+        t = t + ff @ W[p + "W2"] + W[p + "b2"]
+    want = (t.mean(dim=1) @ W["Wcls"] + W["bcls"]).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_transformer_encoder_through_sql_blob():
+    """The encoder runs through the SQL surface's blob path with batch
+    inferred from the dynamic dim (engine.rs:221-238 semantics)."""
+    import tempfile
+
+    import infera_tpu as it
+    from infera_tpu.onnx.builder import transformer_encoder_model
+    from infera_tpu.registry import MODELS
+    from infera_tpu.sql import Connection
+
+    m = transformer_encoder_model(seq=4, d_model=16, n_heads=2,
+                                  n_layers=1, n_classes=3)
+    with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
+        f.write(m.serialize())
+        path = f.name
+    conn = Connection()
+    conn.execute(f"select infera_load_model('tfenc', '{path}')")
+    nbytes = 4 * 16 * 4
+    rows = conn.execute(
+        "select infera_predict_from_blob('tfenc', "
+        f"cast(repeat(chr(0), {nbytes}) as blob)) r").rows
+    (out,) = rows[0]
+    assert len(out) == 3
+    MODELS.clear()
