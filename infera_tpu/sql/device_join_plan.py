@@ -82,13 +82,58 @@ class _JoinLowerer(_Lowerer):
             return self.dim_used[key]
         return self.table.columns[key]
 
+    # --- outer-join NULL tracking (static two-point lattice) -------------
+    # Under a LEFT/RIGHT join, dim-side columns are NULL on unmatched
+    # rows. Every device expression's validity is statically either "all"
+    # (never NULL) or "matched" (NULL exactly where the row is unmatched)
+    # — coalesce(dim_expr, all_expr) launders back to "all". Aggregates
+    # mask their input rows by the expression's validity; anything the
+    # lattice can't express falls back to the host join path.
+
+    def validity(self, expr) -> str:
+        if isinstance(expr, A.ColumnRef):
+            key = self._column(expr.name, expr.table)
+            return "matched" if key.startswith("__dim__.") else "all"
+        if isinstance(expr, A.FuncCall):
+            name = expr.name.lower()
+            args = [a for a in expr.args if isinstance(a, A.Expr)]
+            if name == "coalesce" and len(args) == 2:
+                return self.validity(args[1])
+            vs = [self.validity(a) for a in args]
+            return "matched" if "matched" in vs else "all"
+        out = "all"
+        for attr in ("operand", "left", "right", "low", "high"):
+            child = getattr(expr, attr, None)
+            if isinstance(child, A.Expr) and self.validity(child) == "matched":
+                out = "matched"
+        return out
+
+    def lower(self, expr):
+        import jax.numpy as jnp
+
+        if (isinstance(expr, A.FuncCall) and expr.name.lower() == "coalesce"
+                and len(expr.args) == 2):
+            a0, a1 = expr.args
+            v0 = self.validity(a0)
+            f0 = self.lower(a0)
+            f1 = self.lower(a1)
+            if v0 == "all":
+                return f0  # never NULL → first argument wins everywhere
+            # dim-valued first arg: unmatched rows take the fallback; the
+            # program publishes the match mask as cols["__matched__"]
+            return lambda cols: jnp.where(
+                cols["__matched__"],
+                jnp.asarray(f0(cols), jnp.float32),
+                jnp.asarray(f1(cols), jnp.float32))
+        return super().lower(expr)
+
 
 def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     """Compile + run a fused join-aggregate SELECT; Table or None."""
     j = sel.from_
     if (
         not isinstance(j, A.Join)
-        or j.kind != "INNER"
+        or j.kind not in ("INNER", "LEFT", "RIGHT")
         or not isinstance(j.left, A.BaseTable)
         or not isinstance(j.right, A.BaseTable)
         or sel.having is not None
@@ -96,6 +141,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         or len(sel.group_by) > 4
     ):
         return None
+    outer = j.kind != "INNER"  # FULL stays on the host path (phantom dim
+    # rows with NULL fact columns need expression eval outside the plan)
     cond = j.on
     if j.using and len(j.using) == 1 and cond is None:
         cond = A.Binary("=", A.ColumnRef(j.using[0], j.left.alias or j.left.name),
@@ -123,11 +170,18 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 return table.columns[k]
         return None
 
-    # orient: which side is the dimension (unique small int keys)?
+    # orient: which side is the dimension (unique small int keys)? For an
+    # outer join the preserved side MUST be the fact side (LEFT preserves
+    # the left table, RIGHT the right) — the other orientation would flip
+    # which rows survive.
     combos = [
         (lt, names_of(j.left), cond.left, rt, names_of(j.right), cond.right),
         (rt, names_of(j.right), cond.right, lt, names_of(j.left), cond.left),
     ]
+    if j.kind == "LEFT":
+        combos = combos[:1]
+    elif j.kind == "RIGHT":
+        combos = combos[1:]
     plan = None
     for fact, fnames, fkey_ref, dim, dnames, dkey_ref in combos:
         if not (MIN_DEVICE_ROWS <= fact.num_rows < (1 << 24)):
@@ -215,14 +269,24 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         fact_key = lowerer._column(fkey_ref.name, fkey_ref.table)
         if fact_key.startswith("__dim__."):
             raise _Unsupported("join key resolution crossed sides")
+        if outer and sel.where is not None and \
+                lowerer.validity(sel.where) == "matched":
+            # three-valued logic over NULL-able predicates (e.g. dim_col
+            # inside OR) is beyond the static lattice — host path
+            return None
         where_fn = lowerer.lower(sel.where) if sel.where is not None else None
         key_fns = [lowerer.lower(g) for g in sel.group_by]
         if key_fns and not _group_keys_int32_safe(lowerer, sel.group_by):
             return None
+        if outer and any(lowerer.validity(g) == "matched"
+                         for g in sel.group_by):
+            return None  # NULL group keys for unmatched rows → host
         agg_plans = []
+        agg_validity = []  # parallel: "all" | "matched" input rows
         for kind, node in items_plan:
             if kind == "key":
                 agg_plans.append(("key", node))
+                agg_validity.append("all")
                 continue
             name = node.name.lower()
             if name not in ("count", "sum", "avg", "mean", "min", "max"):
@@ -231,10 +295,19 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 if name != "count":
                     return None
                 agg_plans.append(("count_star", None))
+                agg_validity.append("all")
             else:
                 if name != "count" and not _float_only(node.args[0]):
                     return None
+                v = lowerer.validity(node.args[0]) if outer else "all"
+                if name == "count" and v == "matched":
+                    # count(non-null expr): count only matched rows; the
+                    # value itself is irrelevant
+                    agg_plans.append(("count_matched", None))
+                    agg_validity.append(v)
+                    continue
                 agg_plans.append((name, lowerer.lower(node.args[0])))
+                agg_validity.append(v)
     except _Unsupported:
         return None
 
@@ -293,12 +366,16 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
 
     conn._mesh_plan_used = False
     mesh = get_mesh(conn)
+    if mesh is not None and outer:
+        return None  # mesh prologue masks unmatched rows (INNER) — the
+        # outer fused form is single-device; mesh outer joins → host
     if mesh is not None:
         def prologue(cols):
             fk = jnp.asarray(cols[fact_key], jnp.int32)
             in_range = (fk >= 0) & (fk <= kmax_dim)
             ridx_raw = cols["__lookup__"][jnp.clip(fk, 0, kmax_dim)]
             matched = in_range & (ridx_raw >= 0)
+            cols["__matched__"] = matched  # read by coalesce lowerings
             ridx = jnp.where(matched, ridx_raw, 0)
             for dk in dim_keys:
                 cols[dk] = jnp.take(cols["__dimraw__." + dk], ridx, axis=0)
@@ -328,7 +405,11 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         ridx = jnp.where(matched, ridx_raw, 0)
         for dk in dim_keys:
             cols[dk] = jnp.take(cols["__dimraw__." + dk], ridx, axis=0)
-        mask = matched
+        cols["__matched__"] = matched  # read by coalesce lowerings
+        # INNER drops unmatched rows; an outer join preserves them (their
+        # dim gathers read row 0 garbage, but every matched-validity
+        # aggregate masks those rows out below)
+        mask = jnp.ones(n, bool) if outer else matched
         if where_fn is not None:
             mask = mask & jnp.asarray(where_fn(cols), bool)
         raws = []
@@ -377,40 +458,66 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                     jnp.where(mask, ri, -big - 1), keys,
                     num_segments=n_groups))
             frac_flags.append(jnp.any(mask & (rf != ri.astype(jnp.float32))))
-        for name, fn in agg_plans:
+        # per-validity variants: matched-validity aggregates (dim-sourced
+        # expressions under an outer join) see only matched live rows
+        wm_cache = []
+
+        def w_of(validity):
+            if validity == "all":
+                return w, mask
+            if not wm_cache:
+                m2 = mask & matched
+                wm_cache.append((m2.astype(jnp.float32), m2,
+                                 segsum(m2.astype(jnp.float32))))
+            return wm_cache[0][0], wm_cache[0][1]
+
+        def wm_sum():
+            w_of("matched")
+            return wm_cache[0][2]
+
+        for (name, fn), validity in zip(agg_plans, agg_validity):
             if name == "key":
                 outs.append(("key", key_maxs[fn]))
                 continue
             if name in ("count_star", "count"):
                 outs.append(("v", w_sum()))
                 continue
+            if name == "count_matched":
+                outs.append(("v", wm_sum()))
+                continue
+            w_i, mask_i = w_of(validity)
+            cnt_i = w_sum() if validity == "all" else wm_sum()
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name in ("sum", "avg", "mean"):
                 # compensated (sum, comp) pair + f64 host fold, matching
-                # device_plan.py (DuckDB-host DOUBLE accumulator parity)
+                # device_plan.py (DuckDB-host DOUBLE accumulator parity);
+                # matched-validity slots carry their own non-NULL count
+                # for the avg divisor / empty-group NULL detection
                 from .mesh_plan import _compensated_segment_sum
 
-                outs.append(("v", _compensated_segment_sum(
-                    jax, jnp, vals, w, keys, n_groups, w_sum(),
-                    segsum=segsum if use_gemm else None)))
-            elif name == "min":
-                if use_gemm:
-                    (mn,), _ = GG.segment_minmax(
-                        jnp, jax, [vals], keys, n_groups, [mask])
-                    outs.append(("v", mn))
+                s_pair = _compensated_segment_sum(
+                    jax, jnp, vals, w_i, keys, n_groups, cnt_i,
+                    segsum=segsum if use_gemm else None)
+                if validity == "matched":
+                    outs.append(("v", (*s_pair, cnt_i)))
                 else:
-                    outs.append(("v", jax.ops.segment_min(
-                        jnp.where(mask, vals, jnp.inf), keys,
-                        num_segments=n_groups)))
-            elif name == "max":
+                    outs.append(("v", s_pair))
+            elif name in ("min", "max"):
                 if use_gemm:
-                    _, (mx,) = GG.segment_minmax(
-                        jnp, jax, [vals], keys, n_groups, [mask])
-                    outs.append(("v", mx))
+                    (mn,), (mx,) = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [mask_i])
+                    v = mn if name == "min" else mx
                 else:
-                    outs.append(("v", jax.ops.segment_max(
-                        jnp.where(mask, vals, -jnp.inf), keys,
-                        num_segments=n_groups)))
+                    v = (jax.ops.segment_min(
+                        jnp.where(mask_i, vals, jnp.inf), keys,
+                        num_segments=n_groups) if name == "min"
+                        else jax.ops.segment_max(
+                        jnp.where(mask_i, vals, -jnp.inf), keys,
+                        num_segments=n_groups))
+                if validity == "matched":
+                    outs.append(("v", (v, cnt_i)))
+                else:
+                    outs.append(("v", v))
         group_count = w_sum()
         return [o for _, o in outs], group_count, key_mins, key_maxs, frac_flags
 

@@ -319,7 +319,7 @@ def _finalize_agg(pname, payload, res, group_count):
     SqlError for genuine SUM(BIGINT) overflow (host-path parity)."""
     from .int_agg import fold_lex_host, fold_limbs_host
 
-    if pname in ("count", "count_star"):
+    if pname in ("count", "count_star", "count_matched"):
         return np.asarray(res).astype(np.int64), T.BIGINT, None
     if pname in ("isum", "iavg"):
         if len(res) == 3:  # mesh merge returns 16-bit-widened limb words
@@ -383,6 +383,22 @@ def _finalize_agg(pname, payload, res, group_count):
         c = np.asarray(dcount, np.float64)
         return (total.astype(np.float64) / np.where(c == 0, 1.0, c),
                 T.DOUBLE, c == 0)
+    if pname in ("min", "max") and isinstance(res, tuple):
+        # outer-join matched-validity min/max: (values, non-NULL count);
+        # a LIVE group with zero valid rows renders NULL → host path
+        v, cntv = res
+        c = np.asarray(cntv, np.float64)
+        return np.asarray(v).astype(np.float64), T.DOUBLE, c == 0
+    if pname in ("sum", "avg", "mean") and isinstance(res, tuple) \
+            and len(res) == 3:
+        # outer-join matched-validity sum/avg: compensated pair + own
+        # non-NULL count (avg divides by it, NOT by the group row count)
+        s64 = np.asarray(res[0], np.float64) + np.asarray(res[1], np.float64)
+        c = np.asarray(res[2], np.float64)
+        bad = c == 0
+        if pname == "sum":
+            return s64, T.DOUBLE, bad
+        return s64 / np.where(bad, 1.0, c), T.DOUBLE, bad
     if pname in ("sum", "avg", "mean") and isinstance(res, tuple):
         # compensated (sum, comp) f32 pair(s), folded here in f64 (exact).
         # Single-device: a [G] pair. Mesh: per-source [ndev, G] pair tables

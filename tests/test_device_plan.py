@@ -507,3 +507,74 @@ def test_fused_mode_single_device(conn_big):
         best = max(cnt.items(),
                    key=lambda kv: (kv[1], -int(np.flatnonzero(vals == kv[0])[0])))[0]
         assert mv == best
+
+
+def test_fused_left_join_aggregate(conn_big, monkeypatch):
+    """LEFT joins fuse on the device with NULL-correct aggregate masking:
+    unmatched fact rows survive, dim-sourced aggregate inputs skip them,
+    coalesce launders dim NULLs, and avg divides by the non-NULL count."""
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    conn.execute("create table ldim as select x as k, (x * 2)::float as w "
+                 "from range(100) r(x)")
+    # fact keys 0..149: 100..149 have NO dim row → real outer NULLs
+    conn.execute(f"create table lfact as select x % 150 as k, x % 7 as g, "
+                 f"(x % 40)::float / 4.0 as v from range({n}) r(x)")
+    q = ("select g, count(*) c, count(w) cw, sum(v) sv, sum(w) sw, "
+         "avg(w) aw, min(w) mnw, max(w) mxw, "
+         "sum(coalesce(w, -1.0)) sc from lfact left join ldim "
+         "on lfact.k = ldim.k group by g order by g")
+    rows = conn.execute(q).rows
+    assert calls["hits"] == 1
+    assert conn._exec_path == "device_join_plan"
+    x = np.arange(n)
+    k = x % 150
+    g = x % 7
+    v = (x % 40).astype(np.float64) / 4.0
+    m = k < 100  # matched rows
+    w = np.where(m, (k * 2).astype(np.float64), np.nan)
+    for key, c, cw, sv, sw, aw, mnw, mxw, sc in rows:
+        sel = g == key
+        assert c == int(sel.sum())
+        assert cw == int((sel & m).sum())
+        assert sv == pytest.approx(v[sel].sum(), rel=1e-6)
+        assert sw == pytest.approx(w[sel & m].sum(), rel=1e-6)
+        assert aw == pytest.approx(w[sel & m].mean(), rel=1e-6)
+        assert mnw == pytest.approx(w[sel & m].min())
+        assert mxw == pytest.approx(w[sel & m].max())
+        want_sc = w[sel & m].sum() + (-1.0) * int((sel & ~m).sum())
+        assert sc == pytest.approx(want_sc, rel=1e-6)
+    # parity: the host path computes the identical answer
+    host = Connection()
+    host.catalog = conn.catalog
+    import infera_tpu.sql.device_join_plan as djp
+    monkeypatch.setattr(djp, "try_execute_join_on_device",
+                        lambda *a, **kw: None)
+    hrows = host.execute(q).rows
+    for a, b in zip(rows, hrows):
+        assert a[0] == b[0] and a[1] == b[1] and a[2] == b[2]
+        for x1, x2 in zip(a[3:], b[3:]):
+            assert x1 == pytest.approx(x2, rel=1e-5)
+
+
+def test_fused_right_join_and_where_guard(conn_big, monkeypatch):
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    conn.execute("create table rdim as select x as k, (x * 3)::float as w "
+                 "from range(80) r(x)")
+    conn.execute(f"create table rfact as select x % 120 as k, "
+                 f"(x % 10)::float as v from range({n}) r(x)")
+    # RIGHT join with the fact side on the right: fused
+    rows = conn.execute(
+        "select count(*) c, count(w) cw from rdim right join rfact "
+        "on rdim.k = rfact.k").rows
+    assert calls["hits"] == 1
+    c, cw = rows[0]
+    x = np.arange(n)
+    assert c == n and cw == int((x % 120 < 80).sum())
+    # WHERE over a dim column under an outer join → host path (3VL)
+    rows = conn.execute(
+        "select count(*) from rfact left join rdim on rfact.k = rdim.k "
+        "where w > 10").rows
+    assert calls["hits"] == 1  # unchanged — fell back
+    assert rows[0][0] == int(((x % 120 < 80) & ((x % 120) * 3 > 10)).sum())
