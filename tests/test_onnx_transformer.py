@@ -160,3 +160,25 @@ def test_transformer_encoder_through_sql_blob():
     (out,) = rows[0]
     assert len(out) == 3
     MODELS.clear()
+
+
+def test_transformer_encoder_quantized_paths():
+    """bf16 and int8 load-time quantization apply to the transformer's
+    MatMul weights through the generic engine path (quantization is not
+    MLP-specific)."""
+    from infera_tpu.onnx.builder import transformer_encoder_model
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    m = transformer_encoder_model(seq=8, d_model=32, n_heads=2,
+                                  n_layers=1, n_classes=4)
+    data = m.serialize()
+    x = np.random.default_rng(0).standard_normal((4, 8 * 32)).astype(
+        np.float32)
+    f32 = np.asarray(compile_model_bytes(data, "q_f32").run(x)[0])
+    bf16 = np.asarray(
+        compile_model_bytes(data, "q_bf16", precision="bf16").run(x)[0])
+    i8 = np.asarray(
+        compile_model_bytes(data, "q_int8", precision="int8").run(x)[0])
+    scale = np.abs(f32).max()
+    assert np.abs(bf16 - f32).max() / scale < 0.02
+    assert np.abs(i8 - f32).max() / scale < 0.05
