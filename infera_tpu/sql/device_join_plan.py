@@ -133,7 +133,7 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     j = sel.from_
     if (
         not isinstance(j, A.Join)
-        or j.kind not in ("INNER", "LEFT", "RIGHT")
+        or j.kind not in ("INNER", "LEFT", "RIGHT", "FULL")
         or not isinstance(j.left, A.BaseTable)
         or not isinstance(j.right, A.BaseTable)
         or sel.having is not None
@@ -141,8 +141,14 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         or len(sel.group_by) > 4
     ):
         return None
-    outer = j.kind != "INNER"  # FULL stays on the host path (phantom dim
-    # rows with NULL fact columns need expression eval outside the plan)
+    outer = j.kind != "INNER"
+    full = j.kind == "FULL"
+    if full and (sel.group_by or sel.where is not None):
+        # FULL is fused only as a global aggregate: the phantom dim rows
+        # (no fact match, NULL fact columns) are combined host-side after
+        # the device pass; a WHERE would need NULL-of-fact-column 3VL and
+        # GROUP BY would need NULL key groups — host path for those
+        return None
     cond = j.on
     if j.using and len(j.using) == 1 and cond is None:
         cond = A.Binary("=", A.ColumnRef(j.using[0], j.left.alias or j.left.name),
@@ -291,6 +297,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
             name = node.name.lower()
             if name not in ("count", "sum", "avg", "mean", "min", "max"):
                 return None  # var/stddev family: single-table plans only
+            if full and name in ("avg", "mean"):
+                return None  # finalized avgs don't combine with phantoms
             if node.is_star or not node.args:
                 if name != "count":
                     return None
@@ -557,6 +565,79 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     except Exception:
         return None  # any trace/compile issue → host path
 
-    return _assemble_result(sel, items_plan, agg_plans, [],
-                            results, group_count, key_mins, key_maxs,
-                            frac_flags, has_keys=bool(key_fns))
+    out = _assemble_result(sel, items_plan, agg_plans, [],
+                           results, group_count, key_mins, key_maxs,
+                           frac_flags, has_keys=bool(key_fns))
+    if out is None or not full:
+        return out
+    try:
+        return _combine_full_phantom(conn, out, items_plan, lowerer, fact,
+                                     fnames, fact_key, dim, dnames, dvals)
+    except Exception:
+        return None  # phantom-side oddity → host path (semantics intact)
+
+
+def _combine_full_phantom(conn, out, items_plan, lowerer, fact, fnames,
+                          fact_key, dim, dnames, dvals):
+    """FULL join = device LEFT pass + the phantom side: dim rows with no
+    fact match contribute one row each with every fact column NULL. The
+    phantom side is at most |dim| rows, so it evaluates host-side and
+    combines into the device global-aggregate row (count/sum add,
+    min/max meet; avg was excluded at plan time)."""
+    from ..columnar import Column, Table
+    from .executor import Scope
+
+    fk_host = np.asarray(lowerer.used_columns[fact_key].data, np.int64)
+    unmatched = ~np.isin(dvals, fk_host)
+    n_ph = int(unmatched.sum())
+    if n_ph == 0:
+        return out
+    cols: dict = {}
+    fact_bares = {k.split(".")[-1].lower() for k in fact.columns}
+    for k, c in dim.columns.items():
+        bare = k.split(".")[-1]
+        pc = Column(np.asarray(c.data)[unmatched], c.sql_type,
+                    None if c.validity is None else
+                    np.asarray(c.validity)[unmatched])
+        for alias in dnames:
+            cols[f"{alias}.{bare}"] = pc
+        if bare.lower() not in fact_bares:
+            cols[bare] = pc
+    dim_bares = {k.split(".")[-1].lower() for k in dim.columns}
+    for k, c in fact.columns.items():
+        bare = k.split(".")[-1]
+        nc = Column(np.zeros(n_ph, c.data.dtype), c.sql_type,
+                    np.zeros(n_ph, bool))
+        for alias in fnames:
+            cols[f"{alias}.{bare}"] = nc
+        if bare.lower() not in dim_bares:
+            cols[bare] = nc
+    scope = Scope(Table(cols))
+    new_cols = {}
+    for (kind, node), (name_out, col) in zip(items_plan,
+                                             out.columns.items()):
+        dev_v = col.value(0)
+        agg = node.name.lower()
+        if node.is_star or not node.args:
+            v = (dev_v or 0) + n_ph
+        else:
+            pc = conn._eval(node.args[0], scope)
+            valid = pc.valid_mask()
+            vals = np.asarray(pc.data, np.float64)[valid]
+            if agg == "count":
+                v = (dev_v or 0) + int(valid.sum())
+            elif len(vals) == 0:
+                v = dev_v
+            elif agg == "sum":
+                v = (0.0 if dev_v is None else dev_v) + float(vals.sum())
+            elif agg == "min":
+                v = float(vals.min()) if dev_v is None else min(
+                    dev_v, float(vals.min()))
+            elif agg == "max":
+                v = float(vals.max()) if dev_v is None else max(
+                    dev_v, float(vals.max()))
+            else:
+                raise ValueError(agg)
+        nc = Column.from_values([v], col.sql_type)
+        new_cols[name_out] = nc
+    return Table(new_cols)

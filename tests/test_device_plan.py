@@ -578,3 +578,40 @@ def test_fused_right_join_and_where_guard(conn_big, monkeypatch):
         "where w > 10").rows
     assert calls["hits"] == 1  # unchanged — fell back
     assert rows[0][0] == int(((x % 120 < 80) & ((x % 120) * 3 > 10)).sum())
+
+
+def test_fused_full_join_global_aggregate(conn_big, monkeypatch):
+    """FULL joins fuse as device LEFT pass + host phantom-side combine:
+    unmatched dim rows contribute rows with NULL fact columns."""
+    conn, n = conn_big
+    calls = _join_probe(monkeypatch)
+    # dim keys 0..199; fact keys only 0..119 → 80 phantom dim rows
+    conn.execute("create table fdim as select x as k, (x * 2)::float as w "
+                 "from range(200) r(x)")
+    conn.execute(f"create table ffact as select x % 120 as k, "
+                 f"(x % 10)::float as v from range({n}) r(x)")
+    q = ("select count(*) c, count(w) cw, count(v) cv, sum(v) sv, "
+         "sum(w) sw, min(w) mnw, max(w) mxw from ffact full join fdim "
+         "on ffact.k = fdim.k")
+    rows = conn.execute(q).rows
+    assert calls["hits"] == 1
+    c, cw, cv, sv, sw, mnw, mxw = rows[0]
+    x = np.arange(n)
+    k = x % 120
+    assert c == n + 80          # every fact row + 80 phantom dim rows
+    assert cw == n + 80         # w is non-NULL on matched fact + phantoms
+    assert cv == n              # v NULL on phantom rows
+    assert sv == pytest.approx((x % 10).astype(np.float64).sum())
+    want_sw = (k * 2).astype(np.float64).sum() + sum(
+        i * 2.0 for i in range(120, 200))
+    assert sw == pytest.approx(want_sw, rel=1e-6)
+    assert mnw == 0.0 and mxw == 398.0
+    # host parity
+    host = Connection()
+    host.catalog = conn.catalog
+    import infera_tpu.sql.device_join_plan as djp
+    monkeypatch.setattr(djp, "try_execute_join_on_device",
+                        lambda *a, **kw: None)
+    hrows = host.execute(q).rows
+    for a, b in zip(rows[0], hrows[0]):
+        assert a == pytest.approx(b, rel=1e-6)
