@@ -130,3 +130,46 @@ def segment_minmax_int32(jnp, jax, k, keys, G: int, mask):
 
     big = jnp.int32(2**31 - 1)
     return (_join(hi_mns, lo_mn, big), _join(hi_mxs, lo_mx, -big - 1))
+
+
+def segment_sum_int_exact(jnp, jax, rows, keys, G: int):
+    """Exact integer segment sums via per-chunk f32 one-hot matmuls.
+
+    Caller guarantees per-chunk per-group sum stays below 2^24 (true for
+    8-bit limb rows at the <= 2^14 chunk the one-hot sizing picks): the
+    chunk partial is then an exactly-representable f32 integer, and the
+    cross-chunk accumulator is int32. Returns int32 [G] per row."""
+    rows = [jnp.asarray(v, jnp.float32) for v in rows]
+    kc, vc = _chunked(jnp, jax, jnp.asarray(keys, jnp.int32), rows, G)
+    iota = jnp.arange(G, dtype=jnp.int32)
+    S = len(rows)
+
+    def body(acc, xs):
+        k = xs[0]
+        oh = (k[:, None] == iota[None, :]).astype(jnp.float32)
+        vstack = jnp.stack(xs[1:], axis=0)
+        part = jnp.dot(vstack, oh, preferred_element_type=jnp.float32)
+        return acc + part.astype(jnp.int32), None
+
+    acc0 = jnp.zeros((S, G), jnp.int32)
+    acc, _ = jax.lax.scan(body, acc0, (kc, *vc))
+    return [acc[i] for i in range(S)]
+
+
+def segment_lex_minmax(jnp, jax, lo_b, hi, keys, G: int, mask,
+                       is_min: bool):
+    """Exact int64 per-group extreme as (hi, lo-biased) int32 words,
+    scatter-free: the hi word reduces through the int32 hi/lo16 split,
+    then the biased lo word reduces among rows whose hi attained it."""
+    import numpy as np
+
+    INT32_MIN = np.int32(-(1 << 31))
+    INT32_MAX = np.int32((1 << 31) - 1)
+    hi_mn, hi_mx = segment_minmax_int32(jnp, jax, hi, keys, G, mask)
+    sel_hi = hi_mn if is_min else hi_mx
+    at_sel = mask & (hi == sel_hi[keys])
+    lo_mn, lo_mx = segment_minmax_int32(jnp, jax, lo_b, keys, G, at_sel)
+    # empty groups resolve naturally: both reductions return the same
+    # INT32_MAX / INT32_MIN identities the scatter path produces
+    del INT32_MIN, INT32_MAX
+    return sel_hi, (lo_mn if is_min else lo_mx)

@@ -942,13 +942,15 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             if name in ("isum", "iavg"):
                 lo, hi = cols[fn + "#lo"], cols[fn + "#hi"]
                 limbs, est = device_limb_sums(
-                    jnp, jax, lo, hi, mask_b.astype(jnp.int32), keys, n_groups)
+                    jnp, jax, lo, hi, mask_b.astype(jnp.int32), keys,
+                    n_groups, gg=GG if use_gemm else None)
                 outs.append(("v", (limbs, est)))
                 continue
             if name in ("imin", "imax"):
                 lo, hi = cols[fn + "#lo"], cols[fn + "#hi"]
                 sel_hi, sel_lo = device_lex_minmax(
-                    jnp, jax, lo, hi, mask_b, keys, n_groups, name == "imin")
+                    jnp, jax, lo, hi, mask_b, keys, n_groups,
+                    name == "imin", gg=GG if use_gemm else None)
                 outs.append(("v", (sel_hi, sel_lo)))
                 continue
             if name == "var":

@@ -51,21 +51,32 @@ def word_columns(col) -> tuple[WordColumn, WordColumn]:
     return pair
 
 
-def device_limb_sums(jnp, jax, lo, hi, wi, keys, n_groups):
+def device_limb_sums(jnp, jax, lo, hi, wi, keys, n_groups, gg=None):
     """Per-group exact partial sums of (lo,hi)-word rows as [G, 8] int32
     8-bit-limb sums plus an f32 magnitude estimate (overflow guard).
-    Caller guarantees rows <= MAX_LIMB_ROWS."""
-    limbs = []
+    Caller guarantees rows <= MAX_LIMB_ROWS. ``gg``: the gemm_groupby
+    module when the caller's plan uses the scatter-free GEMM path — the 8
+    limb rows then share ONE one-hot chunk scan (exact: per-chunk byte
+    sums < 2^24 in f32, int32 cross-chunk accumulator)."""
+    byte_rows = []
     for word in (lo, hi):
         for j in range(4):
-            byte = jnp.bitwise_and(jnp.right_shift(word, 8 * j), 0xFF)
-            limbs.append(jax.ops.segment_sum(byte * wi, keys,
-                                             num_segments=n_groups))
+            byte_rows.append(jnp.bitwise_and(
+                jnp.right_shift(word, 8 * j), 0xFF) * wi)
+    if gg is not None:
+        limbs = gg.segment_sum_int_exact(jnp, jax, byte_rows, keys,
+                                         n_groups)
+    else:
+        limbs = [jax.ops.segment_sum(b, keys, num_segments=n_groups)
+                 for b in byte_rows]
     lof = jnp.where(lo < 0, lo.astype(jnp.float32) + np.float32(2.0**32),
                     lo.astype(jnp.float32))
     vf = hi.astype(jnp.float32) * np.float32(2.0**32) + lof
-    est = jax.ops.segment_sum(jnp.abs(vf) * wi.astype(jnp.float32), keys,
-                              num_segments=n_groups)
+    est_in = jnp.abs(vf) * wi.astype(jnp.float32)
+    if gg is not None:
+        est = gg.segment_sum(jnp, jax, est_in, keys, n_groups)
+    else:
+        est = jax.ops.segment_sum(est_in, keys, num_segments=n_groups)
     return jnp.stack(limbs, axis=1), est
 
 
@@ -84,9 +95,15 @@ def fold_lex_host(hi: np.ndarray, lo_biased: np.ndarray) -> np.ndarray:
     return (hi.astype(np.int64) << 32) + lo_u
 
 
-def device_lex_minmax(jnp, jax, lo, hi, mask, keys, n_groups, is_min: bool):
+def device_lex_minmax(jnp, jax, lo, hi, mask, keys, n_groups, is_min: bool,
+                      gg=None):
     """Exact int64 per-group min/max without 64-bit arithmetic: reduce hi
-    first, then lo (as unsigned) among rows whose hi equals the winner."""
+    first, then lo (as unsigned) among rows whose hi equals the winner.
+    With ``gg`` the reductions run scatter-free (gemm_groupby)."""
+    if gg is not None:
+        lo_b = jnp.bitwise_xor(lo, np.int32(-(1 << 31)))
+        return gg.segment_lex_minmax(jnp, jax, lo_b, hi, keys, n_groups,
+                                     mask, is_min)
     INT32_MIN = np.int32(-(1 << 31))
     INT32_MAX = np.int32((1 << 31) - 1)
     lo_b = jnp.bitwise_xor(lo, INT32_MIN)  # unsigned order

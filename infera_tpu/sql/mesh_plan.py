@@ -393,12 +393,14 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
             elif kind == "ilimb":
                 lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
                 limbs, est = device_limb_sums(
-                    jnp, jax, lo, hi, mask.astype(jnp.int32), keys, G)
+                    jnp, jax, lo, hi, mask.astype(jnp.int32), keys, G,
+                    gg=GG if use_gemm else None)
                 arrs = [limbs, est]
             elif kind in ("lexmin", "lexmax"):
                 lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
                 sel_hi, sel_lo = device_lex_minmax(
-                    jnp, jax, lo, hi, mask, keys, G, kind == "lexmin")
+                    jnp, jax, lo, hi, mask, keys, G, kind == "lexmin",
+                    gg=GG if use_gemm else None)
                 arrs = [sel_hi, sel_lo]
             elif kind == "var":
                 vfn, shift = payload

@@ -202,11 +202,34 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
         else:
             keys = jnp.zeros(CHUNK_ROWS, jnp.int32)
         w = mask.astype(jnp.float32)
+        # GEMM group-by for the chunk's aggregate tail (see device_plan)
+        from ..ops import gemm_groupby as GG
+
+        use_gemm = GG.eligible(CHUNK_ROWS, n_groups)
+
+        def segsum(v):
+            if use_gemm:
+                return GG.segment_sum(jnp, jax, v, keys, n_groups)
+            return jax.ops.segment_sum(v, keys, num_segments=n_groups)
+
+        w_sum_cache = []
+
+        def w_sum():
+            if not w_sum_cache:
+                w_sum_cache.append(segsum(w))
+            return w_sum_cache[0]
+
         outs = []
         key_mins, key_maxs = [], []
         big = jnp.int32(2**31 - 1)
         for kf in key_fns:
             ri = jnp.asarray(kf(cols), jnp.int32)
+            if use_gemm:
+                kmn, kmx = GG.segment_minmax_int32(
+                    jnp, jax, ri, keys, n_groups, mask)
+                key_mins.append(kmn)
+                key_maxs.append(kmx)
+                continue
             key_mins.append(jax.ops.segment_min(
                 jnp.where(mask, ri, big), keys, num_segments=n_groups))
             key_maxs.append(jax.ops.segment_max(
@@ -216,67 +239,55 @@ def try_execute_streaming(conn, sel: A.Select, table: Table,
                 outs.append(None)
                 continue
             if name in ("count_star", "count"):
-                outs.append(jax.ops.segment_sum(w, keys, num_segments=n_groups))
+                outs.append(w_sum())
                 continue
             if name in ("isum", "iavg"):
-                # exact int64 SUM: 8 × 8-bit limbs of the two's-complement
-                # words, each segment-summed in int32 (max 2^20 rows × 255
-                # < 2^28 — exact); host folds limbs into int64. The f32
-                # magnitude estimate drives the overflow guard.
+                # exact int64 SUM: 8-bit limb sums (int_agg semantics);
+                # under GEMM the 8 limb rows share one one-hot chunk scan
+                from .int_agg import device_limb_sums
+
                 lo, hi = int_pairs[fn]
-                wi = mask.astype(jnp.int32)
-                limbs = []
-                for word in (lo, hi):
-                    for j in range(4):
-                        byte = jnp.bitwise_and(
-                            jnp.right_shift(word, 8 * j), 0xFF)
-                        limbs.append(jax.ops.segment_sum(
-                            byte * wi, keys, num_segments=n_groups))
-                lof = jnp.where(lo < 0,
-                                lo.astype(jnp.float32) + np.float32(2.0**32),
-                                lo.astype(jnp.float32))
-                vf = hi.astype(jnp.float32) * np.float32(2.0**32) + lof
-                est = jax.ops.segment_sum(jnp.abs(vf) * w, keys,
-                                          num_segments=n_groups)
-                outs.append((jnp.stack(limbs), est))
+                limbs, est = device_limb_sums(
+                    jnp, jax, lo, hi, mask.astype(jnp.int32), keys,
+                    n_groups, gg=GG if use_gemm else None)
+                # historical layout: [8, G] limb stack
+                outs.append((jnp.transpose(limbs), est))
                 continue
             if name in ("imin", "imax"):
-                # lexicographic (hi, lo-as-unsigned) on device: exact int64
-                # extrema without 64-bit arithmetic
+                # lexicographic (hi, lo-as-unsigned): exact int64 extrema
+                # without 64-bit arithmetic
+                from .int_agg import device_lex_minmax
+
                 lo, hi = int_pairs[fn]
-                lo_b = jnp.bitwise_xor(lo, INT32_MIN)  # unsigned order
-                if name == "imin":
-                    hi_eff = jnp.where(mask, hi, INT32_MAX)
-                    sel_hi = jax.ops.segment_min(hi_eff, keys,
-                                                 num_segments=n_groups)
-                    at_sel = mask & (hi == sel_hi[keys])
-                    lo_eff = jnp.where(at_sel, lo_b, INT32_MAX)
-                    sel_lo = jax.ops.segment_min(lo_eff, keys,
-                                                 num_segments=n_groups)
-                else:
-                    hi_eff = jnp.where(mask, hi, INT32_MIN)
-                    sel_hi = jax.ops.segment_max(hi_eff, keys,
-                                                 num_segments=n_groups)
-                    at_sel = mask & (hi == sel_hi[keys])
-                    lo_eff = jnp.where(at_sel, lo_b, INT32_MIN)
-                    sel_lo = jax.ops.segment_max(lo_eff, keys,
-                                                 num_segments=n_groups)
+                sel_hi, sel_lo = device_lex_minmax(
+                    jnp, jax, lo, hi, mask, keys, n_groups,
+                    name == "imin", gg=GG if use_gemm else None)
                 outs.append((sel_hi, sel_lo))
                 continue
             vals = jnp.asarray(fn(cols), jnp.float32)
             if name == "sum":
-                outs.append(jax.ops.segment_sum(vals * w, keys, num_segments=n_groups))
+                outs.append(segsum(vals * w))
             elif name in ("avg", "mean"):
-                s = jax.ops.segment_sum(vals * w, keys, num_segments=n_groups)
-                c = jax.ops.segment_sum(w, keys, num_segments=n_groups)
-                outs.append((s, c))
+                outs.append((segsum(vals * w), w_sum()))
             elif name == "min":
-                outs.append(jax.ops.segment_min(
-                    jnp.where(mask, vals, jnp.inf), keys, num_segments=n_groups))
+                if use_gemm:
+                    (mn,), _ = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [mask])
+                    outs.append(mn)
+                else:
+                    outs.append(jax.ops.segment_min(
+                        jnp.where(mask, vals, jnp.inf), keys,
+                        num_segments=n_groups))
             elif name == "max":
-                outs.append(jax.ops.segment_max(
-                    jnp.where(mask, vals, -jnp.inf), keys, num_segments=n_groups))
-        group_count = jax.ops.segment_sum(w, keys, num_segments=n_groups)
+                if use_gemm:
+                    _, (mx,) = GG.segment_minmax(
+                        jnp, jax, [vals], keys, n_groups, [mask])
+                    outs.append(mx)
+                else:
+                    outs.append(jax.ops.segment_max(
+                        jnp.where(mask, vals, -jnp.inf), keys,
+                        num_segments=n_groups))
+        group_count = w_sum()
         return outs, group_count, key_mins, key_maxs
 
     # --- mesh-partitioned streaming (round-3: streaming ∘ mesh) ----------

@@ -104,6 +104,7 @@ def eval_outer_join(n=1 << 20, dim=1000):
 
 
 def eval_int8(n=1 << 20, width=256):
+    import os
     import tempfile
 
     import jax
@@ -112,6 +113,10 @@ def eval_int8(n=1 << 20, width=256):
     from ..onnx.builder import mlp_model
     from ..onnx.executor import compile_model_bytes
 
+    # INFERA_EVAL_PRECISIONS=f32,int8 lets a congested compile queue be
+    # ridden one precision per process (each compile can take minutes)
+    precisions = tuple(os.environ.get(
+        "INFERA_EVAL_PRECISIONS", "f32,bf16,int8").split(","))
     data = mlp_model(in_dim=width, hidden=(width, width), out_dim=16).serialize()
     x = jax.block_until_ready(jax.random.normal(
         jax.random.PRNGKey(0), (n, width), jnp.float32))
@@ -119,7 +124,7 @@ def eval_int8(n=1 << 20, width=256):
         f.write(data)
         f.flush()
         results = {}
-        for prec in ("f32", "bf16", "int8"):
+        for prec in precisions:
             model = compile_model_bytes(data, f"m_{prec}", precision=prec)
             if prec == "int8":
                 t0 = time.perf_counter()
@@ -139,9 +144,12 @@ def eval_int8(n=1 << 20, width=256):
             _emit(step="int8_bench", precision=prec,
                   ms_per_iter=round(dt * 1e3, 3),
                   rows_per_s=round(n / dt))
-        _emit(step="int8_summary",
-              int8_vs_f32=round(results["f32"] / results["int8"], 3),
-              bf16_vs_f32=round(results["f32"] / results["bf16"], 3))
+        if "f32" in results and "int8" in results:
+            _emit(step="int8_summary",
+                  int8_vs_f32=round(results["f32"] / results["int8"], 3))
+        if "f32" in results and "bf16" in results:
+            _emit(step="bf16_summary",
+                  bf16_vs_f32=round(results["f32"] / results["bf16"], 3))
 
 
 def eval_mobilenet(iters=20):

@@ -74,7 +74,11 @@ def test_sql_outer_join_device_path(kind):
         f"select count(*) n, count(b) nb, count(a) na "
         f"from l {kind} join r2 on l.k = r2.k"
     ).rows
-    assert conn._exec_path == "device_join"
+    # LEFT keeps the generic device sort-join (r2 has duplicate keys, so
+    # the fused dim-lookup plan is ineligible); RIGHT/FULL orient with l
+    # as the unique-key dimension and now take the fused outer plan
+    assert conn._exec_path == (
+        "device_join" if kind == "left" else "device_join_plan")
     if kind == "left":
         # n/2 even keys × 2 dups + n/2 unmatched odd keys
         assert tuple(res[0]) == (n + n // 2, n, n + n // 2)
