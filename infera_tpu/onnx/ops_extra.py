@@ -691,3 +691,79 @@ def _unique(node, inputs, ctx):
         inverse = rank[inverse]
     return [uniq, first_idx.astype(np.int64),
             inverse.reshape(-1).astype(np.int64), counts.astype(np.int64)]
+
+
+@register("TfIdfVectorizer")
+def _tfidf_vectorizer(node, inputs, ctx):
+    """N-gram counting over integer token tensors (the numeric mode of the
+    op; sklearn/ORT exports use it after external tokenization). All the
+    n-gram structure is attribute-static, so matching lowers to broadcast
+    equality against the pool ngrams over strided windows — pure
+    compare/reduce, jit-safe. String-tensor input is out of scope (no
+    string tensors on device)."""
+    x = inputs[0]
+    if hasattr(x, "dtype") and not jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.integer):
+        raise OnnxError("TfIdfVectorizer: only integer token input is "
+                        "supported (string tensors have no device analog)")
+    x = jnp.asarray(x, jnp.int32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    if x.ndim != 2:
+        raise OnnxError("TfIdfVectorizer: input must be 1-D or 2-D")
+    N, C = x.shape
+    mode = node.attr("mode", "TF")
+    min_g = int(node.attr("min_gram_length", 1))
+    max_g = int(node.attr("max_gram_length", 1))
+    max_skip = int(node.attr("max_skip_count", 0))
+    ngram_counts = [int(v) for v in node.attr("ngram_counts", [])]
+    ngram_indexes = [int(v) for v in node.attr("ngram_indexes", [])]
+    pool = [int(v) for v in node.attr("pool_int64s", [])]
+    weights = node.attr("weights")
+    n_out = max(ngram_indexes) + 1 if ngram_indexes else 0
+    out = jnp.zeros((N, n_out), jnp.float32)
+    if n_out == 0:
+        return [out[0] if squeeze else out]
+    w_arr = np.ones(len(ngram_indexes), np.float32) if weights is None \
+        else np.asarray([float(v) for v in weights], np.float32)
+
+    # decode the pool: section i holds ngrams of length i+1 starting at
+    # pool offset ngram_counts[i]
+    ngram_id = 0
+    for sec, start in enumerate(ngram_counts):
+        L = sec + 1
+        end = ngram_counts[sec + 1] if sec + 1 < len(ngram_counts) \
+            else len(pool)
+        m = (end - start) // L
+        if m == 0:
+            continue
+        grams = np.asarray(pool[start:end], np.int32).reshape(m, L)
+        ids = np.asarray(ngram_indexes[ngram_id:ngram_id + m], np.int32)
+        ngram_id += m
+        if not (min_g <= L <= max_g):
+            continue
+        counts = jnp.zeros((N, m), jnp.float32)
+        skips = range(max_skip + 1) if L > 1 else range(1)
+        for s in skips:
+            span = (L - 1) * (s + 1)
+            P = C - span
+            if P <= 0:
+                continue
+            idx = (np.arange(P)[:, None]
+                   + np.arange(L)[None, :] * (s + 1))  # [P, L]
+            win = x[:, jnp.asarray(idx)]               # [N, P, L]
+            eq = (win[:, :, None, :] == jnp.asarray(grams)[None, None]
+                  ).all(axis=-1)                       # [N, P, m]
+            counts = counts + eq.sum(axis=1).astype(jnp.float32)
+        wv = jnp.asarray(w_arr[ngram_id - m:ngram_id])
+        if mode == "TF":
+            vals = counts
+        elif mode == "IDF":
+            vals = (counts > 0).astype(jnp.float32) * wv[None, :]
+        elif mode == "TFIDF":
+            vals = counts * wv[None, :]
+        else:
+            raise OnnxError(f"TfIdfVectorizer: unknown mode '{mode}'")
+        out = out.at[:, jnp.asarray(ids)].add(vals)
+    return [out[0] if squeeze else out]

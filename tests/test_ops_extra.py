@@ -336,3 +336,56 @@ def test_qlinearmatmul_signed_output_saturation():
         [a2, s, zero8, b, s, zero8, s, np.int8(0)],
     )[0]
     assert out2[0, 0] == -128
+
+
+class TestTfIdfVectorizer:
+    def _node(self, **attrs):
+        from infera_tpu.onnx.proto import Attribute, Node
+
+        return Node(op_type="TfIdfVectorizer", inputs=["x"], outputs=["y"],
+                    attributes={k: Attribute.make(k, v)
+                                for k, v in attrs.items()})
+
+    def _run(self, x, **attrs):
+        import jax.numpy as jnp
+
+        from infera_tpu.onnx.executor import _Ctx
+        from infera_tpu.onnx.ops import get_impl
+
+        return np.asarray(get_impl("", "TfIdfVectorizer")(
+            self._node(**attrs), [jnp.asarray(x)], _Ctx({}))[0])
+
+    def test_tf_uni_and_bigrams(self):
+        x = np.array([[2, 5, 6, 3, 5, 6], [7, 8, 2, 2, 8, 7]], np.int64)
+        out = self._run(x, mode="TF", min_gram_length=1, max_gram_length=2,
+                        max_skip_count=0, ngram_counts=[0, 2],
+                        ngram_indexes=[0, 1, 2, 3],
+                        pool_int64s=[2, 3, 5, 6, 7, 8])
+        np.testing.assert_array_equal(out, [[1, 1, 2, 0], [2, 0, 0, 1]])
+
+    def test_skip_grams_and_length_window(self):
+        # skip-1 bigram (5, 6) matches [5, 9, 6]; unigram section exists
+        # in the pool but min_gram_length=2 excludes it from emission
+        x = np.array([[5, 9, 6, 0]], np.int64)
+        out = self._run(x, mode="TF", min_gram_length=2, max_gram_length=2,
+                        max_skip_count=1, ngram_counts=[0, 1],
+                        ngram_indexes=[0, 1], pool_int64s=[5, 5, 6])
+        np.testing.assert_array_equal(out, [[0, 1]])
+
+    def test_idf_and_tfidf_weights(self):
+        x = np.array([[2, 5, 2], [3, 3, 3]], np.int64)
+        kw = dict(min_gram_length=1, max_gram_length=1, ngram_counts=[0],
+                  ngram_indexes=[0, 1], pool_int64s=[2, 3],
+                  weights=[0.5, 2.0])
+        idf = self._run(x, mode="IDF", **kw)
+        np.testing.assert_allclose(idf, [[0.5, 0.0], [0.0, 2.0]])
+        tfidf = self._run(x, mode="TFIDF", **kw)
+        np.testing.assert_allclose(tfidf, [[1.0, 0.0], [0.0, 6.0]])
+
+    def test_1d_input_and_string_rejection(self):
+        out = self._run(np.array([2, 2, 3], np.int64), mode="TF",
+                        min_gram_length=1, max_gram_length=1,
+                        ngram_counts=[0], ngram_indexes=[0, 1],
+                        pool_int64s=[2, 3])
+        assert out.shape == (2,)
+        np.testing.assert_array_equal(out, [2, 1])
