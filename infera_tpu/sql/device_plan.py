@@ -36,7 +36,14 @@ MIN_DEVICE_ROWS = 1 << 14
 
 _AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max",
               "stddev", "stddev_samp", "stddev_pop",
-              "var_samp", "var_pop", "variance", "median", "mode"}
+              "var_samp", "var_pop", "variance", "median", "mode",
+              "quantile_cont", "quantile_disc", "quantile",
+              "percentile_cont", "percentile_disc"}
+
+# quantile family: name -> continuous interpolation?
+_QUANTILE_FAMILY = {"quantile_cont": True, "percentile_cont": True,
+                    "quantile_disc": False, "quantile": False,
+                    "percentile_disc": False}
 _SCALAR_FNS = {"abs", "sqrt", "floor", "ceil", "round", "exp", "log"}
 
 # variance family: (ddof, apply_sqrt) — decomposes into (sum, sum-of-squares)
@@ -360,6 +367,12 @@ def _finalize_agg(pname, payload, res, group_count):
         c = np.asarray(group_count, np.float64)
         vals = (np.asarray(lo, np.float64) + np.asarray(hi, np.float64)) / 2.0
         return vals, T.DOUBLE, c == 0
+    if pname == "quantile":
+        c = np.asarray(group_count, np.float64)
+        if len(res) == 3:  # continuous: (floor val, ceil val, frac)
+            lo, hi, frac = (np.asarray(a, np.float64) for a in res)
+            return lo + (hi - lo) * frac, T.DOUBLE, c == 0
+        return np.asarray(res[0], np.float64), T.DOUBLE, c == 0
     if pname == "mode":
         mode_v, mcount, bad = res
         if bool(np.asarray(bad)):
@@ -670,6 +683,22 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             if not _f32_safe(arg):
                 return None
             return ("median", lowerer.lower(arg))
+        if name in _QUANTILE_FAMILY:
+            # generalizes the median sort: per-group rank indices from a
+            # STATIC quantile fraction (2nd arg must be a literal); bad
+            # fractions fall to the host path, which raises the error
+            if node.distinct or len(node.args) != 2:
+                return None
+            qlit = node.args[1]
+            if not (isinstance(qlit, A.Literal)
+                    and isinstance(qlit.value, (int, float))
+                    and not isinstance(qlit.value, bool)):
+                return None
+            q = float(qlit.value)
+            if not (0.0 <= q <= 1.0) or not _f32_safe(arg):
+                return None
+            return ("quantile",
+                    (lowerer.lower(arg), q, _QUANTILE_FAMILY[name]))
         if name in _VAR_FAMILY:
             if not _f32_safe(arg):
                 return None
@@ -974,6 +1003,33 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 hi_idx = start + jnp.maximum(cnt_i // 2, 0)
                 outs.append(("v", (svals[jnp.clip(lo_idx, 0, n - 1)],
                                    svals[jnp.clip(hi_idx, 0, n - 1)])))
+                continue
+            if name == "quantile":
+                # same one-sort machinery as median, rank from the static
+                # fraction; cont → (floor, ceil, frac) interpolation in
+                # the finalize, disc → the ceil(q*n)-1 element exactly
+                vfn, q, cont = fn
+                vals = jnp.asarray(vfn(cols), jnp.float32)
+                sort_keys = jnp.where(mask_b, keys, jnp.int32(n_groups))
+                order = jnp.lexsort((vals, sort_keys))
+                svals = vals[order]
+                cnt_i = jax.ops.segment_sum(mask_b.astype(jnp.int32), keys,
+                                            num_segments=n_groups)
+                start = jnp.cumsum(cnt_i) - cnt_i
+                if cont:
+                    pos = q * (cnt_i.astype(jnp.float32) - 1.0)
+                    lo_r = jnp.floor(pos).astype(jnp.int32)
+                    hi_r = jnp.minimum(lo_r + 1, cnt_i - 1)
+                    frac = pos - lo_r.astype(jnp.float32)
+                    lo_i = jnp.clip(start + jnp.maximum(lo_r, 0), 0, n - 1)
+                    hi_i = jnp.clip(start + jnp.maximum(hi_r, 0), 0, n - 1)
+                    outs.append(("v", (svals[lo_i], svals[hi_i], frac)))
+                else:
+                    r = jnp.maximum(jnp.ceil(
+                        q * cnt_i.astype(jnp.float32)).astype(jnp.int32)
+                        - 1, 0)
+                    idx = jnp.clip(start + r, 0, n - 1)
+                    outs.append(("v", (svals[idx],)))
                 continue
             if name == "mode":
                 from .int_agg import device_mode

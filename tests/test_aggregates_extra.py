@@ -98,9 +98,9 @@ def test_global_quantile_and_having(conn):
     assert [r[0] for r in rows] == [1, 2]
 
 
-def test_multi_agg_falls_back_from_device_path(conn):
-    # large numeric table would take the fused device plan for plain
-    # aggregates; quantile must still answer (host path) without error
+def test_multi_agg_on_device_path(conn):
+    # literal-fraction quantiles now FUSE into the device plan (the
+    # median sort machinery); values must match numpy
     c = Connection()
     c.execute("create table big as select x % 4 as g, "
               "(x % 97)::float as f from range(70000) r(x)")
@@ -108,5 +108,9 @@ def test_multi_agg_falls_back_from_device_path(conn):
         "select g, quantile_cont(f, 0.5), sum(f) from big "
         "group by g order by g").rows
     assert len(rows) == 4
-    assert c._exec_path in ("host", "group_aggregate", None) or \
-        "device" not in str(c._exec_path)
+    assert c._exec_path == "device_plan"
+    x = np.arange(70000)
+    for g, q, s in rows:
+        vals = (x[x % 4 == g] % 97).astype(np.float64)
+        assert q == pytest.approx(np.quantile(vals, 0.5), abs=1e-5)
+        assert s == pytest.approx(vals.sum(), rel=1e-9)

@@ -615,3 +615,28 @@ def test_fused_full_join_global_aggregate(conn_big, monkeypatch):
     hrows = host.execute(q).rows
     for a, b in zip(rows[0], hrows[0]):
         assert a == pytest.approx(b, rel=1e-6)
+
+
+def test_fused_quantile(conn_big, monkeypatch):
+    """quantile_cont/disc ride the fused device plan via the median's
+    one-sort machinery, matching numpy exactly."""
+    conn, n = conn_big
+    rows = conn.execute(
+        "select g, quantile_cont(f1, 0.25) qc, quantile_disc(f1, 0.9) qd, "
+        "median(f1) md from big group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    x = np.arange(n)
+    g = x % 7
+    f1 = (x % 100).astype(np.float64) / 10.0
+    for key, qc, qd, md in rows:
+        vals = np.sort(f1[g == key])
+        assert qc == pytest.approx(np.quantile(vals, 0.25), abs=1e-6)
+        idx = max(int(np.ceil(0.9 * len(vals))) - 1, 0)
+        # device carries values in f32; the discrete quantile is that
+        # exact f32 element
+        assert qd == pytest.approx(np.float32(vals[idx]), abs=0)
+        assert md == pytest.approx(np.median(vals), abs=1e-6)
+    # non-literal fraction → host path, same answer
+    rows2 = conn.execute(
+        "select quantile_cont(f1, 0.5 + 0.0) from big").rows
+    assert rows2[0][0] == pytest.approx(np.quantile(f1, 0.5), abs=1e-6)
