@@ -92,6 +92,18 @@ class InList(Expr):
 
 
 @dataclass
+class InSubquery(Expr):
+    operand: Expr
+    query: object = None  # A.Select
+    negated: bool = False
+
+
+@dataclass
+class Exists(Expr):
+    query: object = None  # A.Select
+
+
+@dataclass
 class Between(Expr):
     operand: Expr
     low: Expr

@@ -779,7 +779,28 @@ class Connection:
             t = T.type_from_name(tname)
             return Column.constant(expr.value, t, n)
         if isinstance(expr, A.ColumnRef):
-            return scope.lookup(expr.name, expr.table)
+            try:
+                return scope.lookup(expr.name, expr.table)
+            except SqlError:
+                # correlated subquery: unknown names resolve against the
+                # enclosing rows' correlation bindings (innermost first)
+                for corr in reversed(getattr(self, "_corr_stack", ())):
+                    hit = corr.resolve(expr.name, expr.table)
+                    if hit is not None:
+                        v, t = hit
+                        return Column.constant(
+                            v, t if v is not None else T.SQLNULL, n)
+                raise
+        if isinstance(expr, A.InSubquery):
+            return self._eval_in_subquery(expr, scope)
+        if isinstance(expr, A.Exists):
+            def _exists(tab):
+                return tab.num_rows > 0
+
+            kind, res = self._run_subquery(expr.query, scope, _exists)
+            if kind == "const":
+                return Column.constant(bool(res), T.BOOLEAN, n)
+            return Column(np.asarray(res, bool), T.BOOLEAN)
         if isinstance(expr, A.Cast):
             return self._eval_cast(expr, scope)
         if isinstance(expr, A.Unary):
@@ -987,6 +1008,67 @@ class Connection:
                     results[i] = res.value(i)
         return Column.from_values(results, infer_sql_type(results))
 
+    def _run_subquery(self, q, scope: Scope, collect):
+        """Execute a subquery, decorrelating lazily: the uncorrelated fast
+        path runs ONCE; if binding fails on an unknown column, the query is
+        re-run per outer row with a correlation frame that resolves outer
+        names to that row's scalars (nested-loop semantics — correct for
+        any correlation shape, O(outer_rows) subquery executions).
+        Returns ("const", collect(result)) or ("per_row", [collect(...)])."""
+        try:
+            return "const", collect(self._execute_select(q))
+        except SqlError as e:
+            if "Referenced column" not in str(e):
+                raise
+        stack = getattr(self, "_corr_stack", None)
+        if stack is None:
+            stack = []
+            self._corr_stack = stack
+        vals = []
+        for i in range(scope.num_rows):
+            stack.append(_RowCorrelation(scope, i))
+            try:
+                vals.append(collect(self._execute_select(q)))
+            finally:
+                stack.pop()
+        return "per_row", vals
+
+    def _eval_in_subquery(self, expr: A.InSubquery, scope: Scope) -> Column:
+        """x [NOT] IN (SELECT ...) with SQL three-valued logic: NULL
+        operand → NULL; no match but the subquery produced NULLs → NULL."""
+        operand = self._eval(expr.operand, scope)
+
+        def _value_set(tab):
+            if len(tab.columns) != 1:
+                raise SqlError(
+                    "Binder Error: subquery in IN must return one column")
+            c = next(iter(tab.columns.values()))
+            vals, has_null = set(), False
+            for i in range(tab.num_rows):
+                v = c.value(i)
+                if v is None:
+                    has_null = True
+                else:
+                    vals.add(v)
+            return vals, has_null
+
+        kind, res = self._run_subquery(expr.query, scope, _value_set)
+        n = scope.num_rows
+        out = np.zeros(n, bool)
+        valid = operand.valid_mask().copy()
+        for i in range(n):
+            if not valid[i]:
+                continue
+            vals, has_null = res if kind == "const" else res[i]
+            if operand.value(i) in vals:
+                out[i] = True
+            elif has_null:
+                valid[i] = False
+        if expr.negated:
+            out = ~out
+        return Column(out, T.BOOLEAN,
+                      None if valid.all() else valid)
+
     def _eval_func(self, expr: A.FuncCall, scope: Scope) -> Column:
         name = expr.name.lower()
         if name in self._macros:
@@ -999,12 +1081,18 @@ class Connection:
             bindings = {p.lower(): a for p, a in zip(params, expr.args)}
             return self._eval(_substitute_macro(body, bindings), scope)
         if name == "__scalar_subquery__":
-            sub = self._execute_select(expr.args[0])
-            v = None
-            if sub.num_rows > 0:
-                v = sub.row(0)[0]
-            t = next(iter(sub.columns.values())).sql_type if sub.columns else T.SQLNULL
-            return Column.constant(v, t if v is not None else T.SQLNULL, scope.num_rows)
+            def _first(sub):
+                v = sub.row(0)[0] if sub.num_rows > 0 else None
+                t = (next(iter(sub.columns.values())).sql_type
+                     if sub.columns else T.SQLNULL)
+                return v, t
+            kind, res = self._run_subquery(expr.args[0], scope, _first)
+            if kind == "const":
+                v, t = res
+                return Column.constant(
+                    v, t if v is not None else T.SQLNULL, scope.num_rows)
+            vals = [v for v, _t in res]
+            return Column.from_values(vals, infer_sql_type(vals))
         entry = SCALAR_FUNCTIONS.get(name)
         if entry is None:
             raise SqlError(
@@ -1147,3 +1235,18 @@ def _expr_name(expr: A.Expr, idx: int) -> str:
     if isinstance(expr, A.Cast):
         return _expr_name(expr.operand, idx)
     return f"col{idx}"
+
+
+class _RowCorrelation:
+    """One outer row's name bindings for correlated-subquery execution."""
+
+    def __init__(self, scope: Scope, row: int):
+        self.scope = scope
+        self.row = row
+
+    def resolve(self, name: str, qualifier):
+        try:
+            col = self.scope.lookup(name, qualifier)
+        except SqlError:
+            return None
+        return col.value(self.row), col.sql_type

@@ -493,6 +493,10 @@ class Parser:
     def _parse_in_between_like(self, left: A.Expr, negated: bool) -> A.Expr:
         if self.accept_kw("IN"):
             self.expect_op("(")
+            if self.at_kw("SELECT"):
+                q = self.parse_select()
+                self.expect_op(")")
+                return A.InSubquery(left, q, negated)
             items = []
             while True:
                 items.append(self.parse_expr())
@@ -604,6 +608,12 @@ class Parser:
             return A.Literal(False, "BOOLEAN")
         if upper == "CASE":
             return self._parse_case()
+        if upper == "EXISTS" and self.peek(1).text == "(":
+            self.next()
+            self.expect_op("(")
+            q = self.parse_select()
+            self.expect_op(")")
+            return A.Exists(q)
         if upper == "CAST":
             self.next()
             self.expect_op("(")
