@@ -200,6 +200,9 @@ class Select(Statement):
     from_: TableRef | None = None
     where: Expr | None = None
     group_by: list = field(default_factory=list)
+    # ROLLUP/CUBE/GROUPING SETS: list of key-expr lists; executed as a
+    # UNION ALL of per-set grouped selects (group_by holds the key union)
+    group_sets: list | None = None
     having: Expr | None = None
     order_by: list = field(default_factory=list)  # OrderItem
     limit: int | None = None

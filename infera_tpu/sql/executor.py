@@ -489,8 +489,20 @@ class Connection:
         lcols = list(left.columns.items())
         rcols = list(right.columns.values())
         if op.kind == "UNION":
+            def _typed_null(n_rows: int, like: Column) -> Column:
+                return Column(np.zeros(n_rows, like.data.dtype),
+                              like.sql_type, np.zeros(n_rows, bool))
+
             cols = {}
             for (name, lc), rc in zip(lcols, rcols):
+                # an all-NULL side takes the other side's type (grouping
+                # sets / explicit NULL literals must not demote INTEGER
+                # keys to DOUBLE)
+                if lc.sql_type.name == "NULL" and rc.sql_type.name != "NULL":
+                    lc = _typed_null(left.num_rows, rc)
+                elif (rc.sql_type.name == "NULL"
+                        and lc.sql_type.name != "NULL"):
+                    rc = _typed_null(right.num_rows, lc)
                 t = lc.sql_type if lc.sql_type.name != "NULL" else rc.sql_type
                 if lc.sql_type.np_dtype != rc.sql_type.np_dtype:
                     lc = lc.cast(T.DOUBLE) if lc.sql_type.is_numeric else lc
@@ -529,6 +541,8 @@ class Connection:
         return out
 
     def _execute_select(self, sel: A.Select) -> Table:
+        if getattr(sel, "group_sets", None):
+            return self._execute_grouping_sets(sel)
         # 1a. fused join plan — BEFORE the host join materializes: a
         # fact-to-dimension INNER join + aggregates lowers to one XLA
         # program with a dense key-lookup gather (BASELINE config 3)
@@ -1007,6 +1021,52 @@ class Connection:
                 if not decided[i]:
                     results[i] = res.value(i)
         return Column.from_values(results, infer_sql_type(results))
+
+    def _execute_grouping_sets(self, sel: A.Select) -> Table:
+        """ROLLUP / CUBE / GROUPING SETS as a UNION ALL of per-set grouped
+        selects: each branch groups by its key subset, select items that
+        are group keys OUTSIDE the subset render NULL (with the original
+        output name), and a hidden count(*) keeps every branch on the
+        aggregate path so key-only selects still yield one row per group
+        (and exactly one row for the () grand-total set). ORDER BY / LIMIT
+        apply after the union."""
+        import copy as _copy
+
+        all_keys = sel.group_by
+        branches = []
+        for gs in sel.group_sets:
+            sub = _copy.copy(sel)
+            sub.group_sets = None
+            sub.group_by = list(gs)
+            sub.order_by = []
+            sub.limit = None
+            sub.offset = None
+            items = []
+            for idx, it in enumerate(sel.items):
+                name = it.alias or _expr_name(it.expr, idx)
+                if it.expr in all_keys and it.expr not in gs:
+                    items.append(A.SelectItem(A.Literal(None), name))
+                else:
+                    items.append(A.SelectItem(it.expr, name))
+            items.append(A.SelectItem(
+                A.FuncCall("count", [], is_star=True), "__gs_hidden__"))
+            sub.items = items
+            branches.append(sub)
+        node = branches[0]
+        for nxt in branches[1:]:
+            node = A.SetOp(left=node, right=nxt, kind="UNION", all=True)
+        out = self._execute_query(node) if isinstance(node, A.SetOp) \
+            else self._execute_select(node)
+        out = Table({k: c for k, c in out.columns.items()
+                     if k != "__gs_hidden__"})
+        if sel.order_by:
+            out = self._order_by(out, sel.order_by, Scope(out))
+        if sel.offset is not None or sel.limit is not None:
+            start = sel.offset or 0
+            stop = (start + sel.limit if sel.limit is not None
+                    else out.num_rows)
+            out = out.slice(start, stop)
+        return out
 
     def _run_subquery(self, q, scope: Scope, collect):
         """Execute a subquery, decorrelating lazily: the uncorrelated fast

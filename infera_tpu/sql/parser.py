@@ -300,10 +300,56 @@ class Parser:
             sel.where = self.parse_expr()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            while True:
-                sel.group_by.append(self.parse_expr())
-                if not self.accept_op(","):
-                    break
+            kw = self.peek().upper if self.peek().kind == "IDENT" else ""
+            if kw in ("ROLLUP", "CUBE"):
+                self.next()
+                self.expect_op("(")
+                keys = []
+                while True:
+                    keys.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                if kw == "ROLLUP":
+                    sel.group_sets = [keys[:i] for i in
+                                      range(len(keys), -1, -1)]
+                else:  # CUBE: every subset, original key order inside
+                    import itertools as _it
+
+                    sel.group_sets = [list(c) for r in
+                                      range(len(keys), -1, -1)
+                                      for c in _it.combinations(keys, r)]
+                sel.group_by = list(keys)
+            elif kw == "GROUPING" and self.peek(1).upper == "SETS":
+                self.next()
+                self.next()
+                self.expect_op("(")
+                sets = []
+                while True:
+                    self.expect_op("(")
+                    one = []
+                    if not self.at_op(")"):
+                        while True:
+                            one.append(self.parse_expr())
+                            if not self.accept_op(","):
+                                break
+                    self.expect_op(")")
+                    sets.append(one)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                sel.group_sets = sets
+                seen = []
+                for one in sets:
+                    for e in one:
+                        if e not in seen:
+                            seen.append(e)
+                sel.group_by = seen
+            else:
+                while True:
+                    sel.group_by.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
         if self.accept_kw("HAVING"):
             sel.having = self.parse_expr()
         if self.accept_kw("ORDER"):
