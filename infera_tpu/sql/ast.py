@@ -55,6 +55,12 @@ class WindowFunc(Expr):
     args: list = field(default_factory=list)
     partition_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # OrderItem
+    # frame: (unit, start, end); unit "rows"|"range"; bounds are
+    # "unbounded_preceding"|"unbounded_following"|"current" or
+    # ("preceding"|"following", k). None -> standard default (RANGE
+    # UNBOUNDED PRECEDING..CURRENT ROW when ORDER BY present, else the
+    # whole partition).
+    frame: tuple | None = None
 
 
 @dataclass

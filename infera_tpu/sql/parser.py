@@ -736,8 +736,43 @@ class Parser:
                 order_by.append(A.OrderItem(e, asc))
                 if not self.accept_op(","):
                     break
+        frame = None
+        unit = None
+        if self.at_kw("ROWS"):
+            unit = "rows"
+        elif self.at_kw("RANGE"):
+            unit = "range"
+        if unit is not None:
+            self.next()
+
+            def bound():
+                if self.accept_kw("UNBOUNDED"):
+                    if self.accept_kw("PRECEDING"):
+                        return "unbounded_preceding"
+                    self.expect_kw("FOLLOWING")
+                    return "unbounded_following"
+                if self.accept_kw("CURRENT"):
+                    self.expect_kw("ROW")
+                    return "current"
+                k = self.parse_expr()
+                if not isinstance(k, A.Literal):
+                    raise SqlError("Parser Error: frame offset must be a literal")
+                if self.accept_kw("PRECEDING"):
+                    return ("preceding", k.value)
+                self.expect_kw("FOLLOWING")
+                return ("following", k.value)
+
+            if self.accept_kw("BETWEEN"):
+                start = bound()
+                self.expect_kw("AND")
+                end = bound()
+            else:
+                start = bound()
+                end = "current"
+            frame = (unit, start, end)
         self.expect_op(")")
-        return A.WindowFunc(call.name, call.args, partition_by, order_by)
+        return A.WindowFunc(call.name, call.args, partition_by, order_by,
+                            frame)
 
     def _parse_case(self) -> A.Expr:
         self.expect_kw("CASE")
