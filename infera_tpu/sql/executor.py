@@ -1085,13 +1085,46 @@ class Connection:
             stack = []
             self._corr_stack = stack
         vals = []
+        # memoize on the tuple of outer values the subquery actually read
+        # (recorded by the correlation frame on the first row): duplicate
+        # outer rows reuse one execution — O(distinct) instead of O(rows)
+        used: list = []
+        cache: dict = {}
         for i in range(scope.num_rows):
-            stack.append(_RowCorrelation(scope, i))
+            if used:
+                try:
+                    key = tuple(
+                        self._corr_key(scope, nm, q_, i) for nm, q_ in used)
+                except TypeError:
+                    key = None
+                if key is not None and key in cache:
+                    vals.append(cache[key])
+                    continue
+            else:
+                key = None
+            corr = _RowCorrelation(scope, i)
+            stack.append(corr)
             try:
-                vals.append(collect(self._execute_select(q)))
+                v = collect(self._execute_select(q))
             finally:
                 stack.pop()
+            vals.append(v)
+            if i == 0:
+                used = corr.used
+            elif key is not None:
+                cache[key] = v
+            if i == 0 and used:
+                try:
+                    cache[tuple(self._corr_key(scope, nm, q_, 0)
+                                for nm, q_ in used)] = v
+                except TypeError:
+                    pass
         return "per_row", vals
+
+    def _corr_key(self, scope, name, qualifier, row):
+        v = scope.lookup(name, qualifier).value(row)
+        hash(v)
+        return v
 
     def _eval_in_subquery(self, expr: A.InSubquery, scope: Scope) -> Column:
         """x [NOT] IN (SELECT ...) with SQL three-valued logic: NULL
@@ -1298,15 +1331,20 @@ def _expr_name(expr: A.Expr, idx: int) -> str:
 
 
 class _RowCorrelation:
-    """One outer row's name bindings for correlated-subquery execution."""
+    """One outer row's name bindings for correlated-subquery execution.
+    Records which names resolved (``used``) so _run_subquery can memoize
+    on the outer value tuple."""
 
     def __init__(self, scope: Scope, row: int):
         self.scope = scope
         self.row = row
+        self.used: list = []
 
     def resolve(self, name: str, qualifier):
         try:
             col = self.scope.lookup(name, qualifier)
         except SqlError:
             return None
+        if (name, qualifier) not in self.used:
+            self.used.append((name, qualifier))
         return col.value(self.row), col.sql_type
