@@ -439,6 +439,10 @@ class Connection:
                      + (" (DISTINCT)" if sel.distinct else ""))
         if has_agg:
             keys = len(sel.group_by)
+            gs = getattr(sel, "group_sets", None)
+            if gs:
+                lines.append(
+                    f"{pad}  GROUPING SETS [{len(gs)} sets → UNION ALL]")
             lines.append(f"{pad}  AGGREGATE [group keys: {keys}]"
                          + (" ← fused device plan (single XLA program)"
                             if device else " ← host/hybrid operators"))
