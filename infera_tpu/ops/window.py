@@ -58,19 +58,13 @@ def _frame_bounds(frame, i, n_rows, peer_lo, peer_hi, keyvals, asc):
         kind, k = b
         if keyvals is None:
             raise SqlError(
-                "Binder Error: RANGE offsets need a single numeric "
-                "ORDER BY key")
+                "Binder Error: RANGE offsets need a single ascending "
+                "numeric ORDER BY key")
         v = keyvals[i]
         delta = float(k)
-        if not asc:
-            delta = -delta
         if kind == "preceding":
-            return int(np.searchsorted(
-                keyvals if asc else -keyvals,
-                (v - delta) if asc else -(v - delta), side="left"))
-        return int(np.searchsorted(
-            keyvals if asc else -keyvals,
-            (v + delta) if asc else -(v + delta), side="right")) - 1
+            return int(np.searchsorted(keyvals, v - delta, side="left"))
+        return int(np.searchsorted(keyvals, v + delta, side="right")) - 1
 
     lo = max(one(start, True), 0)
     hi = min(one(end, False), n_rows - 1)
@@ -111,14 +105,15 @@ def eval_window(wf, scope, eval_fn) -> Column:
                  else ("rows", "unbounded_preceding",
                        "unbounded_following"))
 
-    # RANGE numeric offsets: single ascending/descending numeric key
+    # RANGE numeric offsets: single ASCENDING numeric key (descending
+    # offset frames raise through _frame_bounds' keyvals guard)
     range_key = None
     range_asc = True
     if (frame is not None and frame[0] == "range"
             and len(order_cols) == 1
-            and order_cols[0].data.dtype != object):
+            and order_cols[0].data.dtype != object
+            and wf.order_by[0].ascending):
         range_key = order_cols[0].data.astype(np.float64)
-        range_asc = wf.order_by[0].ascending
 
     out_vals: list = [None] * n
 

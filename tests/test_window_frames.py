@@ -51,6 +51,9 @@ def test_range_numeric_offset(conn):
     with pytest.raises(SqlError, match="RANGE offsets"):
         conn.execute("select sum(v) over (order by g, v range between 1 "
                      "preceding and current row) from w")
+    with pytest.raises(SqlError, match="ascending"):
+        conn.execute("select sum(v) over (order by v desc range between "
+                     "1 preceding and current row) from w")
 
 
 def test_percent_rank_cume_dist(conn):
