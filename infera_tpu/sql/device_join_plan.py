@@ -130,6 +130,10 @@ class _JoinLowerer(_Lowerer):
 
 def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     """Compile + run a fused join-aggregate SELECT; Table or None."""
+    import time as _time
+
+    _phases: dict = {}
+    _t0 = _time.perf_counter()
     j = sel.from_
     if (
         not isinstance(j, A.Join)
@@ -534,12 +538,15 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         cache = {}
         conn._device_plan_cache = cache
     compiled = cache.get(plan_key)
+    _phases["compiled"] = compiled is None  # trace+compile lands in exec
     if compiled is None:
         compiled = jax.jit(program)
         if len(cache) >= 16:
             cache.pop(next(iter(cache)))
         cache[plan_key] = compiled
 
+    _phases["plan_ms"] = round((_time.perf_counter() - _t0) * 1e3, 3)
+    _t0 = _time.perf_counter()
     device_cols = {}
     for k, c in lowerer.used_columns.items():
         dev = getattr(c, "_device_array", None)
@@ -554,6 +561,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
             c._device_array = dev
         device_cols["__dimraw__." + k] = dev
     device_cols["__lookup__"] = jnp.asarray(lookup)
+    _phases["upload_ms"] = round((_time.perf_counter() - _t0) * 1e3, 3)
+    _t0 = _time.perf_counter()
     try:
         # ONE batched device→host transfer (see device_plan.py note)
         results, group_count, key_mins, key_maxs, frac_flags = jax.device_get(
@@ -564,6 +573,8 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
         group_count = np.asarray(group_count)
     except Exception:
         return None  # any trace/compile issue → host path
+    _phases["exec_readback_ms"] = round((_time.perf_counter() - _t0) * 1e3, 3)
+    conn._last_phases = _phases
 
     out = _assemble_result(sel, items_plan, agg_plans, [],
                            results, group_count, key_mins, key_maxs,
