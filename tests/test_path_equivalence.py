@@ -183,3 +183,82 @@ def test_varchar_join_device_matches_host():
     total = sum(rcount[int(k)] for k in lkeys)
     wsum = sum((int(v) % 7) * rcount[int(k)] for v, k in zip(x, lkeys))
     assert big == [(total, wsum)]
+
+
+def _host_rows(conn_src, q, monkeypatch):
+    """Re-run q with every fused plan disabled — the semantic oracle."""
+    from infera_tpu.sql import Connection, device_join_plan, device_plan
+
+    host = Connection()
+    host.catalog = conn_src.catalog
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(device_plan, "try_execute_on_device",
+                   lambda *a, **k: None)
+        mp.setattr(device_join_plan, "try_execute_join_on_device",
+                   lambda *a, **k: None)
+        return host.execute(q).rows
+    finally:
+        mp.undo()
+
+
+def _agree(a, b, tol=1e-5):
+    assert len(a) == len(b), (len(a), len(b))
+    for ra, rb in zip(a, b):
+        assert len(ra) == len(rb)
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                assert va == pytest.approx(vb, rel=tol, abs=tol), (ra, rb)
+            else:
+                assert va == vb, (ra, rb)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fused_sql_random_aggregates_agree(seed):
+    """Randomized fused-eligible SELECTs: device plan vs host oracle."""
+    from infera_tpu.sql import Connection
+
+    rng = np.random.default_rng(seed)
+    n = 1 << 15
+    conn = Connection()
+    conn.execute(
+        f"create table rt as select x % {int(rng.integers(2, 9))} as g, "
+        f"(x % {int(rng.integers(10, 200))})::float / 7.0 as f1, "
+        f"((x * 13 + 5) % {int(rng.integers(20, 99))})::float as f2 "
+        f"from range({n}) r(x)")
+    aggs = ["count(*)", "sum(f1)", "avg(f2)", "min(f1)", "max(f2)",
+            "stddev(f1)", "quantile_cont(f1, 0.25)",
+            "quantile_disc(f2, 0.75)", "median(f1)"]
+    picks = list(rng.choice(aggs, size=4, replace=False))
+    where = rng.choice(["", "where f1 > 3.0", "where f2 < 50.0"])
+    q = (f"select g, {', '.join(picks)} from rt {where} "
+         f"group by g order by g")
+    got = conn.execute(q).rows
+    assert conn._exec_path == "device_plan", (conn._exec_path, q)
+    mp = pytest.MonkeyPatch()
+    want = _host_rows(conn, q, mp)
+    _agree(got, want, tol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("kind", ["inner", "left"])
+def test_fused_sql_random_joins_agree(seed, kind):
+    from infera_tpu.sql import Connection
+
+    rng = np.random.default_rng(seed + 10)
+    n = 1 << 15
+    dim_n = int(rng.integers(20, 400))
+    span = int(dim_n * float(rng.uniform(1.0, 2.0)))  # some unmatched keys
+    conn = Connection()
+    conn.execute(f"create table jf as select x % {span} as k, "
+                 f"(x % 30)::float as v, x % 5 as g from range({n}) r(x)")
+    conn.execute(f"create table jd as select x as k, (x * 3)::float as w "
+                 f"from range({dim_n}) r(x)")
+    q = (f"select g, count(*) c, count(w) cw, sum(v) sv, sum(w) sw, "
+         f"min(w) mn, max(w) mx, sum(coalesce(w, -2.0)) sc "
+         f"from jf {kind} join jd on jf.k = jd.k group by g order by g")
+    got = conn.execute(q).rows
+    assert conn._exec_path == "device_join_plan", (conn._exec_path, q)
+    mp = pytest.MonkeyPatch()
+    want = _host_rows(conn, q, mp)
+    _agree(got, want, tol=1e-5)
