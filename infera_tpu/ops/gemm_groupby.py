@@ -173,3 +173,39 @@ def segment_lex_minmax(jnp, jax, lo_b, hi, keys, G: int, mask,
     # INT32_MAX / INT32_MIN identities the scatter path produces
     del INT32_MIN, INT32_MAX
     return sel_hi, (lo_mn if is_min else lo_mx)
+
+
+def segment_count_matrix(jnp, jax, keys, vals, G: int, V: int, ok):
+    """[G, V] co-occurrence counts without a 2-D scatter: per chunk the
+    count matrix is onehot(keys)^T @ onehot(vals) — one MXU contraction —
+    accumulated in f32 (exact: cells are integer counts <= n < 2^24 under
+    the fused plans' row bounds). Feeds DISTINCT presence (counts > 0)
+    and the MODE count matrix. ``ok`` masks rows out of both one-hots."""
+    n = keys.shape[0]
+    chunk = max(1024, min(1 << 13, _TARGET_ELEMS // max(G + V, 1)))
+    c = -(-n // chunk)
+    pad = c * chunk - n
+    keys = jnp.asarray(keys, jnp.int32)
+    vals = jnp.asarray(vals, jnp.int32)
+    okf = jnp.asarray(ok, jnp.float32)
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, G, keys.dtype)])
+        vals = jnp.concatenate([vals, jnp.full(pad, V, vals.dtype)])
+        okf = jnp.concatenate([okf, jnp.zeros(pad, jnp.float32)])
+    kc = keys.reshape(c, chunk)
+    vc = vals.reshape(c, chunk)
+    oc = okf.reshape(c, chunk)
+    iota_g = jnp.arange(G, dtype=jnp.int32)
+    iota_v = jnp.arange(V, dtype=jnp.int32)
+
+    def body(acc, xs):
+        k, v, o = xs
+        ohk = (k[:, None] == iota_g[None, :]).astype(jnp.float32) \
+            * o[:, None]
+        ohv = (v[:, None] == iota_v[None, :]).astype(jnp.float32)
+        return acc + jnp.dot(ohk.T, ohv,
+                             preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((G, V), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (kc, vc, oc))
+    return acc

@@ -1038,13 +1038,15 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 row_idx = jnp.arange(n, dtype=jnp.float32)
                 mode_v, mcount, bad = device_mode(
                     jnp, jax, vals, mask_b, keys, n_groups,
-                    dist_domains[ai], row_idx)
+                    dist_domains[ai], row_idx,
+                    gg=GG if use_gemm else None)
                 outs.append(("v", (mode_v, mcount, bad)))
                 continue
             if name in ("dcount", "dsum", "davg"):
                 vals = jnp.asarray(fn(cols), jnp.float32)
                 pres, bad = device_presence(
-                    jnp, vals, mask_b, keys, n_groups, dist_domains[ai])
+                    jnp, vals, mask_b, keys, n_groups, dist_domains[ai],
+                    gg=GG if use_gemm else None, jax=jax)
                 dcount, dlo, dhi = presence_reduce(jnp, pres, dist_domains[ai])
                 if name == "dcount":
                     outs.append(("v", (dcount, bad)))

@@ -132,14 +132,22 @@ MAX_DISTINCT_SUM_DOMAIN = 1 << 15     # sum/avg: limb exactness bound
 MAX_PRESENCE_ELEMS = 1 << 22          # G*V cap (f32 presence <= 16 MiB)
 
 
-def device_presence(jnp, vals_f32, mask, keys, n_groups, v_domain):
+def device_presence(jnp, vals_f32, mask, keys, n_groups, v_domain,
+                    gg=None, jax=None):
     """([G, V] presence, invalid_flag). Rows whose value is fractional,
-    negative, or >= v_domain raise the flag (host path takes over)."""
+    negative, or >= v_domain raise the flag (host path takes over).
+    With ``gg`` the matrix builds as one-hot outer-product matmuls
+    (gemm_groupby.segment_count_matrix) instead of a 2-D scatter."""
     vi = vals_f32.astype(jnp.int32)
     in_range = (vi >= 0) & (vi < v_domain) & (
         vi.astype(jnp.float32) == vals_f32)
     invalid = jnp.any(mask & ~in_range)
     ok = mask & in_range
+    if gg is not None:
+        counts = gg.segment_count_matrix(
+            jnp, jax, keys, jnp.clip(vi, 0, v_domain - 1), n_groups,
+            v_domain, ok)
+        return (counts > 0).astype(jnp.float32), invalid
     idx = keys * np.int32(v_domain) + jnp.clip(vi, 0, v_domain - 1)
     flat = jnp.zeros(n_groups * v_domain, jnp.float32)
     flat = flat.at[idx].max(ok.astype(jnp.float32))
@@ -147,7 +155,7 @@ def device_presence(jnp, vals_f32, mask, keys, n_groups, v_domain):
 
 
 def device_mode(jnp, jax, vals_f32, mask, keys, n_groups, v_domain,
-                row_idx_f32):
+                row_idx_f32, gg=None):
     """Per-group MODE over a small integer domain: scatter-add a [G, V]
     count matrix plus a first-occurrence-index matrix (scatter-min), then
     select max count with earliest-first-seen tie-break — the host
@@ -156,13 +164,17 @@ def device_mode(jnp, jax, vals_f32, mask, keys, n_groups, v_domain,
     Returns (mode_value [G] f32, max_count [G] f32, invalid_flag). The two
     matrices commute with the mesh exchange (sum- and min-merge)."""
     counts, first, invalid = mode_matrices(
-        jnp, vals_f32, mask, keys, n_groups, v_domain, row_idx_f32)
+        jnp, vals_f32, mask, keys, n_groups, v_domain, row_idx_f32,
+        gg=gg, jax=jax)
     mode_v, mcount = mode_select(jnp, counts, first, v_domain)
     return mode_v, mcount, invalid
 
 
-def mode_matrices(jnp, vals_f32, mask, keys, n_groups, v_domain, row_idx_f32):
-    """([G,V] counts, [G,V] first-occurrence row index, invalid flag)."""
+def mode_matrices(jnp, vals_f32, mask, keys, n_groups, v_domain,
+                  row_idx_f32, gg=None, jax=None):
+    """([G,V] counts, [G,V] first-occurrence row index, invalid flag).
+    With ``gg`` the count matrix builds as one-hot matmuls; the
+    first-occurrence matrix (a min, not a sum) keeps its scatter."""
     import numpy as _np
 
     vi = vals_f32.astype(jnp.int32)
@@ -171,12 +183,17 @@ def mode_matrices(jnp, vals_f32, mask, keys, n_groups, v_domain, row_idx_f32):
     invalid = jnp.any(mask & ~in_range)
     ok = mask & in_range
     idx = keys * _np.int32(v_domain) + jnp.clip(vi, 0, v_domain - 1)
-    flat_c = jnp.zeros(n_groups * v_domain, jnp.float32)
-    flat_c = flat_c.at[idx].add(ok.astype(jnp.float32))
+    if gg is not None:
+        flat_c = gg.segment_count_matrix(
+            jnp, jax, keys, jnp.clip(vi, 0, v_domain - 1), n_groups,
+            v_domain, ok)
+    else:
+        fc = jnp.zeros(n_groups * v_domain, jnp.float32)
+        flat_c = fc.at[idx].add(
+            ok.astype(jnp.float32)).reshape(n_groups, v_domain)
     flat_f = jnp.full(n_groups * v_domain, _np.float32(_np.inf))
     flat_f = flat_f.at[idx].min(jnp.where(ok, row_idx_f32, _np.inf))
-    return (flat_c.reshape(n_groups, v_domain),
-            flat_f.reshape(n_groups, v_domain), invalid)
+    return (flat_c, flat_f.reshape(n_groups, v_domain), invalid)
 
 
 def mode_select(jnp, counts, first, v_domain):

@@ -424,14 +424,15 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                            ).astype(jnp.float32)
                 mc, mf, badf = mode_matrices(
                     jnp, jnp.asarray(vfn(cols), jnp.float32), mask, keys,
-                    G, v_dom, row_idx)
+                    G, v_dom, row_idx, gg=GG if use_gemm else None,
+                    jax=jax)
                 slot_flags[si] = badf
                 arrs = [mc, mf]
             else:  # pres
                 vfn, v_dom = payload
                 pres, badf = device_presence(
                     jnp, jnp.asarray(vfn(cols), jnp.float32), mask, keys,
-                    G, v_dom)
+                    G, v_dom, gg=GG if use_gemm else None, jax=jax)
                 slot_flags[si] = badf
                 arrs = [pres]
             slot_index.append((kind, len(slot_arrays), len(arrs)))
