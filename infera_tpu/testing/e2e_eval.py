@@ -132,8 +132,10 @@ def eval_int8(n=1 << 20, width=256):
     precisions = tuple(os.environ.get(
         "INFERA_EVAL_PRECISIONS", "f32,bf16,int8").split(","))
     data = mlp_model(in_dim=width, hidden=(width, width), out_dim=16).serialize()
+    t0 = time.perf_counter()
     x = jax.block_until_ready(jax.random.normal(
         jax.random.PRNGKey(0), (n, width), jnp.float32))
+    _emit(step="datagen", s=round(time.perf_counter() - t0, 2))
     with tempfile.NamedTemporaryFile(suffix=".onnx") as f:
         f.write(data)
         f.flush()
@@ -144,8 +146,11 @@ def eval_int8(n=1 << 20, width=256):
                 t0 = time.perf_counter()
                 model.calibrate_int8([np.asarray(x[:4096])])
                 _emit(step="calibrate", s=round(time.perf_counter() - t0, 2))
+            t0 = time.perf_counter()
             out = model.run(x)
             np.asarray(jnp.sum(out[0]))  # compile+warm, forced readback
+            _emit(step="first_call", precision=prec,
+                  s=round(time.perf_counter() - t0, 2))
             out = model.run(x)
             np.asarray(jnp.sum(out[0]))
             iters = 30
