@@ -262,3 +262,30 @@ def test_fused_sql_random_joins_agree(seed, kind):
     mp = pytest.MonkeyPatch()
     want = _host_rows(conn, q, mp)
     _agree(got, want, tol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_sql_random_aggregates_agree_on_mesh(seed):
+    """Same randomized queries through the 8-device mesh path."""
+    from infera_tpu.sql import Connection
+
+    rng = np.random.default_rng(seed + 50)
+    n = 1 << 15
+    conn = Connection()
+    conn.set_mesh(8)
+    conn.execute(
+        f"create table rt as select x % {int(rng.integers(2, 9))} as g, "
+        f"(x % {int(rng.integers(10, 200))})::float / 7.0 as f1, "
+        f"((x * 13 + 5) % {int(rng.integers(20, 99))})::float as f2, "
+        f"x * 1000003 as big from range({n}) r(x)")
+    q = ("select g, count(*) c, sum(f1) s1, avg(f2) a2, min(f1) mn, "
+         "max(f2) mx, stddev(f1) sd, sum(big) sb from rt "
+         "where f1 > 2.0 group by g order by g")
+    got = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_mesh", conn._exec_path
+    mp = pytest.MonkeyPatch()
+    want = _host_rows(conn, q, mp)
+    _agree(got, want, tol=1e-4)
+    # int64 SUM is exact on the mesh (limb sums), not approximate
+    for ga, gb in zip(got, want):
+        assert ga[7] == gb[7]
