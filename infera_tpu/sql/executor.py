@@ -1153,14 +1153,24 @@ class Connection:
         n = scope.num_rows
         out = np.zeros(n, bool)
         valid = operand.valid_mask().copy()
-        for i in range(n):
-            if not valid[i]:
-                continue
-            vals, has_null = res if kind == "const" else res[i]
-            if operand.value(i) in vals:
-                out[i] = True
-            elif has_null:
-                valid[i] = False
+        if (kind == "const" and operand.data.dtype != object
+                and all(isinstance(v, (int, float, np.integer, np.floating))
+                        and not isinstance(v, bool) for v in res[0])):
+            # vectorized membership for the common numeric uncorrelated case
+            vals, has_null = res
+            out = np.isin(operand.data.astype(np.float64),
+                          np.asarray(sorted(vals), np.float64)) & valid
+            if has_null:
+                valid &= out  # non-members become NULL, members stay TRUE
+        else:
+            for i in range(n):
+                if not valid[i]:
+                    continue
+                vals, has_null = res if kind == "const" else res[i]
+                if operand.value(i) in vals:
+                    out[i] = True
+                elif has_null:
+                    valid[i] = False
         if expr.negated:
             out = ~out
         return Column(out, T.BOOLEAN,
