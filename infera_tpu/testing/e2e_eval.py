@@ -121,6 +121,8 @@ def eval_int8(n=1 << 20, width=256):
     import os
     import tempfile
 
+    n = int(os.environ.get("INFERA_EVAL_ROWS", n))
+
     import jax
     import jax.numpy as jnp
 
