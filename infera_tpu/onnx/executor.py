@@ -175,6 +175,10 @@ class CompiledOnnxModel:
         for vi, arr in zip(self.runtime_inputs, args):
             values[vi.name] = arr
         ctx = _Ctx(values, self.precision)
+        # propagate the eager-calibration flag: ops record per-node
+        # activation scales only when the CTX carries it (reading it off
+        # the model object left the static int8 path dead — round-3 fix)
+        ctx._calibrating = getattr(self, "_calibrating", False)
         _run_nodes(self.graph, values, ctx, self.nodes)
         outs = []
         for v in self.graph.outputs:
@@ -292,6 +296,13 @@ class CompiledOnnxModel:
                                                     False):
             # first execution doubles as the calibration sample
             self.calibrate_int8(arrays)
+        if (len(arrays) == 1 and self.mlp_plan is not None
+                and self.precision == "int8"):
+            from .fusion import maybe_run_int8_fused
+
+            fused = maybe_run_int8_fused(self, np.asarray(arrays[0]))
+            if fused is not None:
+                return [fused]
         if len(arrays) == 1 and self.mlp_plan is not None and self.precision == "f32":
             from .fusion import maybe_run_fused
 

@@ -23,7 +23,9 @@ from . import proto
 
 
 def detect_mlp(graph: proto.Graph):
-    """Return (params [(w, b), ...], final_softmax) or None."""
+    """Return (params [(w, b), ...], final_softmax, matmul_nodes) or None.
+    ``matmul_nodes`` aligns with params — the int8 fused path reads each
+    layer's calibrated activation scale off its node."""
     runtime_inputs = [v.name for v in graph.inputs
                       if v.name not in graph.initializers]
     if len(runtime_inputs) != 1 or len(graph.outputs) != 1:
@@ -43,6 +45,7 @@ def detect_mlp(graph: proto.Graph):
         return None if t is None else np.asarray(t.array)
 
     params = []
+    matmul_nodes = []
     cur = runtime_inputs[0]
     out_name = graph.outputs[0].name
     final_softmax = False
@@ -78,6 +81,7 @@ def detect_mlp(graph: proto.Graph):
             if b.shape != (w.shape[1],):
                 return None
             params.append((w.astype(np.float32), b.astype(np.float32)))
+            matmul_nodes.append(node)
             cur = nxt
         elif node.op_type == "Relu":
             if not params:
@@ -99,7 +103,7 @@ def detect_mlp(graph: proto.Graph):
         return None
     # activations between layers must be Relu (already enforced by the walk:
     # anything else bailed out)
-    return params, final_softmax
+    return params, final_softmax, matmul_nodes
 
 
 def pallas_mlp_mode() -> str:
@@ -159,7 +163,7 @@ def maybe_run_fused(model, arr, xla_fn=None):
 
     from ..ops.pallas_mlp import fused_mlp_padded, vmem_fits
 
-    params, final_softmax = plan
+    params, final_softmax = plan[0], plan[1]
     if not vmem_fits(params, 1024, arr.shape[1]):
         return None
 
@@ -185,3 +189,77 @@ def maybe_run_fused(model, arr, xla_fn=None):
     if choice == "pallas":
         return run_kernel(arr)
     return None
+
+
+def maybe_run_int8_fused(model, arr):
+    """End-to-end int8 MLP chain: hidden activations stay INT8 between
+    layers instead of round-tripping through f32.
+
+    The per-layer int8 path (ops.py _policy_dot) is activation-bandwidth
+    bound at small widths: each layer writes f32 activations (4 bytes/elt)
+    and re-reads them to quantize — measured int8 0.88× f32 on the
+    256-wide MLP @1M rows. Folding the requantization into the layer
+    epilogue writes int8 (1 byte/elt): q_{i+1} = clip(rint(relu(
+    y_int32 · (s_i·w_i[c]/s_{i+1}) + b/s_{i+1}))). Requires the
+    calibrated per-tensor activation scales (static path); returns None
+    otherwise (caller falls back to the per-layer path)."""
+    plan = getattr(model, "mlp_plan", None)
+    if plan is None or len(plan) < 3:
+        return None
+    params, final_softmax, nodes = plan
+    if arr.ndim != 2 or arr.shape[1] != params[0][0].shape[0]:
+        return None
+    scales = [getattr(nd, "_infera_act_scale", None) for nd in nodes]
+    if any(not s for s in scales):
+        return None  # uncalibrated → per-layer dynamic path
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import _quantize_weight_int8
+
+    wq = []
+    for nd, (w, b) in zip(nodes, params):
+        q, ws = _quantize_weight_int8(nd, "b", w)
+        wq.append((q, ws, b))
+
+    cache = getattr(model, "_int8_fused_cache", None)
+    if cache is None:
+        cache = {}
+        model._int8_fused_cache = cache
+    key = tuple(arr.shape)
+    fn = cache.get(key)
+    if fn is None:
+        n_layers = len(params)
+
+        def forward(x):
+            q = jnp.clip(jnp.rint(x * np.float32(1.0 / scales[0])),
+                         -127, 127).astype(jnp.int8)
+            for i in range(n_layers):
+                w_q, w_scale, b = wq[i]
+                y = jax.lax.dot_general(
+                    q, jnp.asarray(w_q), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                if i < n_layers - 1:
+                    comb = np.asarray(
+                        w_scale * np.float32(scales[i] / scales[i + 1]),
+                        np.float32)
+                    bq = np.asarray(b / np.float32(scales[i + 1]),
+                                    np.float32)
+                    t = y * jnp.asarray(comb) + jnp.asarray(bq)
+                    # relu + requantize in one epilogue, written as int8
+                    q = jnp.clip(jnp.rint(jnp.maximum(t, 0.0)),
+                                 0, 127).astype(jnp.int8)
+                else:
+                    out = (y * jnp.asarray(
+                        w_scale * np.float32(scales[i]))
+                        + jnp.asarray(b))
+                    if final_softmax:
+                        out = jax.nn.softmax(out, axis=-1)
+                    return out
+
+        fn = jax.jit(forward)
+        cache[key] = fn
+    try:
+        return fn(jnp.asarray(arr, jnp.float32))
+    except Exception:
+        return None

@@ -12,7 +12,7 @@ def test_detects_builder_mlp():
     m = builder.mlp_model(in_dim=8, hidden=(16, 16), out_dim=4, softmax=True)
     plan = detect_mlp(m.graph)
     assert plan is not None
-    params, final_softmax = plan
+    params, final_softmax = plan[0], plan[1]
     assert final_softmax
     assert [w.shape for w, _ in params] == [(8, 16), (16, 16), (16, 4)]
 
@@ -21,7 +21,7 @@ def test_detects_linear_model():
     m = builder.linear_model()
     plan = detect_mlp(m.graph)
     assert plan is not None
-    params, final_softmax = plan
+    params, final_softmax = plan[0], plan[1]
     assert not final_softmax
     assert len(params) == 1 and params[0][0].shape == (3, 1)
     np.testing.assert_array_equal(params[0][1], np.array([0.25], np.float32))

@@ -143,3 +143,34 @@ def test_int8_explicit_calibrate_api(tmp_path, clean_registry):
     assert c8._int8_calibrated
     out = np.asarray(c8.run(sample)[0])
     assert np.isfinite(out).all()
+
+
+def test_int8_fused_chain_static_scales():
+    """The fused int8 MLP chain (hidden activations stay int8) engages
+    after calibration and matches the per-layer static path exactly —
+    requantization uses the same calibrated scales, so hidden int8 values
+    are identical (onnx/fusion.py maybe_run_int8_fused)."""
+    import numpy as np
+
+    from infera_tpu.onnx.builder import mlp_model
+    from infera_tpu.onnx.executor import compile_model_bytes
+
+    data = mlp_model(in_dim=64, hidden=(64, 64), out_dim=8).serialize()
+    x = np.random.default_rng(0).standard_normal((512, 64)).astype(
+        np.float32)
+    f32 = np.asarray(compile_model_bytes(data, "q_f").run(x)[0])
+    m8 = compile_model_bytes(data, "q_8", precision="int8")
+    m8.calibrate_int8([x[:256]])
+    # calibration actually recorded static scales (the flag-propagation
+    # regression left them None and the dynamic path silently running)
+    assert all(getattr(nd, "_infera_act_scale", None)
+               for nd in m8.mlp_plan[2])
+    out8 = np.asarray(m8.run(x)[0])
+    assert getattr(m8, "_int8_fused_cache", None)  # fused path executed
+    scale = np.abs(f32).max()
+    assert np.abs(out8 - f32).max() / scale < 0.05
+    m8b = compile_model_bytes(data, "q_8b", precision="int8")
+    m8b.calibrate_int8([x[:256]])
+    m8b.mlp_plan = None  # force the per-layer static path
+    ref8 = np.asarray(m8b.run(x)[0])
+    np.testing.assert_array_equal(out8, ref8)
