@@ -300,7 +300,9 @@ class CompiledOnnxModel:
                 and self.precision == "int8"):
             from .fusion import maybe_run_int8_fused
 
-            fused = maybe_run_int8_fused(self, np.asarray(arrays[0]))
+            # pass the array as-is: np.asarray of a device array would
+            # pull it to the host (a full-tensor round trip per call)
+            fused = maybe_run_int8_fused(self, arrays[0])
             if fused is not None:
                 return [fused]
         if len(arrays) == 1 and self.mlp_plan is not None and self.precision == "f32":

@@ -207,7 +207,8 @@ def maybe_run_int8_fused(model, arr):
     if plan is None or len(plan) < 3:
         return None
     params, final_softmax, nodes = plan
-    if arr.ndim != 2 or arr.shape[1] != params[0][0].shape[0]:
+    if getattr(arr, "ndim", None) != 2 \
+            or arr.shape[1] != params[0][0].shape[0]:
         return None
     scales = [getattr(nd, "_infera_act_scale", None) for nd in nodes]
     if any(not s for s in scales):
@@ -260,6 +261,6 @@ def maybe_run_int8_fused(model, arr):
         fn = jax.jit(forward)
         cache[key] = fn
     try:
-        return fn(jnp.asarray(arr, jnp.float32))
+        return fn(jnp.asarray(arr))
     except Exception:
         return None
