@@ -935,6 +935,43 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 w_sum_cache.append(segsum(w))
             return w_sum_cache[0]
 
+        # Batched GEMM pre-pass: ALL sum-shaped reductions (the w/count
+        # row, every compensated-sum residual, every var pair) share ONE
+        # one-hot chunk scan, and all plain min/max slots share one masked
+        # reduction — the one-hot traffic (n·G f32 per pass) is the
+        # fused-plan tail cost, so pass count is the lever (7 passes → 2
+        # on the benchmark query shape).
+        batch_specs: dict = {}
+        mm_specs: dict = {}
+        if use_gemm:
+            from .mesh_plan import _compensated_shift
+
+            batch_rows = [w]
+            mm_vals = []
+            for ai, (name_, fn_) in enumerate(agg_plans):
+                if name_ in ("sum", "avg", "mean"):
+                    vals_f = jnp.asarray(fn_(cols), jnp.float32)
+                    shift = _compensated_shift(jnp, jax, vals_f, w, keys,
+                                               n_groups)
+                    batch_rows.append((vals_f - shift[keys]) * w)
+                    batch_specs[ai] = ("sum", len(batch_rows) - 1, shift)
+                elif name_ == "var":
+                    vfn_, _dd, _sq, sh_ = fn_
+                    v_ = jnp.asarray(vfn_(cols), jnp.float32) - sh_
+                    batch_rows.append(v_ * w)
+                    batch_rows.append(v_ * v_ * w)
+                    batch_specs[ai] = ("var", len(batch_rows) - 2, None)
+                elif name_ in ("min", "max"):
+                    mm_vals.append(jnp.asarray(fn_(cols), jnp.float32))
+                    mm_specs[ai] = len(mm_vals) - 1
+            batch_res = GG.segment_sum(jnp, jax, batch_rows, keys,
+                                       n_groups)
+            w_sum_cache.append(batch_res[0])
+            if mm_vals:
+                mm_mns, mm_mxs = GG.segment_minmax(
+                    jnp, jax, mm_vals, keys, n_groups,
+                    [w > 0] * len(mm_vals))
+
         outs = []
         key_mins, key_maxs, frac_flags = [], [], []
         big = jnp.int32(2**31 - 1)
@@ -983,6 +1020,11 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 outs.append(("v", (sel_hi, sel_lo)))
                 continue
             if name == "var":
+                if ai in batch_specs:
+                    _, ridx, _sh = batch_specs[ai]
+                    outs.append(("v", (batch_res[ridx],
+                                       batch_res[ridx + 1])))
+                    continue
                 vfn, _ddof, _sq, shift = fn
                 v = jnp.asarray(vfn(cols), jnp.float32) - shift
                 s, s2 = segsum([v * w, v * v * w])
@@ -1060,14 +1102,25 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 # compensated (sum, comp) pair + f64 host fold — matches the
                 # reference host's DOUBLE accumulators (DuckDB sums FLOAT in
                 # double) instead of drifting with plain f32 segment sums
-                from .mesh_plan import _compensated_segment_sum
+                if ai in batch_specs:
+                    from .mesh_plan import (_compensated_finish,
+                                            _opaque_pin)
 
-                s_pair = _compensated_segment_sum(
-                    jax, jnp, vals, w, keys, n_groups, w_sum(),
-                    segsum=segsum if use_gemm else None)
-                outs.append(("v", s_pair))
+                    _, ridx, shift = batch_specs[ai]
+                    pin = _opaque_pin(jnp, w_sum() >= 0.0)
+                    outs.append(("v", _compensated_finish(
+                        jnp, shift, batch_res[ridx], w_sum(), pin)))
+                else:
+                    from .mesh_plan import _compensated_segment_sum
+
+                    s_pair = _compensated_segment_sum(
+                        jax, jnp, vals, w, keys, n_groups, w_sum(),
+                        segsum=segsum if use_gemm else None)
+                    outs.append(("v", s_pair))
             elif name == "min":
-                if use_gemm:
+                if ai in mm_specs:
+                    outs.append(("v", mm_mns[mm_specs[ai]]))
+                elif use_gemm:
                     (mn,), _ = GG.segment_minmax(
                         jnp, jax, [vals], keys, n_groups, [w > 0])
                     outs.append(("v", mn))
@@ -1076,7 +1129,9 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                     outs.append(("v", jax.ops.segment_min(
                         masked, keys, num_segments=n_groups)))
             elif name == "max":
-                if use_gemm:
+                if ai in mm_specs:
+                    outs.append(("v", mm_mxs[mm_specs[ai]]))
+                elif use_gemm:
                     _, (mx,) = GG.segment_minmax(
                         jnp, jax, [vals], keys, n_groups, [w > 0])
                     outs.append(("v", mx))

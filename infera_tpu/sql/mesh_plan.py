@@ -199,32 +199,7 @@ def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt, segsum=None):
     sql/streaming_plan.py's host-side fold)."""
     pin = _opaque_pin(jnp, cnt >= 0.0)
     n = vals.shape[0]
-    # The shift must be DETERMINISTIC under recomputation: XLA clones
-    # producers into multiple consumer fusions, and a cloned f32
-    # scatter-ADD can re-sum in a different order, so a mean estimated via
-    # segment_sum differs ~1 ulp between the resid path and the
-    # shift*cnt path — leaking (shift_A - shift_B) * cnt into the total
-    # (measured -0.5/device on the CPU backend; optimization_barrier does
-    # NOT survive to the passes that clone). segment_min/max are exact in
-    # ANY evaluation order, so a group midrange is clone-proof. The
-    # midrange comes from a strided SAMPLE (scatter volume on the TPU is
-    # the fused-plan tail cost — a full min/max pair would double it);
-    # an unsampled group gets shift 0, i.e. plain-f32 behavior, never
-    # worse than the unshifted sum.
-    cap = 8192
-    if n > cap:
-        stride = n // cap
-        sv = vals[:: stride]
-        sk = keys[:: stride]
-        sw = w[:: stride]
-    else:
-        sv, sk, sw = vals, keys, w
-    gmin = jax.ops.segment_min(
-        jnp.where(sw > 0, sv, jnp.inf), sk, num_segments=G)
-    gmax = jax.ops.segment_max(
-        jnp.where(sw > 0, sv, -jnp.inf), sk, num_segments=G)
-    mid = (gmin + gmax) * jnp.float32(0.5)
-    shift = jnp.where(jnp.isfinite(mid), mid, jnp.float32(0.0))
+    shift = _compensated_shift(jnp, jax, vals, w, keys, G)
     resid = (vals - shift[keys]) * w
     if n <= (1 << 18) and segsum is None:
         # cross-chunk Kahan: worthwhile when the scan stays short
@@ -240,9 +215,47 @@ def _compensated_segment_sum(jax, jnp, vals, w, keys, G, cnt, segsum=None):
         else:
             rs = jax.ops.segment_sum(resid, keys, num_segments=G)
         rc = jnp.zeros_like(rs)
+    s, comp = _compensated_finish(jnp, shift, rs, cnt, pin)
+    return s, comp + rc
+
+
+def _compensated_shift(jnp, jax, vals, w, keys, G):
+    """Clone-proof per-group shift for the compensated sum (see
+    _compensated_segment_sum)."""
+    # The shift must be DETERMINISTIC under recomputation: XLA clones
+    # producers into multiple consumer fusions, and a cloned f32
+    # scatter-ADD can re-sum in a different order, so a mean estimated via
+    # segment_sum differs ~1 ulp between the resid path and the
+    # shift*cnt path — leaking (shift_A - shift_B) * cnt into the total
+    # (measured -0.5/device on the CPU backend; optimization_barrier does
+    # NOT survive to the passes that clone). segment_min/max are exact in
+    # ANY evaluation order, so a group midrange is clone-proof. The
+    # midrange comes from a strided SAMPLE (scatter volume on the TPU is
+    # the fused-plan tail cost — a full min/max pair would double it);
+    # an unsampled group gets shift 0, i.e. plain-f32 behavior, never
+    # worse than the unshifted sum.
+    n = vals.shape[0]
+    cap = 8192
+    if n > cap:
+        stride = n // cap
+        sv = vals[:: stride]
+        sk = keys[:: stride]
+        sw = w[:: stride]
+    else:
+        sv, sk, sw = vals, keys, w
+    gmin = jax.ops.segment_min(
+        jnp.where(sw > 0, sv, jnp.inf), sk, num_segments=G)
+    gmax = jax.ops.segment_max(
+        jnp.where(sw > 0, sv, -jnp.inf), sk, num_segments=G)
+    mid = (gmin + gmax) * jnp.float32(0.5)
+    return jnp.where(jnp.isfinite(mid), mid, jnp.float32(0.0))
+
+
+def _compensated_finish(jnp, shift, rs, cnt, pin):
+    """(sum, comp) pair from a shift and its residual segment sum."""
     p, pe = _two_prod(jnp, shift, cnt, pin)
     s, e = _two_sum(p, rs, pin)
-    return pin(s), pin(e + pe + rc)
+    return pin(s), pin(e + pe)
 
 
 def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,

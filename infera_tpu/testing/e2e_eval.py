@@ -64,17 +64,20 @@ def eval_sql(n=1 << 20):
         m = METRICS.entries[0].as_dict()
         _emit(step="sql_e2e", it=i, wall_ms=round(wall * 1e3, 2),
               path=m["path"], phases=m.get("phases"), groups=len(rows))
-    # tunnel round-trip calibration: a minimal device_get in the same
-    # process — exec_readback minus this is the actual device compute
+    # transfer calibration: device_put + device_get of a DEVICE-committed
+    # array (jnp.arange alone can stay host-backed and measure nothing);
+    # exec_readback minus this is the actual device compute
     import jax
     import jax.numpy as jnp
 
-    tiny = jnp.arange(64)
+    tiny = jax.device_put(np.arange(64, dtype=np.float32),
+                          jax.devices()[0])
+    tiny = jax.block_until_ready(tiny * 2.0)  # force a device result
     jax.device_get(tiny)
     rtts = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.device_get(tiny)
+        jax.device_get(jax.block_until_ready(tiny * 2.0))
         rtts.append(time.perf_counter() - t0)
     _emit(step="rtt_calibration", min_ms=round(min(rtts) * 1e3, 2),
           med_ms=round(sorted(rtts)[2] * 1e3, 2))
