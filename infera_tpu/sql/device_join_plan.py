@@ -479,15 +479,56 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 return w, mask
             if not wm_cache:
                 m2 = mask & matched
-                wm_cache.append((m2.astype(jnp.float32), m2,
-                                 segsum(m2.astype(jnp.float32))))
+                wm_cache.append([m2.astype(jnp.float32), m2, None])
             return wm_cache[0][0], wm_cache[0][1]
 
         def wm_sum():
             w_of("matched")
+            if wm_cache[0][2] is None:
+                wm_cache[0][2] = segsum(wm_cache[0][0])
             return wm_cache[0][2]
 
-        for (name, fn), validity in zip(agg_plans, agg_validity):
+        # Batched GEMM pre-pass (see device_plan.py): all sum-shaped
+        # reductions — including the matched-validity weight row — share
+        # one one-hot scan; min/max slots share one masked reduction with
+        # per-slot masks.
+        batch_specs: dict = {}
+        mm_specs: dict = {}
+        if use_gemm:
+            from .mesh_plan import _compensated_shift
+
+            rows_b = [w]
+            wm_row = None
+            mm_vals = []
+            mm_masks = []
+            if any(v == "matched" for v in agg_validity):
+                w_of("matched")
+                wm_row = len(rows_b)
+                rows_b.append(wm_cache[0][0])
+            for ai, ((name_, fn_), validity_) in enumerate(
+                    zip(agg_plans, agg_validity)):
+                if name_ in ("sum", "avg", "mean"):
+                    vals_f = jnp.asarray(fn_(cols), jnp.float32)
+                    w_i, _m_i = w_of(validity_)
+                    shift = _compensated_shift(jnp, jax, vals_f, w_i,
+                                               keys, n_groups)
+                    rows_b.append((vals_f - shift[keys]) * w_i)
+                    batch_specs[ai] = (len(rows_b) - 1, shift)
+                elif name_ in ("min", "max"):
+                    _w_i, m_i = w_of(validity_)
+                    mm_vals.append(jnp.asarray(fn_(cols), jnp.float32))
+                    mm_masks.append(m_i)
+                    mm_specs[ai] = len(mm_vals) - 1
+            batch_res = GG.segment_sum(jnp, jax, rows_b, keys, n_groups)
+            w_sum_cache.append(batch_res[0])
+            if wm_row is not None:
+                wm_cache[0][2] = batch_res[wm_row]
+            if mm_vals:
+                mm_mns, mm_mxs = GG.segment_minmax(
+                    jnp, jax, mm_vals, keys, n_groups, mm_masks)
+
+        for ai, ((name, fn), validity) in enumerate(
+                zip(agg_plans, agg_validity)):
             if name == "key":
                 outs.append(("key", key_maxs[fn]))
                 continue
@@ -499,27 +540,41 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 continue
             w_i, mask_i = w_of(validity)
             cnt_i = w_sum() if validity == "all" else wm_sum()
-            vals = jnp.asarray(fn(cols), jnp.float32)
             if name in ("sum", "avg", "mean"):
                 # compensated (sum, comp) pair + f64 host fold, matching
                 # device_plan.py (DuckDB-host DOUBLE accumulator parity);
                 # matched-validity slots carry their own non-NULL count
                 # for the avg divisor / empty-group NULL detection
-                from .mesh_plan import _compensated_segment_sum
+                if ai in batch_specs:
+                    from .mesh_plan import (_compensated_finish,
+                                            _opaque_pin)
 
-                s_pair = _compensated_segment_sum(
-                    jax, jnp, vals, w_i, keys, n_groups, cnt_i,
-                    segsum=segsum if use_gemm else None)
+                    ridx, shift = batch_specs[ai]
+                    pin = _opaque_pin(jnp, cnt_i >= 0.0)
+                    s_pair = _compensated_finish(
+                        jnp, shift, batch_res[ridx], cnt_i, pin)
+                else:
+                    from .mesh_plan import _compensated_segment_sum
+
+                    vals = jnp.asarray(fn(cols), jnp.float32)
+                    s_pair = _compensated_segment_sum(
+                        jax, jnp, vals, w_i, keys, n_groups, cnt_i,
+                        segsum=segsum if use_gemm else None)
                 if validity == "matched":
                     outs.append(("v", (*s_pair, cnt_i)))
                 else:
                     outs.append(("v", s_pair))
             elif name in ("min", "max"):
-                if use_gemm:
+                if ai in mm_specs:
+                    v = (mm_mns[mm_specs[ai]] if name == "min"
+                         else mm_mxs[mm_specs[ai]])
+                elif use_gemm:
+                    vals = jnp.asarray(fn(cols), jnp.float32)
                     (mn,), (mx,) = GG.segment_minmax(
                         jnp, jax, [vals], keys, n_groups, [mask_i])
                     v = mn if name == "min" else mx
                 else:
+                    vals = jnp.asarray(fn(cols), jnp.float32)
                     v = (jax.ops.segment_min(
                         jnp.where(mask_i, vals, jnp.inf), keys,
                         num_segments=n_groups) if name == "min"
