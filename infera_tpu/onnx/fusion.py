@@ -227,7 +227,10 @@ def maybe_run_int8_fused(model, arr):
     if cache is None:
         cache = {}
         model._int8_fused_cache = cache
-    key = tuple(arr.shape)
+    # the calibrated activation scales are baked into the jitted closure as
+    # constants, so they must be part of the key: a re-calibration with a
+    # new sample would otherwise silently reuse the stale jit (round-4 fix)
+    key = (tuple(arr.shape), tuple(float(s) for s in scales))
     fn = cache.get(key)
     if fn is None:
         n_layers = len(params)

@@ -271,7 +271,13 @@ def _sorted_group_spans(gv, dv):
 
 
 def _const_arg(col, what: str):
-    if len(col.data) == 0 or col.is_null(0):
+    """Constant argument of a multi-arg aggregate (quantile fraction,
+    string_agg separator). Zero input rows -> None: the aggregate returns
+    NULL for an empty table rather than raising (round-4 fix — the
+    reference returns NULL for quantile_cont(x, 0.5) over 0 rows)."""
+    if len(col.data) == 0:
+        return None
+    if col.is_null(0):
         raise SqlError(f"Binder Error: {what} must be a non-NULL constant")
     return col.value(0)
 
@@ -282,7 +288,10 @@ def _quantile(cols, groups, n_groups, cont: bool):
     PostgreSQL percentile_cont); disc: the exact element at
     ceil(q*n) - 1 in sort order (type-1 / inverted-CDF quantile)."""
     values = cols[0]
-    q = float(_const_arg(cols[1], "quantile fraction"))
+    qv = _const_arg(cols[1], "quantile fraction")
+    if qv is None:  # empty input: NULL result per group
+        return (np.full(n_groups, np.nan), np.ones(n_groups, bool), T.DOUBLE)
+    q = float(qv)
     if not 0.0 <= q <= 1.0:
         raise SqlError("Out of Range Error: quantile fraction must be "
                        "between 0 and 1")
@@ -329,7 +338,11 @@ def _arg_minmax(cols, groups, n_groups, is_min: bool):
 def _string_agg(cols, groups, n_groups):
     """string_agg(x, sep) (listagg alias): NULLs skipped, input order."""
     values = cols[0]
-    sep = str(_const_arg(cols[1], "string_agg separator"))
+    sepv = _const_arg(cols[1], "string_agg separator")
+    if sepv is None:  # empty input: NULL result per group
+        return (np.empty(n_groups, dtype=object),
+                np.ones(n_groups, bool), T.VARCHAR)
+    sep = str(sepv)
     valid = values.valid_mask()
     parts: list = [[] for _ in range(n_groups)]
     for i in np.flatnonzero(valid):

@@ -62,9 +62,15 @@ def _frame_bounds(frame, i, n_rows, peer_lo, peer_hi, keyvals, asc):
                 "numeric ORDER BY key")
         v = keyvals[i]
         delta = float(k)
-        if kind == "preceding":
-            return int(np.searchsorted(keyvals, v - delta, side="left"))
-        return int(np.searchsorted(keyvals, v + delta, side="right")) - 1
+        target = v - delta if kind == "preceding" else v + delta
+        # the searchsorted side follows the bound POSITION, not its kind:
+        # a frame start is the first ordered row with key >= target, a
+        # frame end the last row with key <= target (round-4 fix: choosing
+        # the side by preceding/following included the row's own peers in
+        # '… AND 1 PRECEDING' frames and dropped peers at the frame end)
+        if is_start:
+            return int(np.searchsorted(keyvals, target, side="left"))
+        return int(np.searchsorted(keyvals, target, side="right")) - 1
 
     lo = max(one(start, True), 0)
     hi = min(one(end, False), n_rows - 1)
@@ -203,6 +209,7 @@ def eval_window(wf, scope, eval_fn) -> Column:
         keyvals = (range_key[rows] if range_key is not None else None)
         vals = [arg_col.value(p) for p in rows] if arg_col is not None \
             else None
+        arg_is_int = arg_col is not None and arg_col.sql_type.is_integer
         # prefix sums/counts for the running fast path
         if name in ("count", "sum", "avg", "mean") and vals is not None:
             pc = np.cumsum([v is not None for v in vals])
@@ -226,7 +233,12 @@ def eval_window(wf, scope, eval_fn) -> Column:
                     out_vals[pos] = None
                 else:
                     s = float(ps[hi] - (ps[lo - 1] if lo else 0.0))
-                    out_vals[pos] = s if name == "sum" else s / c
+                    if name == "sum":
+                        # SUM over an integer column stays BIGINT (the f64
+                        # prefix sum is exact below 2^53)
+                        out_vals[pos] = int(s) if arg_is_int else s
+                    else:
+                        out_vals[pos] = s / c
             elif name in ("min", "max"):
                 w = [v for v in vals[lo:hi + 1] if v is not None]
                 out_vals[pos] = (None if not w

@@ -1089,23 +1089,29 @@ class Connection:
             stack = []
             self._corr_stack = stack
         vals = []
-        # memoize on the tuple of outer values the subquery actually read
-        # (recorded by the correlation frame on the first row): duplicate
-        # outer rows reuse one execution — O(distinct) instead of O(rows)
+        # memoize on the tuple of outer values the subquery actually read.
+        # `used` is the UNION of correlated refs across all executed rows
+        # (round-4 fix: keying on row 0's used-set alone let e.g.
+        # CASE WHEN o.a>0 THEN o.b ELSE o.c END cache-hit on (a,b) for a
+        # row whose result depends on c); whenever a row reads a ref not
+        # seen before the cache is invalidated, since its keys were built
+        # under the narrower schema. Duplicate outer tuples reuse one
+        # execution — O(distinct) instead of O(rows).
         used: list = []
         cache: dict = {}
+
+        def key_for(row):
+            try:
+                return tuple(
+                    self._corr_key(scope, nm, q_, row) for nm, q_ in used)
+            except TypeError:
+                return None
+
         for i in range(scope.num_rows):
-            if used:
-                try:
-                    key = tuple(
-                        self._corr_key(scope, nm, q_, i) for nm, q_ in used)
-                except TypeError:
-                    key = None
-                if key is not None and key in cache:
-                    vals.append(cache[key])
-                    continue
-            else:
-                key = None
+            key = key_for(i) if used else None
+            if key is not None and key in cache:
+                vals.append(cache[key])
+                continue
             corr = _RowCorrelation(scope, i)
             stack.append(corr)
             try:
@@ -1113,16 +1119,13 @@ class Connection:
             finally:
                 stack.pop()
             vals.append(v)
-            if i == 0:
-                used = corr.used
-            elif key is not None:
+            new_refs = [u for u in corr.used if u not in used]
+            if new_refs:
+                used = used + new_refs
+                cache.clear()
+                key = key_for(i)
+            if key is not None and used:
                 cache[key] = v
-            if i == 0 and used:
-                try:
-                    cache[tuple(self._corr_key(scope, nm, q_, 0)
-                                for nm, q_ in used)] = v
-                except TypeError:
-                    pass
         return "per_row", vals
 
     def _corr_key(self, scope, name, qualifier, row):

@@ -114,3 +114,15 @@ def test_multi_agg_on_device_path(conn):
         vals = (x[x % 4 == g] % 97).astype(np.float64)
         assert q == pytest.approx(np.quantile(vals, 0.5), abs=1e-5)
         assert s == pytest.approx(vals.sum(), rel=1e-9)
+
+
+def test_multi_aggs_on_empty_table():
+    # ADVICE r3 (low): quantile/string_agg over ZERO rows return NULL, not
+    # a 'must be a non-NULL constant' binder error (the constant column
+    # evaluates to length 0 on an empty table)
+    c = Connection()
+    c.execute("create table e (v INTEGER, s VARCHAR)")
+    assert c.execute("select quantile_cont(v, 0.5) from e").rows == [(None,)]
+    assert c.execute("select quantile_disc(v, 0.9) from e").rows == [(None,)]
+    assert c.execute("select string_agg(s, ',') from e").rows == [(None,)]
+    assert c.execute("select arg_min(v, v) from e").rows == [(None,)]

@@ -174,3 +174,27 @@ def test_int8_fused_chain_static_scales():
     m8b.mlp_plan = None  # force the per-layer static path
     ref8 = np.asarray(m8b.run(x)[0])
     np.testing.assert_array_equal(out8, ref8)
+
+
+def test_int8_fused_cache_keys_on_scales():
+    """ADVICE r3 (low): the fused-int8 jit cache bakes the calibrated
+    activation scales in as constants, so its key must include them — a
+    changed scale must miss the cache (fresh compile), not silently reuse
+    the stale closure."""
+    import numpy as np
+
+    from infera_tpu.onnx.builder import mlp_model
+    from infera_tpu.onnx.executor import compile_model_bytes
+    from infera_tpu.onnx.fusion import maybe_run_int8_fused
+
+    data = mlp_model(in_dim=32, hidden=(32,), out_dim=4).serialize()
+    x = np.random.default_rng(1).standard_normal((64, 32)).astype(np.float32)
+    m8 = compile_model_bytes(data, "q_key", precision="int8")
+    m8.calibrate_int8([x])
+    out_a = np.asarray(maybe_run_int8_fused(m8, x))
+    assert len(m8._int8_fused_cache) == 1
+    for nd in m8.mlp_plan[2]:
+        nd._infera_act_scale = nd._infera_act_scale * 2.0
+    out_b = np.asarray(maybe_run_int8_fused(m8, x))
+    assert len(m8._int8_fused_cache) == 2  # new scales -> new cache entry
+    assert not np.array_equal(out_a, out_b)

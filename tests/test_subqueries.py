@@ -84,3 +84,18 @@ def test_correlated_in_subquery(conn):
 def test_unknown_column_still_errors(conn):
     with pytest.raises(SqlError, match="Referenced column"):
         conn.execute("select v from t where v in (select nope from u)")
+
+
+def test_correlated_case_memoization_uses_all_refs():
+    # ADVICE r3 (low): the memo key must cover the UNION of outer columns
+    # read across rows — a CASE subquery whose row-0 execution reads (a,b)
+    # must not cache-hit on (a,b) for a row whose result depends on c.
+    c = Connection()
+    c.execute("create table o (a INTEGER, b INTEGER, c INTEGER)")
+    # row0: a>0 -> reads b (=10); row1: same (a,b) but c differs AND a<=0
+    # -> reads c; row2: duplicate of row0's (a,b) with c different -> must
+    # still produce 10 (depends only on a,b down that branch)
+    c.execute("insert into o values (1, 10, 99), (0, 10, 7), (1, 10, 55)")
+    rows = c.execute(
+        "select (select case when o.a > 0 then o.b else o.c end) from o").rows
+    assert [r[0] for r in rows] == [10, 7, 10]

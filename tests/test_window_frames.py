@@ -88,3 +88,44 @@ def test_min_max_window_frames(conn):
     rows = conn.execute(
         "select v, min(v) over (order by v desc) from w order by v").rows
     assert [r[1] for r in rows] == list(range(9))  # running min, desc order
+
+
+def test_range_offset_bounds_exclude_current_peers(conn):
+    # ADVICE r3 (medium): the searchsorted side must follow the bound
+    # POSITION (start->left, end->right-1), not the bound kind.
+    # '2 PRECEDING AND 1 PRECEDING': first row has an empty frame -> NULL
+    rows = conn.execute(
+        "select v, sum(v) over (order by v range between 2 preceding and "
+        "1 preceding) from w order by v").rows
+    want = [None] + [sum(j for j in range(9) if i - 2 <= j <= i - 1)
+                     for i in range(1, 9)]
+    assert [r[1] for r in rows] == want
+    # '1 FOLLOWING AND 2 FOLLOWING': last row has an empty frame -> NULL,
+    # never its own value
+    rows = conn.execute(
+        "select v, sum(v) over (order by v range between 1 following and "
+        "2 following) from w order by v").rows
+    want = [sum(j for j in range(9) if i + 1 <= j <= i + 2) or None
+            for i in range(9)]
+    want[-1] = None
+    assert [r[1] for r in rows] == want
+
+
+def test_range_preceding_end_keeps_peer_rows(conn):
+    # duplicate ORDER BY keys: 'UNBOUNDED PRECEDING AND 1 PRECEDING' must
+    # include ALL rows of the preceding peer group (DuckDB gives 2.0 for
+    # the g=1 rows over keys [0,0,0]: count=3... using g keys 0,0,0,1,1,1)
+    rows = conn.execute(
+        "select v, count(v) over (order by g range between unbounded "
+        "preceding and 1 preceding) from w order by g, v").rows
+    # g=0 rows: empty frame -> 0; g=1 rows: all three g=0 rows; g=2: six
+    assert [r[1] for r in rows] == [0, 0, 0, 3, 3, 3, 6, 6, 6]
+
+
+def test_window_sum_int_stays_bigint(conn):
+    # ADVICE r3 (low): SUM(int) OVER (...) must stay integer-typed
+    rows = conn.execute(
+        "select sum(v) over (order by v rows between 1 preceding and "
+        "current row) from w order by v").rows
+    assert all(isinstance(r[0], int) and not isinstance(r[0], bool)
+               for r in rows)
