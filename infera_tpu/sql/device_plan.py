@@ -407,6 +407,9 @@ def _finalize_agg(pname, payload, res, group_count):
         # outer-join matched-validity sum/avg: compensated pair + own
         # non-NULL count (avg divides by it, NOT by the group row count)
         s64 = np.asarray(res[0], np.float64) + np.asarray(res[1], np.float64)
+        if s64.ndim == 2:  # mesh: per-source [ndev, G] aligned pair tables
+            pair_sum = s64.sum(axis=0)
+            s64 = np.tile(pair_sum, len(group_count) // pair_sum.shape[0])
         c = np.asarray(res[2], np.float64)
         bad = c == 0
         if pname == "sum":
