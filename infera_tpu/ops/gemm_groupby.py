@@ -61,8 +61,14 @@ def segment_sum(jnp, jax, vals, keys, G: int):
         k = xs[0]
         oh = (k[:, None] == iota[None, :]).astype(jnp.float32)
         vstack = jnp.stack(xs[1:], axis=0)  # [S, chunk]
+        # HIGHEST: the MXU's DEFAULT precision truncates the VALUE rows to
+        # bf16 (8-bit mantissa) before the contraction — measured ~1e-4
+        # relative error on 1M-row grouped SUMs on real TPU hardware
+        # (round-4 fix; the one-hot side is 0/1-exact either way, and CPU
+        # test runs never see the truncation)
         return acc + jnp.dot(vstack, oh,
-                             preferred_element_type=jnp.float32), None
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST), None
 
     acc0 = jnp.zeros((S, G), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (kc, *vc))

@@ -1,0 +1,377 @@
+"""Pallas lowering of fused SQL plans (the ``device_plan_pallas`` path).
+
+VERDICT r3 item 1: the SQL surface ran its flagship query class (predict →
+filter → group aggregate) through XLA at 19.5 ms while the columnar Pallas
+kernel did the same shape in 0.651 ms (BENCH_r03 — a 30x gap), because the
+XLA aggregate tail is scatter-bound on TPU. This module closes that gap for
+the SQL engine itself: ``sql/device_plan``'s expression closures execute
+INSIDE one Pallas grid pass over feature-major column tiles —
+
+1. the used columns upload once as a stacked [n_cols, N] f32 block
+   (feature-major IS the engine's columnar storage layout);
+2. per tile, the WHERE predicate, group keys, and every aggregate input
+   evaluate on VMEM-resident [1, tile] rows; ``infera_predict`` runs as an
+   in-kernel MXU MLP (f32 HIGHEST for parity — matmul-class results are
+   pinned to 1e-5) whose inter-layer activations never touch HBM;
+3. the group-by tail accumulates into VMEM-resident [G, 128] lane
+   accumulators via one-hot VPU reductions — zero scatters — with
+   cross-tile Kahan compensation on every sum so the f64 host fold matches
+   the XLA path's compensated pairs;
+4. only the tiny group table leaves the chip (the tunnel's readback costs
+   ~1 MB/s, so the fold to [G] happens in a second small jit — the
+   pallas_call stays in its OWN jit per the platform's Mosaic-compose
+   quirk, CLAUDE.md).
+
+Reference hot path replaced: /root/reference/infera/bindings/
+infera_extension.cpp:260-286 (per-chunk Predict + DuckDB's hash aggregate).
+
+Collision/fractional/int-exactness guards mirror sql/device_plan.py: raw
+key min/max per bucket and a fractional-value flag travel with the result;
+an in-kernel magnitude flag (|key| >= 2^24, the f32 int-exactness bound)
+forces fallback to the XLA program before f32 rounding could mask a
+collision.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+PALLAS_MAX_GROUPS = 512
+PALLAS_MAX_COLS = 64
+PALLAS_MAX_WEIGHT_BYTES = 4 << 20
+_F32_EXACT = float(1 << 24)
+_BIG = float(1 << 30)
+
+
+def pallas_sql_mode() -> str:
+    """INFERA_PALLAS_SQL: "1" force (interpret mode off-TPU — the test
+    suite's correctness hook), "0" disable, unset/auto → TPU only."""
+    v = os.environ.get("INFERA_PALLAS_SQL", "auto")
+    return v if v in ("0", "1") else "auto"
+
+
+def pick_tile(n_groups: int) -> int:
+    # bound the [G, tile] one-hot working set to ~4 MB of VMEM f32
+    return 2048 if n_groups > 256 else 4096
+
+
+def _kernel(body, n_weights, n_outs, x_ref, *refs):
+    w_vals = [refs[i][:] for i in range(n_weights)]
+    out_refs = refs[n_weights:n_weights + n_outs]
+    body(x_ref, w_vals, out_refs)
+
+
+def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
+                          n_groups, sum_fns, min_fns, max_fns, n_valid,
+                          n_pad, tile, interpret):
+    """Build the jitted pallas_call for one fused plan.
+
+    Closures (where_fn/key_fns/sum_fns/min_fns/max_fns) take a dict mapping
+    column key → [1, tile] f32 row (plus "__weights__" → list of
+    VMEM-resident weight arrays and "__zeros__" → a [1, tile] zero row for
+    scalar broadcasting) and return [1, tile] arrays (or scalars).
+
+    Output buffers (lane accumulators, folded later by build_fold_call):
+      sumbuf/compbuf [(1+S)*G, 128]  — Kahan (sum, comp) pairs; row block 0
+                                       is the selected-row count
+      minbuf [(M+K)*G, 128]          — min slots then per-key raw minima
+      maxbuf [(X+K)*G, 128]          — max slots then per-key raw maxima
+      flagbuf [K+1, 128]             — per-key fractional flags + the
+                                       |key| >= 2^24 magnitude flag
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G = int(n_groups)
+    S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
+    n_cols = len(col_keys)
+    rows_sum = (1 + S) * G
+    rows_min = max((M + K) * G, 8)
+    rows_max = max((X + K) * G, 8)
+    rows_flag = K + 1
+
+    def _row(v, zeros):
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 0:
+            return v.reshape(1, 1) + zeros
+        return v
+
+    def body(x_ref, w_vals, out_refs):
+        sum_ref, comp_ref, min_ref, max_ref, flag_ref = out_refs
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            sum_ref[:] = jnp.zeros_like(sum_ref)
+            comp_ref[:] = jnp.zeros_like(comp_ref)
+            min_ref[:] = jnp.full_like(min_ref, _BIG)
+            max_ref[:] = jnp.full_like(max_ref, -_BIG)
+            flag_ref[:] = jnp.zeros_like(flag_ref)
+
+        zeros = jnp.zeros((1, tile), jnp.float32)
+        cols = {k: x_ref[i:i + 1, :] for i, k in enumerate(col_keys)}
+        cols["__weights__"] = w_vals
+        cols["__zeros__"] = zeros
+
+        base = pl.program_id(0) * tile
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
+        mask = ridx < n_valid
+        if where_fn is not None:
+            mask = mask & jnp.asarray(_row(where_fn(cols), zeros), bool)
+
+        if key_fns:
+            raws = [_row(kf(cols), zeros) for kf in key_fns]
+            combined = jnp.zeros((1, tile), jnp.int32)
+            for r, stride in zip(raws, strides):
+                combined = combined + r.astype(jnp.int32) * np.int32(
+                    stride & 0x7FFFFFFF)
+            keys = jnp.mod(combined, G)
+        else:
+            raws = []
+            keys = jnp.zeros((1, tile), jnp.int32)
+
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, tile), 0)
+                  == keys) & mask                       # [G, tile] bool
+        oh = onehot.astype(jnp.float32)
+
+        # pin: routes the Kahan error terms through a select on a runtime
+        # predicate so interpret mode (XLA) cannot algebraically cancel the
+        # compensation (see mesh_plan._opaque_pin); Mosaic never rewrites
+        # float algebra, so on hardware this is a free select. The predicate
+        # is a LOAD (flag values are always >= 0) — program_id comparisons
+        # constant-fold during interpret-mode unrolling. Shape [1, 128]:
+        # Mosaic supports sublane-only broadcasts, not sublane+lane.
+        pred = flag_ref[K:K + 1, :] >= jnp.float32(0.0)
+
+        def pin(x):
+            return jnp.where(pred, x, jnp.float32(0.0))
+
+        def kahan_accum(ref, cref, lo, a):
+            """Neumaier-accumulate a [G, tile] summand into the [G, 128]
+            lane accumulator, one 128-lane strip at a time. Each strip add
+            carries its exact two-sum error into c, with the error branch
+            picked by |s| vs |y| (plain Kahan's fast-two-sum assumes
+            |s| >= |y| and loses low bits while the accumulator is still
+            small — measured ±16 on a 8e9-magnitude cancellation column).
+            The f64 host fold of (s, c) then recovers the grouped sum to
+            ~f64 precision, matching the XLA path's compensated pairs."""
+            s = ref[lo:lo + G, :]
+            c = cref[lo:lo + G, :]
+            ar = a.reshape(G, tile // 128, 128)
+            for k in range(tile // 128):
+                y = ar[:, k, :]
+                t = pin(s + y)
+                e = jnp.where(jnp.abs(s) >= jnp.abs(y),
+                              (s - t) + y, (y - t) + s)
+                c = c + e
+                s = t
+            ref[lo:lo + G, :] = s
+            cref[lo:lo + G, :] = c
+
+        kahan_accum(sum_ref, comp_ref, 0, oh)           # selected-row count
+        for si, fn in enumerate(sum_fns):
+            v = _row(fn(cols), zeros)
+            kahan_accum(sum_ref, comp_ref, (1 + si) * G, oh * v)
+
+        def lane_min(a):
+            return jnp.min(a.reshape(G, tile // 128, 128), axis=1)
+
+        def lane_max(a):
+            return jnp.max(a.reshape(G, tile // 128, 128), axis=1)
+
+        for mi, fn in enumerate(min_fns):
+            v = _row(fn(cols), zeros)
+            masked = jnp.where(onehot, jnp.broadcast_to(v, (G, tile)), _BIG)
+            lo = mi * G
+            min_ref[lo:lo + G, :] = jnp.minimum(min_ref[lo:lo + G, :],
+                                                lane_min(masked))
+        for xi, fn in enumerate(max_fns):
+            v = _row(fn(cols), zeros)
+            masked = jnp.where(onehot, jnp.broadcast_to(v, (G, tile)), -_BIG)
+            lo = xi * G
+            max_ref[lo:lo + G, :] = jnp.maximum(max_ref[lo:lo + G, :],
+                                                lane_max(masked))
+
+        big_row = jnp.zeros((1, tile), jnp.float32)
+        for ki, r in enumerate(raws):
+            ri = r.astype(jnp.int32)
+            rt = ri.astype(jnp.float32)
+            # collision-guard payload: per-bucket raw-key min/max (exact in
+            # f32 — the magnitude flag below forces fallback past 2^24)
+            masked_min = jnp.where(onehot, jnp.broadcast_to(rt, (G, tile)),
+                                   _BIG)
+            masked_max = jnp.where(onehot, jnp.broadcast_to(rt, (G, tile)),
+                                   -_BIG)
+            lo = (M + ki) * G
+            min_ref[lo:lo + G, :] = jnp.minimum(min_ref[lo:lo + G, :],
+                                                lane_min(masked_min))
+            lo = (X + ki) * G
+            max_ref[lo:lo + G, :] = jnp.maximum(max_ref[lo:lo + G, :],
+                                                lane_max(masked_max))
+            frac = (mask & (r != rt)).astype(jnp.float32)
+            flag_ref[ki:ki + 1, :] = jnp.maximum(
+                flag_ref[ki:ki + 1, :],
+                jnp.max(frac.reshape(1, tile // 128, 128), axis=1))
+            big_row = jnp.maximum(
+                big_row, (mask & (jnp.abs(r) >= _F32_EXACT)).astype(
+                    jnp.float32))
+        flag_ref[K:K + 1, :] = jnp.maximum(
+            flag_ref[K:K + 1, :],
+            jnp.max(big_row.reshape(1, tile // 128, 128), axis=1))
+
+    weight_specs = [pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                                 memory_space=pltpu.VMEM) for w in weights]
+    out_specs = [
+        pl.BlockSpec((rows_sum, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_sum, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_min, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_max, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_flag, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((rows_sum, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_sum, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_min, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_max, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_flag, 128), jnp.float32),
+    ]
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, body, len(weights), len(out_shape)),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n_cols, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * sum(int(np.prod(w.shape)) for w in weights),
+            bytes_accessed=n_pad * n_cols * 4, transcendentals=0),
+        interpret=interpret,
+    )
+    import jax as _jax
+
+    return _jax.jit(lambda xc, *ws: call(xc, *ws))
+
+
+def _two_sum(jnp, a, b, pin):
+    s = pin(a + b)
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+@functools.lru_cache(maxsize=32)
+def _fold_call(rows_sum, rows_min, rows_max, rows_flag):
+    """Second (plain-XLA, pallas-free) jit: fold the 128 lane columns of
+    each accumulator down to scalars per group slot. Sums fold through a
+    compensation-carrying pairwise tree (f32 pair out; the final f64 fold
+    happens host-side), min/max fold exactly; flags OR-fold. One jit per
+    buffer geometry, one small device→host transfer for everything."""
+    import jax
+    import jax.numpy as jnp
+
+    def fold(sumbuf, compbuf, minbuf, maxbuf, flagbuf):
+        pred = flagbuf[0, 0] > -1.0  # runtime-true: pins the error terms
+        # against XLA's algebraic simplifier (see mesh_plan._opaque_pin)
+
+        def pin(x):
+            return jnp.where(pred, x, jnp.float32(0.0))
+
+        s, c = sumbuf, compbuf
+        while s.shape[-1] > 1:
+            h = s.shape[-1] // 2
+            t, e = _two_sum(jnp, s[..., :h], s[..., h:], pin)
+            s = t
+            c = c[..., :h] + c[..., h:] + e
+        return (s[..., 0], c[..., 0], jnp.min(minbuf, axis=1),
+                jnp.max(maxbuf, axis=1), jnp.max(flagbuf, axis=1))
+
+    return jax.jit(fold)
+
+
+def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
+                       where_fn, key_fns, strides, n_groups, sum_fns,
+                       min_fns, max_fns, n, interpret):
+    """Upload (cached), run the kernel jit + fold jit, return host arrays:
+
+    dict(count [G], sums [(s, c) f32 pairs per slot], mins [M][G],
+         maxs [X][G], kmins/kmaxs [K][G] f32, fracs [K] bool, bad bool)
+    or None on any failure (caller falls back to the XLA program).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    G = int(n_groups)
+    tile = pick_tile(G)
+    n_pad = -(-n // tile) * tile
+    S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
+
+    # stacked feature-major block, cached per (column identities, pad)
+    xc_cache = getattr(conn, "_pallas_xc_cache", None)
+    if xc_cache is None:
+        xc_cache = {}
+        conn._pallas_xc_cache = xc_cache
+    xc_key = (tuple(id(a) for a in col_arrays), n_pad)
+    xc = xc_cache.get(xc_key)
+    if xc is None:
+        host = np.zeros((len(col_arrays), n_pad), np.float32)
+        for i, a in enumerate(col_arrays):
+            host[i, :n] = np.asarray(a, np.float32)
+        xc = jnp.asarray(host)
+        if len(xc_cache) >= 8:
+            xc_cache.pop(next(iter(xc_cache)))
+        xc_cache[xc_key] = xc
+
+    cache = getattr(conn, "_device_plan_cache", None)
+    if cache is None:
+        cache = {}
+        conn._device_plan_cache = cache
+    full_key = ("pallas", plan_key, tile)
+    compiled = cache.get(full_key)
+    if compiled is None:
+        compiled = build_fused_plan_call(
+            col_keys=col_keys, weights=weights, where_fn=where_fn,
+            key_fns=key_fns, strides=strides, n_groups=G, sum_fns=sum_fns,
+            min_fns=min_fns, max_fns=max_fns, n_valid=n, n_pad=n_pad,
+            tile=tile, interpret=interpret)
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        cache[full_key] = compiled
+
+    w_dev = [jnp.asarray(w) for w in weights]
+    try:
+        bufs = compiled(xc, *w_dev)
+        rows_sum = (1 + S) * G
+        rows_min = max((M + K) * G, 8)
+        rows_max = max((X + K) * G, 8)
+        fold = _fold_call(rows_sum, rows_min, rows_max, K + 1)
+        s_f, c_f, min_f, max_f, flag_f = jax.device_get(fold(*bufs))
+    except Exception:
+        return None
+
+    if float(flag_f[K]) > 0.0:
+        return None  # |key| beyond f32 int-exactness → XLA program
+    out = {
+        "count": np.asarray(s_f[:G], np.float64)
+        + np.asarray(c_f[:G], np.float64),
+        "sums": [(s_f[(1 + i) * G:(2 + i) * G], c_f[(1 + i) * G:(2 + i) * G])
+                 for i in range(S)],
+        "mins": [min_f[i * G:(i + 1) * G] for i in range(M)],
+        "maxs": [max_f[i * G:(i + 1) * G] for i in range(X)],
+        "kmins": [min_f[(M + i) * G:(M + i + 1) * G] for i in range(K)],
+        "kmaxs": [max_f[(X + i) * G:(X + i + 1) * G] for i in range(K)],
+        "fracs": [bool(flag_f[i] > 0.0) for i in range(K)],
+    }
+    return out

@@ -214,6 +214,182 @@ class _Lowerer:
         return run
 
 
+class _PallasLowerer(_Lowerer):
+    """Same AST→closure lowering as _Lowerer, but the closures run INSIDE
+    the Pallas fused-plan kernel (ops/pallas_sql.py): columns resolve to
+    [1, tile] rows of the stacked feature-major block, and
+    ``infera_predict`` lowers to an in-kernel MXU MLP over VMEM-resident
+    weights (model.mlp_plan) instead of calling the ONNX executor — the
+    inter-layer activations never leave VMEM. f32 HIGHEST matmul precision
+    keeps the 1e-5 matmul-parity invariant."""
+
+    def __init__(self, table: Table):
+        super().__init__(table)
+        self.weight_arrays: list = []  # flat [wT, b, ...] np arrays
+
+    def _lower_predict(self, expr: A.FuncCall, out_col: int | None = None):
+        import jax
+        import jax.numpy as jnp
+
+        if (not expr.args or not isinstance(expr.args[0], A.Literal)
+                or not isinstance(expr.args[0].value, str)):
+            raise _Unsupported("infera_predict needs a constant model name")
+        model_name = expr.args[0].value
+        model = MODELS.get(model_name)
+        if model is None:
+            raise _Unsupported(f"model {model_name} not loaded at plan time")
+        plan = getattr(model, "mlp_plan", None)
+        if plan is None:
+            raise _Unsupported("pallas plan needs an MLP-shaped model")
+        if getattr(model, "precision", "f32") not in ("f32", None):
+            raise _Unsupported("quantized models stay on the XLA path")
+        params, final_softmax = plan[0], plan[1]
+        d_in = params[0][0].shape[0]
+        d_out = params[-1][0].shape[1]
+        if out_col is None:
+            if d_out != 1:
+                raise _Unsupported("multi-output model under infera_predict")
+            oc = 0
+        else:
+            if out_col < 0 or out_col >= d_out:
+                raise _Unsupported("list index beyond model output width")
+            oc = out_col
+        feature_fns = [self.lower(a) for a in expr.args[1:]]
+        if len(feature_fns) != d_in:
+            raise _Unsupported("feature count mismatch (host path reports it)")
+        self.models[model_name] = model
+        base = len(self.weight_arrays)
+        for w, b in params:
+            self.weight_arrays.append(
+                np.ascontiguousarray(np.asarray(w, np.float32).T))
+            self.weight_arrays.append(
+                np.asarray(b, np.float32).reshape(-1, 1))
+        n_layers = len(params)
+
+        def run(cols):
+            wr = cols["__weights__"]
+            zeros = cols["__zeros__"]
+            feats = []
+            for f in feature_fns:
+                v = jnp.asarray(f(cols), jnp.float32)
+                feats.append(v.reshape(1, 1) + zeros if v.ndim == 0 else v)
+            h = jnp.concatenate(feats, axis=0)  # [d_in, tile]
+            for li in range(n_layers):
+                w = wr[base + 2 * li]
+                b = wr[base + 2 * li + 1]
+                h = jax.lax.dot_general(
+                    w, h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + b
+                if li < n_layers - 1:
+                    h = jnp.maximum(h, 0.0)
+            if final_softmax:
+                h = jax.nn.softmax(h, axis=0)
+            return h[oc:oc + 1, :]
+
+        return run
+
+
+# aggregate names the Pallas fused plan carries (exact-int/var/median/
+# distinct families stay on the XLA program)
+_PALLAS_OK_AGGS = frozenset(
+    {"key", "count", "count_star", "sum", "avg", "mean", "min", "max"})
+
+
+def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
+                      items_plan, having_aggs, plan_key):
+    """Lower the fused plan through the Pallas columnar kernel
+    (ops/pallas_sql.py). Returns the _assemble_result 5-tuple or None
+    (caller falls through to the XLA program — semantics never regress)."""
+    from ..ops import pallas_sql as PS
+
+    mode = PS.pallas_sql_mode()
+    if mode == "0":
+        return None
+    import jax
+
+    # the tunneled TPU platform reports backend "axon", not "tpu" — treat
+    # anything that isn't the CPU/GPU host backend as real TPU hardware
+    # (same convention as onnx/fusion.maybe_run_fused)
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    if interpret and mode != "1":
+        return None  # interpret mode is the test hook, not a fast path
+    if not (1 <= n_groups <= PS.PALLAS_MAX_GROUPS) or n < MIN_DEVICE_ROWS:
+        return None
+    if any(p[0] not in _PALLAS_OK_AGGS for p in agg_plans):
+        return None
+    pl_low = _PallasLowerer(table)
+    try:
+        where_fn = pl_low.lower(sel.where) if sel.where is not None else None
+        key_fns = [pl_low.lower(g) for g in sel.group_by]
+        sum_fns: list = []
+        min_fns: list = []
+        max_fns: list = []
+        slot_map: list = []  # per agg_plans entry
+        nodes = [node for _k, node in items_plan] + list(having_aggs)
+        for (pname, payload), node in zip(agg_plans, nodes):
+            if pname == "key":
+                slot_map.append(("key", payload))
+                continue
+            if pname in ("count", "count_star"):
+                # device-eligible columns carry no NULLs → count(expr)
+                # counts exactly the selected rows (same as the XLA path)
+                slot_map.append(("count", None))
+                continue
+            arg_fn = pl_low.lower(node.args[0])
+            if pname in ("sum", "avg", "mean"):
+                sum_fns.append(arg_fn)
+                slot_map.append((pname, len(sum_fns) - 1))
+            elif pname == "min":
+                min_fns.append(arg_fn)
+                slot_map.append(("min", len(min_fns) - 1))
+            else:
+                max_fns.append(arg_fn)
+                slot_map.append(("max", len(max_fns) - 1))
+    except _Unsupported:
+        return None
+    if not pl_low.used_columns or \
+            len(pl_low.used_columns) > PS.PALLAS_MAX_COLS:
+        return None
+    if sum(w.nbytes for w in pl_low.weight_arrays) > \
+            PS.PALLAS_MAX_WEIGHT_BYTES:
+        return None
+    # the stacked block is f32: integer columns must be exactly
+    # representable (the XLA path rides int32 — exact to 2^31)
+    for c in pl_low.used_columns.values():
+        d = c.data
+        if d.dtype.kind in "iu" and d.size:
+            rng = getattr(c, "_int_range", None)
+            if rng is None:
+                rng = (int(d.min()), int(d.max()))
+                c._int_range = rng
+            if rng[0] < -(1 << 24) or rng[1] > (1 << 24):
+                return None
+    col_keys = sorted(pl_low.used_columns)
+    col_arrays = [pl_low.used_columns[k].data for k in col_keys]
+    res = PS.execute_fused_plan(
+        conn, plan_key=plan_key, col_arrays=col_arrays, col_keys=col_keys,
+        weights=pl_low.weight_arrays, where_fn=where_fn, key_fns=key_fns,
+        strides=strides, n_groups=n_groups, sum_fns=sum_fns,
+        min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret)
+    if res is None:
+        return None
+    results: list = []
+    for spec, si in slot_map:
+        if spec == "key":
+            results.append(np.asarray(res["kmaxs"][si]))
+        elif spec == "count":
+            results.append(res["count"])
+        elif spec in ("sum", "avg", "mean"):
+            results.append(res["sums"][si])  # (sum, comp) f32 pair
+        elif spec == "min":
+            results.append(np.asarray(res["mins"][si]))
+        else:
+            results.append(np.asarray(res["maxs"][si]))
+    return (results, res["count"], res["kmins"], res["kmaxs"],
+            res["fracs"])
+
+
 def _having_supported(expr: A.Expr) -> bool:
     """HAVING predicates the device path handles: aggregate calls, numeric
     literals, and arithmetic/comparison/boolean combinators (no bare column
@@ -898,6 +1074,29 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                 return out_table
             return None  # a guard tripped — host path, not single-device
         # mesh execution unavailable/failed → single-device fused path
+
+    # --- Pallas columnar kernel (device_plan_pallas): the flagship query
+    # class (predict + filter + group aggregate) runs ~30x faster through
+    # ops/pallas_sql.py than through the XLA program below (BENCH_r03:
+    # 0.651 ms kernel vs 19.5 ms XLA @1M rows). Ineligible plans and any
+    # kernel failure fall through to the XLA program unchanged.
+    conn._pallas_plan_used = False
+    if mesh is None:
+        pallas_out = _try_pallas_fused(conn, sel, table, n, n_groups,
+                                       strides, agg_plans, items_plan,
+                                       having_aggs, plan_key)
+        if pallas_out is not None:
+            _phases["pallas_exec_ms"] = round(
+                (_time.perf_counter() - _t0) * 1e3, 3)
+            out_table = _assemble_result(sel, items_plan, agg_plans,
+                                         having_plan, *pallas_out,
+                                         has_keys=bool(key_fns))
+            if out_table is not None:
+                conn._pallas_plan_used = True
+                conn._last_phases = _phases
+                return out_table
+            return None  # collision/frac guard — the XLA program buckets
+            # identically and would trip the same guard → host path
 
     def program(cols):
         mask = None

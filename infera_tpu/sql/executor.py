@@ -552,8 +552,15 @@ class Connection:
         # program with a dense key-lookup gather (BASELINE config 3)
         if isinstance(sel.from_, A.Join):
             from .device_join_plan import try_execute_join_on_device
+            from .shuffle_join_plan import try_execute_shuffle_join
 
             fused = try_execute_join_on_device(self, sel)
+            path_base = "device_join_plan"
+            if fused is None:
+                # big×big fact joins: pre-aggregated shuffle hash join
+                # (BASELINE config 5) — both sides large, duplicate keys
+                fused = try_execute_shuffle_join(self, sel)
+                path_base = "shuffle_join"
             if fused is not None:
                 try:
                     if sel.order_by:
@@ -567,9 +574,9 @@ class Connection:
                         stop = (start + sel.limit if sel.limit is not None
                                 else fused.num_rows)
                         fused = fused.slice(start, stop)
-                    self._exec_path = ("device_join_plan_mesh"
+                    self._exec_path = (path_base + "_mesh"
                                        if getattr(self, "_mesh_plan_used", False)
-                                       else "device_join_plan")
+                                       else path_base)
                     return fused
 
         # 1. FROM
@@ -597,9 +604,12 @@ class Connection:
             if fused is None:
                 fused = try_execute_on_device(self, sel, scope.table)
                 if fused is not None:
-                    self._exec_path = ("device_plan_mesh"
-                                       if getattr(self, "_mesh_plan_used", False)
-                                       else "device_plan")
+                    self._exec_path = (
+                        "device_plan_mesh"
+                        if getattr(self, "_mesh_plan_used", False)
+                        else "device_plan_pallas"
+                        if getattr(self, "_pallas_plan_used", False)
+                        else "device_plan")
             if fused is not None:
                 try:
                     if sel.order_by:

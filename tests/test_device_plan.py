@@ -446,7 +446,9 @@ def test_fused_min_max_distinct_insensitive(conn_big):
     conn, n = conn_big
     rows = conn.execute(
         "select min(distinct f1), max(distinct f2) from big").rows
-    assert conn._exec_path == "device_plan"
+    # min/max are distinct-insensitive → plain fused plan (the pallas
+    # kernel when INFERA_PALLAS_SQL forces it)
+    assert conn._exec_path in ("device_plan", "device_plan_pallas")
     g, f1, f2, f3 = _host_frame(n)
     assert rows[0][0] == pytest.approx(float(f1.min()))
     assert rows[0][1] == pytest.approx(float(f2.max()))

@@ -1,0 +1,157 @@
+"""Pallas-lowered fused SQL plans (ops/pallas_sql.py + device_plan's
+_PallasLowerer): forced on via INFERA_PALLAS_SQL=1 (interpret mode on the
+CPU backend), results must match the host path exactly; ineligible shapes
+fall back to the XLA program/host with identical answers."""
+
+import numpy as np
+import pytest
+
+import infera_tpu as it
+from infera_tpu.sql import Connection
+from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+
+@pytest.fixture()
+def pconn(model_dir, clean_registry, monkeypatch, tmp_path):
+    monkeypatch.setenv("INFERA_PALLAS_SQL", "1")
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(
+        f"create table big as select x % 64 as g, x % 5 as h, "
+        f"(x % 100)::float / 10.0 as f1, ((x + 3) % 50)::float / 5.0 as f2, "
+        f"((x * 7) % 30)::float / 3.0 as f3, ((x * 11) % 90)::float / 9.0 "
+        f"as f4 from range({n}) r(x)")
+    from infera_tpu.onnx.builder import mlp_model
+
+    p = tmp_path / "m.onnx"
+    p.write_bytes(mlp_model(in_dim=4, hidden=(32,), out_dim=1).serialize())
+    it.load_model("m", str(p))
+    return conn, n
+
+
+def _host_rows(conn, q, monkeypatch):
+    host = Connection()
+    host.catalog = conn.catalog
+    import infera_tpu.sql.device_plan as dp
+
+    monkeypatch.setattr(dp, "try_execute_on_device", lambda *a, **k: None)
+    return host.execute(q).rows
+
+
+def _assert_rows_close(rows, hrows, rel=1e-6):
+    assert len(rows) == len(hrows)
+    for a, b in zip(rows, hrows):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            if isinstance(y, float):
+                assert x == pytest.approx(y, rel=rel, abs=1e-9)
+            else:
+                assert x == y
+
+
+def test_pallas_flagship_query_parity(pconn, monkeypatch):
+    """The BASELINE e2e query shape: predict + filter + grouped count/avg/
+    sum runs through the kernel with host-exact results."""
+    conn, n = pconn
+    q = ("select g, count(*) c, avg(infera_predict('m', f1, f2, f3, f4)) p, "
+         "sum(f1) s from big where f2 > 1.0 group by g order by g")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    assert len(rows) == 64
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch))
+
+
+def test_pallas_min_max_multikey_having(pconn, monkeypatch):
+    conn, n = pconn
+    q = ("select g, h, min(f1) mn, max(f2) mx, count(*) c from big "
+         "group by g, h having count(*) > 10 order by g, h")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch))
+
+
+def test_pallas_global_aggregate(pconn, monkeypatch):
+    conn, n = pconn
+    q = ("select count(*), sum(f1 * 2.0 + f3), min(f2 - f4), max(f2) "
+         "from big where f1 > 3.0 and f3 < 8.0")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch))
+
+
+def test_pallas_multi_list_extract(pconn, tmp_path, monkeypatch):
+    """infera_predict_multi_list(...)[k] lowers to the in-kernel MLP's k-th
+    output row."""
+    conn, n = pconn
+    from infera_tpu.onnx.builder import mlp_model
+
+    p = tmp_path / "mc.onnx"
+    p.write_bytes(mlp_model(in_dim=4, hidden=(16,), out_dim=3).serialize())
+    it.load_model("mc", str(p))
+    q = ("select g, avg(infera_predict_multi_list('mc', f1, f2, f3, f4)[2]) "
+         "from big group by g order by g")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-5)
+
+
+def test_pallas_ineligible_falls_back(pconn, monkeypatch):
+    """Exact-int sums, var/median families, and wide-int keys stay off the
+    kernel — answered identically by the XLA program or host."""
+    conn, n = pconn
+    # integer SUM → isum plan (exact int64) → not pallas
+    rows = conn.execute("select g, sum(h) from big group by g order by g").rows
+    assert conn._exec_path == "device_plan"
+    x = np.arange(n)
+    for key, s in rows:
+        assert s == int((x % 5)[x % 64 == key].sum())
+    # stddev → var slots → not pallas
+    conn.execute("select g, stddev(f1) from big group by g")
+    assert conn._exec_path == "device_plan"
+
+
+def test_pallas_wide_int_column_guard(model_dir, clean_registry,
+                                      monkeypatch):
+    """Integer columns beyond the f32-exact range (2^24) must not ride the
+    f32 block."""
+    monkeypatch.setenv("INFERA_PALLAS_SQL", "1")
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(f"create table wt as select x % 3 as g, "
+                 f"(x % 7) * 10000000 as v, (x % 9)::float as f "
+                 f"from range({n}) r(x)")
+    rows = conn.execute(
+        "select g, max(f + v * 0.0), count(*) from wt "
+        "group by g order by g").rows
+    # v (up to 6e7 > 2^24) disqualifies the pallas block
+    assert conn._exec_path != "device_plan_pallas"
+    assert len(rows) == 3
+
+
+def test_pallas_knob_off(pconn):
+    conn, n = pconn
+    import os
+
+    os.environ["INFERA_PALLAS_SQL"] = "0"
+    try:
+        conn.execute("select g, count(*) from big group by g")
+        assert conn._exec_path == "device_plan"
+    finally:
+        os.environ["INFERA_PALLAS_SQL"] = "1"
+
+
+def test_pallas_matches_sqllogic_tolerances(pconn, monkeypatch):
+    """Compensated lane sums: a pathological cancellation column still
+    folds to the host answer within f64-visible tolerance."""
+    conn, n = pconn
+    conn.execute(
+        f"create table pc as select x % 4 as g, "
+        f"case when x % 2 = 0 then 1000000.0 + (x % 13)::float "
+        f"else -1000000.0 end as v from range({n}) r(x)")
+    q = "select g, sum(v) from pc group by g order by g"
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    hrows = _host_rows(conn, q, monkeypatch)
+    for a, b in zip(rows, hrows):
+        assert a[0] == b[0]
+        assert a[1] == pytest.approx(b[1], abs=0.5)
