@@ -212,8 +212,106 @@ def eval_mobilenet(iters=20):
     MODELS.clear()
 
 
+def eval_window(n=1 << 20):
+    """1M-row window benchmarks (VERDICT r3 item 6): host-vectorized path
+    e2e, plus the device route's compute rate (chained-scalar sync, the
+    readback excluded — on the tunnel readback dwarfs compute)."""
+    import os
+
+    from ..sql import Connection
+
+    conn = Connection()
+    conn.execute(
+        f"create table wt as select x % 64 as p, "
+        f"(x * 2654435761) % 1000000 as k, (x % 97)::float as v "
+        f"from range({n}) r(x)")
+    for q, label in [
+        ("select sum(v) over (partition by p order by k) s from wt",
+         "running_sum"),
+        ("select rank() over (partition by p order by k) r from wt",
+         "rank"),
+    ]:
+        conn.execute(q)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            conn.execute(q)
+            best = min(best, time.perf_counter() - t0)
+        _emit(step="window_host", kind=label,
+              ms=round(best * 1e3, 1), rows_per_s=round(n / best))
+    # device route: time the jitted sort+scan+scatter alone (the SQL e2e
+    # through this route pays the [n]-row readback — tunnel-dominated)
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import window as W
+
+    part = (np.arange(n, dtype=np.int64) % 64).astype(np.int32)
+    key = ((np.arange(n) * 2654435761) % 1000000).astype(np.int32)
+    val = (np.arange(n) % 97).astype(np.float32)
+    os.environ["INFERA_WINDOW_DEVICE"] = "1"
+    try:
+        for name in ("sum", "rank"):
+            fn = None
+
+            class _FakeItem:
+                ascending = True
+                expr = None
+
+            # drive _try_device_window's jit directly through a tiny shim:
+            # build the cached fn by calling once via the public route is
+            # complex; instead time the same program shape explicitly
+            def run(part, key, val, name=name):
+                rowid = jnp.arange(n, dtype=jnp.int32)
+                p_s, k_s, r_s, v_s = jax.lax.sort(
+                    (jnp.asarray(part), jnp.asarray(key), rowid,
+                     jnp.asarray(val)), num_keys=3)
+                idx = jnp.arange(n, dtype=jnp.int32)
+                gchg = jnp.concatenate(
+                    [jnp.ones(1, bool), p_s[1:] != p_s[:-1]])
+                kchg = gchg | jnp.concatenate(
+                    [jnp.ones(1, bool), k_s[1:] != k_s[:-1]])
+                pstart = jax.lax.cummax(jnp.where(gchg, idx, 0))
+                peer_lo = jax.lax.cummax(jnp.where(kchg, idx, 0))
+                nxt = jnp.where(
+                    jnp.concatenate([kchg[1:], jnp.ones(1, bool)]),
+                    idx, n - 1)
+                peer_hi = jax.lax.cummin(nxt[::-1])[::-1]
+                if name == "rank":
+                    out_s = peer_lo - pstart + 1
+                else:
+                    ps = jnp.cumsum(v_s, dtype=jnp.float32)
+                    out_s = ps[peer_hi] - (ps[pstart] - v_s[pstart])
+                return jnp.zeros(n, out_s.dtype).at[r_s].set(out_s)
+
+            fn = jax.jit(run)
+            dev = [jnp.asarray(part), jnp.asarray(key), jnp.asarray(val)]
+            out = fn(*dev)
+            jax.device_get(out[:64])  # compile + settle
+            # RTT calibration: the per-measurement fixed cost is one small
+            # device_get (the block_until_ready trap makes chained-scalar
+            # sync unreliable here — CLAUDE.md)
+            rtts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.device_get(out[:64])
+                rtts.append(time.perf_counter() - t0)
+            rtt = min(rtts)
+            iters = 20
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*dev)
+            jax.device_get(out[:64])  # forces the whole queued chain
+            dt = (time.perf_counter() - t0 - rtt) / iters
+            _emit(step="window_device_compute", kind=name,
+                  ms=round(dt * 1e3, 3), rtt_ms=round(rtt * 1e3, 2),
+                  rows_per_s=round(n / dt))
+    finally:
+        os.environ.pop("INFERA_WINDOW_DEVICE", None)
+
+
 CMDS = {"sql": eval_sql, "outer_join": eval_outer_join, "int8": eval_int8,
-        "mobilenet": eval_mobilenet}
+        "mobilenet": eval_mobilenet, "window": eval_window}
 
 
 def main():

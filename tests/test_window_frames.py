@@ -51,9 +51,12 @@ def test_range_numeric_offset(conn):
     with pytest.raises(SqlError, match="RANGE offsets"):
         conn.execute("select sum(v) over (order by g, v range between 1 "
                      "preceding and current row) from w")
-    with pytest.raises(SqlError, match="ascending"):
-        conn.execute("select sum(v) over (order by v desc range between "
-                     "1 preceding and current row) from w")
+    # DESC numeric offsets (round-4): 'preceding' walks toward LARGER keys
+    rows = conn.execute(
+        "select v, sum(v) over (order by v desc range between "
+        "1 preceding and current row) from w order by v").rows
+    want = [sum(j for j in range(9) if i <= j <= i + 1) for i in range(9)]
+    assert [r[1] for r in rows] == want
 
 
 def test_percent_rank_cume_dist(conn):
@@ -129,3 +132,72 @@ def test_window_sum_int_stays_bigint(conn):
         "current row) from w order by v").rows
     assert all(isinstance(r[0], int) and not isinstance(r[0], bool)
                for r in rows)
+
+
+def test_multi_key_order_by_peers(conn):
+    # multi-key ORDER BY: peers require equality on ALL keys (round-4
+    # vectorized rewrite)
+    rows = conn.execute(
+        "select v, sum(v) over (order by g, v % 2) s from w "
+        "order by g, v % 2, v").rows
+    # keys (g, v%2): peer groups within g split by parity
+    import itertools
+    got = {r[0]: r[1] for r in rows}
+    by_key = {}
+    for v in range(9):
+        by_key.setdefault((v % 3, v % 2), []).append(v)
+    keys_sorted = sorted(by_key)
+    run = 0
+    for k in keys_sorted:
+        run += sum(by_key[k])
+        for v in by_key[k]:
+            assert got[v] == run
+
+
+def test_desc_order_and_null_handling():
+    c = Connection()
+    c.execute("create table d (v INTEGER)")
+    c.execute("insert into d values (3), (1), (NULL), (2)")
+    rows = c.execute(
+        "select v, rank() over (order by v desc) r from d").rows
+    got = {r[0]: r[1] for r in rows}
+    assert got[3] == 1 and got[2] == 2 and got[1] == 3 and got[None] == 4
+
+
+def test_sliding_min_max_sparse_table(conn):
+    rows = conn.execute(
+        "select v, min(v) over (order by v rows between 3 preceding and "
+        "1 preceding) mn, max(v) over (order by v rows between 1 following "
+        "and 2 following) mx from w order by v").rows
+    for v, mn, mx in rows:
+        lo = [j for j in range(9) if v - 3 <= j <= v - 1]
+        hi = [j for j in range(9) if v + 1 <= j <= v + 2]
+        assert mn == (min(lo) if lo else None)
+        assert mx == (max(hi) if hi else None)
+
+
+def test_device_window_route_matches_host(monkeypatch):
+    """INFERA_WINDOW_DEVICE=1 routes ranking/running aggregates through
+    the accelerator; results must match the host-vectorized path."""
+    import os
+
+    from infera_tpu.ops import window as W
+
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1 << 10)
+    c = Connection()
+    n = 1 << 12
+    c.execute(f"create table dt as select x % 16 as p, "
+              f"(x * 2654435761) % 9973 as k, (x % 97)::float as v "
+              f"from range({n}) r(x)")
+    qs = [
+        "select sum(v) over (partition by p order by k) s from dt",
+        "select rank() over (partition by p order by k) r from dt",
+        "select row_number() over (order by k) r from dt",
+    ]
+    for q in qs:
+        monkeypatch.setenv("INFERA_WINDOW_DEVICE", "1")
+        dev = c.execute(q).rows
+        monkeypatch.setenv("INFERA_WINDOW_DEVICE", "0")
+        host = c.execute(q).rows
+        for a, b in zip(dev, host):
+            assert a[0] == pytest.approx(b[0], rel=1e-5)
