@@ -209,17 +209,38 @@ def _agg_approx_count_distinct(values, groups, n_groups):
     rho = np.where(rest > 0, (64 - _HLL_BITS) - expo + 1, 64 - _HLL_BITS + 1)
     regs = np.zeros((n_groups, _HLL_B), np.int8)
     np.maximum.at(regs, (gv, bucket), rho.astype(np.int8))
-    alpha = 0.7213 / (1.0 + 1.079 / _HLL_B)
-    z = np.sum(2.0 ** (-regs.astype(np.float64)), axis=1)
-    est = alpha * _HLL_B * _HLL_B / z
-    zeros = np.sum(regs == 0, axis=1)
-    small = (est <= 2.5 * _HLL_B) & (zeros > 0)
-    with np.errstate(divide="ignore"):
-        linear = _HLL_B * np.log(_HLL_B / np.maximum(zeros, 1).astype(np.float64))
-    est = np.where(small, linear, est)
+    hist = _hll_histogram(regs, n_groups)
     has = np.zeros(n_groups, bool)
     has[np.unique(gv)] = True
-    return np.rint(est).astype(np.int64), ~has
+    return hll_estimate_from_hist(hist), ~has
+
+
+def _hll_histogram(regs, n_groups):
+    """[G, 55] register-value counts from the [G, B] register table."""
+    flat = regs.astype(np.int64) + np.arange(n_groups)[:, None] * 55
+    return np.bincount(flat.ravel(), minlength=n_groups * 55).reshape(
+        n_groups, 55)
+
+
+def hll_estimate_from_hist(hist) -> np.ndarray:
+    """HLL estimate as a pure function of the register-value histogram,
+    summed in a FIXED ascending-magnitude order — so the device paths
+    (single-chip and mesh, ops/hashing.splitmix64_device) reproduce the
+    host estimate bit-exactly from the same histogram (round-4)."""
+    hist = np.asarray(hist, np.float64)
+    z = np.zeros(hist.shape[0], np.float64)
+    for r in range(54, -1, -1):
+        z = z + hist[:, r] * 2.0 ** (-r)
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_B)
+    with np.errstate(divide="ignore"):
+        est = alpha * _HLL_B * _HLL_B / np.where(z == 0, 1.0, z)
+    zeros = hist[:, 0]
+    small = (est <= 2.5 * _HLL_B) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        linear = _HLL_B * np.log(
+            _HLL_B / np.maximum(zeros, 1).astype(np.float64))
+    est = np.where(small, linear, est)
+    return np.rint(est).astype(np.int64)
 
 
 def _agg_bool_and(values, groups, n_groups):

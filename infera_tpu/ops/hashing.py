@@ -95,3 +95,113 @@ def combine_hashes_device(hashes: list):
         acc *= jnp.uint32(0x85EBCA6B)
         acc ^= acc >> 13
     return acc
+
+
+# --- 64-bit splitmix emulation in 32-bit limbs (device HLL parity) --------
+# The host HLL (ops/aggregate._agg_approx_count_distinct) hashes with
+# splitmix64 over the value's int64/f64 bit pattern. TPUs run with x64
+# disabled, so the device reproduces the SAME hash — bit-exactly — on
+# (hi, lo) uint32 limb pairs: 64-bit xor/shift are limb-local, and the
+# 64-bit multiply decomposes into 16-bit partial products.
+
+def _mul32_hi_lo(jnp, a, b):
+    """Full 32x32 -> 64 product of uint32 arrays as (hi, lo) uint32."""
+    a_lo = a & jnp.uint32(0xFFFF)
+    a_hi = a >> jnp.uint32(16)
+    b_lo = b & jnp.uint32(0xFFFF)
+    b_hi = b >> jnp.uint32(16)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = (ll >> jnp.uint32(16)) + (lh & jnp.uint32(0xFFFF)) \
+        + (hl & jnp.uint32(0xFFFF))
+    lo = (ll & jnp.uint32(0xFFFF)) | (mid << jnp.uint32(16))
+    hi = hh + (lh >> jnp.uint32(16)) + (hl >> jnp.uint32(16)) \
+        + (mid >> jnp.uint32(16))
+    return hi, lo
+
+
+def _mul64(jnp, xh, xl, ch, cl):
+    """(xh, xl) * (ch, cl) mod 2^64 as (hi, lo) uint32."""
+    p_hi, p_lo = _mul32_hi_lo(jnp, xl, cl)
+    hi = p_hi + xl * ch + xh * cl  # mod-2^32 wrap is the mod-2^64 wrap
+    return hi, p_lo
+
+
+def _shr64(jnp, hi, lo, k):
+    """(hi, lo) >> k for 0 < k < 32."""
+    return hi >> jnp.uint32(k), (lo >> jnp.uint32(k)) | (
+        hi << jnp.uint32(32 - k))
+
+
+def splitmix64_device(jnp, hi, lo):
+    """splitmix64 finalizer on (hi, lo) uint32 limbs — bit-exact with
+    _mix64_np."""
+    sh, sl = _shr64(jnp, hi, lo, 30)
+    hi, lo = hi ^ sh, lo ^ sl
+    hi, lo = _mul64(jnp, hi, lo, jnp.uint32(0xBF58476D),
+                    jnp.uint32(0x1CE4E5B9))
+    sh, sl = _shr64(jnp, hi, lo, 27)
+    hi, lo = hi ^ sh, lo ^ sl
+    hi, lo = _mul64(jnp, hi, lo, jnp.uint32(0x94D049BB),
+                    jnp.uint32(0x133111EB))
+    sh, sl = _shr64(jnp, hi, lo, 31)
+    return hi ^ sh, lo ^ sl
+
+
+def value_bits64_device(jnp, jax, x, src_dtype: str):
+    """The (hi, lo) uint32 limbs of the HOST hash input for a column that
+    arrived on device as f32/int32: float columns hash their float64 bit
+    pattern (widening f32->f64 is exact: sign | rebased exponent |
+    mantissa << 29), integer columns their sign-extended int64 bits.
+    Matches hash_array_host's canonicalization (-0.0 -> +0.0, NaN ->
+    0x7FF8000000000000)."""
+    if src_dtype.startswith("float") or src_dtype in ("f4", "f8"):
+        # all canonicalization happens on the BITS: float arithmetic (even
+        # a == 0.0 compare) flushes f32 denormals on TPU/XLA-CPU, which
+        # would zero them before the bitcast
+        b = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                         jnp.uint32)
+        b = jnp.where(b == jnp.uint32(0x80000000), jnp.uint32(0), b)
+        sign = b & jnp.uint32(0x80000000)
+        expo = (b >> jnp.uint32(23)) & jnp.uint32(0xFF)
+        mant = b & jnp.uint32(0x7FFFFF)
+        # normal f32 -> f64: e64 = e32 - 127 + 1023; mantissa << 29
+        e64 = expo + jnp.uint32(896)
+        hi = sign | (e64 << jnp.uint32(20)) | (mant >> jnp.uint32(3))
+        lo = mant << jnp.uint32(29)
+        # zero (expo==0, mant==0): all-zero payload (sign cleared above)
+        is_zero = (expo == 0) & (mant == 0)
+        hi = jnp.where(is_zero, jnp.uint32(0), hi)
+        lo = jnp.where(is_zero, jnp.uint32(0), lo)
+        # f32 denormals (value = mant * 2^-149) normalize in f64: top set
+        # bit t (via clz) gives unbiased exponent t - 149, the remaining
+        # bits shift to the 52-bit f64 mantissa
+        is_den = (expo == 0) & (mant != 0)
+        mi = mant.astype(jnp.int32)
+        t = (jnp.int32(31) - jax.lax.clz(jnp.maximum(mi, 1))).astype(
+            jnp.uint32)
+        m = (mant ^ (jnp.uint32(1) << t))
+        sft = jnp.uint32(52) - t  # in [30, 52]
+        hi_part = jnp.where(sft >= 32, m << (sft - jnp.uint32(32)),
+                            m >> (jnp.uint32(32) - jnp.minimum(
+                                sft, jnp.uint32(31))))
+        lo_d = jnp.where(sft >= 32, jnp.uint32(0), m << sft)
+        e_den = t + jnp.uint32(874)
+        hi_d = sign | (e_den << jnp.uint32(20)) | hi_part
+        hi = jnp.where(is_den, hi_d, hi)
+        lo = jnp.where(is_den, lo_d, lo)
+        # inf: e64 saturates at 0x7FF (the +896 rebias only holds for
+        # normals); NaN -> canonical 0x7FF8000000000000
+        is_inf = (expo == jnp.uint32(0xFF)) & (mant == 0)
+        hi = jnp.where(is_inf, sign | jnp.uint32(0x7FF00000), hi)
+        lo = jnp.where(is_inf, jnp.uint32(0), lo)
+        is_nan = (expo == jnp.uint32(0xFF)) & (mant != 0)
+        hi = jnp.where(is_nan, jnp.uint32(0x7FF80000), hi)
+        lo = jnp.where(is_nan, jnp.uint32(0), lo)
+        return hi, lo
+    xi = jnp.asarray(x, jnp.int32)
+    lo = jax.lax.bitcast_convert_type(xi, jnp.uint32)
+    hi = jnp.where(xi < 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    return hi, lo

@@ -38,7 +38,10 @@ _AGG_NAMES = {"count", "sum", "avg", "mean", "min", "max",
               "stddev", "stddev_samp", "stddev_pop",
               "var_samp", "var_pop", "variance", "median", "mode",
               "quantile_cont", "quantile_disc", "quantile",
-              "percentile_cont", "percentile_disc"}
+              "percentile_cont", "percentile_disc",
+              "count_if", "countif", "bool_and", "bool_or", "product",
+              "arg_min", "arg_max", "min_by", "max_by",
+              "approx_count_distinct"}
 
 # quantile family: name -> continuous interpolation?
 _QUANTILE_FAMILY = {"quantile_cont": True, "percentile_cont": True,
@@ -504,6 +507,55 @@ def _finalize_agg(pname, payload, res, group_count):
 
     if pname in ("count", "count_star", "count_matched"):
         return np.asarray(res).astype(np.int64), T.BIGINT, None
+    if pname == "cif":
+        if isinstance(res, tuple):  # mesh: compensated (s, c) pair tables
+            s64 = (np.asarray(res[0], np.float64)
+                   + np.asarray(res[1], np.float64))
+            if s64.ndim == 2:
+                ps = s64.sum(axis=0)
+                s64 = np.tile(ps, len(group_count) // ps.shape[0])
+        else:
+            s64 = np.asarray(res, np.float64)
+        return np.rint(s64).astype(np.int64), T.BIGINT, None
+    if pname in ("band", "bor"):
+        v = np.asarray(res, np.float64)
+        return (v >= 0.5) if pname == "bor" else (v >= 0.5), T.BOOLEAN, None
+    if pname == "prod":
+        def _fold2(a, b=None):
+            x = np.asarray(a, np.float64)
+            if b is not None:
+                x = x + np.asarray(b, np.float64)
+            if x.ndim == 2:  # mesh: per-source aligned tables
+                xs = x.sum(axis=0)
+                x = np.tile(xs, len(group_count) // xs.shape[0])
+            return x
+        if len(res) == 6:  # mesh: three (s, c) pairs
+            neg = _fold2(res[0], res[1])
+            zero = _fold2(res[2], res[3])
+            l64 = _fold2(res[4], res[5])
+        else:              # single-device: (negs, zeros, ls, lc)
+            neg = _fold2(res[0])
+            zero = _fold2(res[1])
+            l64 = _fold2(res[2], res[3])
+        sign = np.where(np.rint(neg).astype(np.int64) % 2 == 1, -1.0, 1.0)
+        with np.errstate(over="ignore"):
+            vals = np.where(zero > 0.5, 0.0, sign * np.exp2(l64))
+        return vals, T.DOUBLE, None
+    if pname in ("argmn", "argmx"):
+        _vfn, acol = payload
+        rid = np.asarray(res[0]).astype(np.int64)
+        bad = (rid < 0) | (rid >= len(acol.data))
+        vals = np.empty(len(rid), dtype=object)
+        for i, r in enumerate(rid):
+            vals[i] = acol.value(int(r)) if not bad[i] else None
+        return vals, acol.sql_type, bad
+    if pname == "hll":
+        from ..ops.aggregate import hll_estimate_from_hist
+
+        hist = np.asarray(res, np.float64)
+        if hist.ndim == 3:  # mesh: gathered [ndev, G, 55] owner tables
+            hist = hist.reshape(-1, 55)
+        return hll_estimate_from_hist(hist), T.BIGINT, None
     if pname in ("isum", "iavg"):
         if len(res) == 3:  # mesh merge returns 16-bit-widened limb words
             lo16, hi16, est = res
@@ -547,7 +599,8 @@ def _finalize_agg(pname, payload, res, group_count):
         c = np.asarray(group_count, np.float64)
         if len(res) == 3:  # continuous: (floor val, ceil val, frac)
             lo, hi, frac = (np.asarray(a, np.float64) for a in res)
-            return lo + (hi - lo) * frac, T.DOUBLE, c == 0
+            with np.errstate(invalid="ignore"):  # dead groups hold -inf
+                return lo + (hi - lo) * frac, T.DOUBLE, c == 0
         return np.asarray(res[0], np.float64), T.DOUBLE, c == 0
     if pname == "mode":
         mode_v, mcount, bad = res
@@ -684,7 +737,12 @@ def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,
         vals = vals[live]
         if hmask is not None:
             vals = vals[hmask]
-        out_cols[name] = Column(vals, styp)
+        if isinstance(vals, np.ndarray) and vals.dtype == object:
+            # arg_min/arg_max host-gathered values can be any type
+            # (strings, NULLs) — route through from_values for validity
+            out_cols[name] = Column.from_values(list(vals), styp)
+        else:
+            out_cols[name] = Column(vals, styp)
     return Table(out_cols)
 
 
@@ -897,6 +955,60 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                     col._var_shift = shift
             ddof, sq = _VAR_FAMILY[name]
             return ("var", (fn, ddof, sq, np.float32(shift)))
+        if name in ("count_if", "countif"):
+            # sum of the boolean mask — exact in f32 below 2^24 rows
+            return ("cif", lowerer.lower(arg))
+        if name in ("bool_and", "bool_or"):
+            return ("band" if name == "bool_and" else "bor",
+                    lowerer.lower(arg))
+        if name == "product":
+            # sign-count + compensated log2-sum decomposition; FLOAT
+            # columns only (an integer product user expects bit-exact
+            # 24.0, which the log path renders as 23.999998 — host path)
+            if not _float_only(arg):
+                return None
+            return ("prod", lowerer.lower(arg))
+        if name in ("arg_min", "arg_max", "min_by", "max_by"):
+            # value of args[0] at the extreme of args[1]: the device finds
+            # the winning ROW ID (f32-sortable value key + row-id
+            # tiebreak), the host gathers the arg — so the returned column
+            # may be ANY type incl. strings
+            if len(node.args) != 2 or not isinstance(node.args[0],
+                                                    A.ColumnRef):
+                return None
+            if not _f32_safe(node.args[1]):
+                return None
+            ref = node.args[0]
+            acol = None
+            for k, c in table.columns.items():
+                if k.split(".")[-1].lower() == ref.name.lower():
+                    acol = c
+                    break
+            if acol is None:
+                return None
+            is_min = name in ("arg_min", "min_by")
+            return ("argmn" if is_min else "argmx",
+                    (lowerer.lower(node.args[1]), acol))
+        if name == "approx_count_distinct":
+            # device HLL with the host's exact splitmix64 hash emulated in
+            # 32-bit limbs — estimates agree bit-exactly with the host
+            if not isinstance(arg, A.ColumnRef):
+                return None
+            key = lowerer._column(arg.name, arg.table)
+            col = table.columns[key]
+            if col.validity is not None:
+                return None
+            d = col.data
+            if d.dtype.kind in "iu" and d.size:
+                rng = getattr(col, "_int_range", None)
+                if rng is None:
+                    rng = (int(d.min()), int(d.max()))
+                    col._int_range = rng
+                if rng[0] < -(1 << 31) or rng[1] >= (1 << 31):
+                    return None
+            elif d.dtype.kind != "f":
+                return None
+            return ("hll", (key, str(d.dtype)))
         # exact int64: sum/avg/min/max over a plain no-NULL integer column
         if name in ("sum", "avg", "mean", "min", "max") and isinstance(
                 arg, A.ColumnRef):
@@ -1014,6 +1126,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
 
     dist_domains: dict = {}
     for ai, (pname, fn) in enumerate(agg_plans):
+        if pname == "hll" and n_groups * 2048 > (1 << 22):
+            return None  # register-table bound
         if pname not in ("dcount", "dsum", "davg", "mode"):
             continue
         try:
@@ -1274,6 +1388,95 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                         - 1, 0)
                     idx = jnp.clip(start + r, 0, n - 1)
                     outs.append(("v", (svals[idx],)))
+                continue
+            if name == "cif":
+                v = jnp.asarray(fn(cols), bool).astype(jnp.float32)
+                outs.append(("v", segsum(v * w)))
+                continue
+            if name in ("band", "bor"):
+                v = jnp.asarray(fn(cols), bool).astype(jnp.float32)
+                if name == "band":
+                    outs.append(("v", jax.ops.segment_min(
+                        jnp.where(mask_b, v, 1.0), keys,
+                        num_segments=n_groups)))
+                else:
+                    outs.append(("v", jax.ops.segment_max(
+                        jnp.where(mask_b, v, 0.0), keys,
+                        num_segments=n_groups)))
+                continue
+            if name == "prod":
+                # sign count + zero count + compensated log2-sum (VERDICT
+                # r3 item 5): the finalize recombines sign * 2^sum in f64
+                vals = jnp.asarray(fn(cols), jnp.float32)
+                negs = segsum((mask_b & (vals < 0)).astype(jnp.float32))
+                zeros_ = segsum((mask_b & (vals == 0)).astype(jnp.float32))
+                lv = jnp.where(vals != 0, jnp.log2(jnp.abs(
+                    jnp.where(vals == 0, jnp.float32(1.0), vals))), 0.0)
+                from .mesh_plan import _compensated_segment_sum
+
+                ls, lc = _compensated_segment_sum(
+                    jax, jnp, lv, w, keys, n_groups, w_sum(),
+                    segsum=segsum if use_gemm else None)
+                outs.append(("v", (negs, zeros_, ls, lc)))
+                continue
+            if name in ("argmn", "argmx"):
+                # winner ROW ID: f32-sortable int32 value key, min/max per
+                # group, then the smallest row id attaining it (host
+                # first-occurrence tie-break); the host gathers the arg
+                vfn, _acol = fn
+                v = jnp.asarray(vfn(cols), jnp.float32)
+                b = jax.lax.bitcast_convert_type(v, jnp.int32)
+                skey = jnp.where(b >= 0, b,
+                                 (~b) ^ jnp.int32(-2147483648))
+                big_ = jnp.int32(2**31 - 1)
+                if name == "argmn":
+                    kext = jax.ops.segment_min(
+                        jnp.where(mask_b, skey, big_), keys,
+                        num_segments=n_groups)
+                else:
+                    kext = jax.ops.segment_max(
+                        jnp.where(mask_b, skey, -big_ - 1), keys,
+                        num_segments=n_groups)
+                at = mask_b & (skey == kext[keys])
+                rid = jax.ops.segment_min(
+                    jnp.where(at, jnp.arange(n, dtype=jnp.int32), big_),
+                    keys, num_segments=n_groups)
+                outs.append(("v", (rid,)))
+                continue
+            if name == "hll":
+                # HyperLogLog with the host's splitmix64 emulated in 32-bit
+                # limbs: register max per (group, bucket), then the
+                # register-value histogram — the host estimate is a pure
+                # function of the histogram (ops/aggregate._hll_estimate)
+                from ..ops.hashing import (splitmix64_device,
+                                           value_bits64_device)
+
+                ckey, dt = fn
+                hi_, lo_ = value_bits64_device(jnp, jax, cols[ckey], dt)
+                hh, ll = splitmix64_device(jnp, hi_, lo_)
+                bucket = jax.lax.bitcast_convert_type(
+                    ll & jnp.uint32(2047), jnp.int32)
+                r_hi = hh >> jnp.uint32(11)
+                r_lo = (ll >> jnp.uint32(11)) | (hh << jnp.uint32(21))
+                clz_hi = jax.lax.clz(
+                    jax.lax.bitcast_convert_type(r_hi, jnp.int32))
+                clz_lo = jax.lax.clz(
+                    jax.lax.bitcast_convert_type(r_lo, jnp.int32))
+                clz64 = jnp.where(r_hi != 0, clz_hi,
+                                  jnp.int32(32) + clz_lo)
+                nonzero = (r_hi != 0) | (r_lo != 0)
+                rho = jnp.where(nonzero, jnp.int32(64) - clz64, 0)
+                rho = jnp.int32(54) - rho  # 54 - bitlen; zero rest -> 54
+                segk = keys * jnp.int32(2048) + bucket
+                regs = jnp.maximum(jax.ops.segment_max(
+                    jnp.where(mask_b, rho, 0), segk,
+                    num_segments=n_groups * 2048), 0)
+                hk = ((jnp.arange(n_groups * 2048, dtype=jnp.int32)
+                       // 2048) * jnp.int32(55) + regs)
+                hist = jax.ops.segment_sum(
+                    jnp.ones(n_groups * 2048, jnp.float32), hk,
+                    num_segments=n_groups * 55)
+                outs.append(("v", hist.reshape(n_groups, 55)))
                 continue
             if name == "mode":
                 from .int_agg import device_mode

@@ -1,0 +1,155 @@
+"""Round-4 aggregate-tail device/mesh decompositions (VERDICT r3 item 5):
+count_if, bool_and/bool_or, product, arg_min/arg_max, and a HOST-EXACT
+device HyperLogLog (splitmix64 emulated in 32-bit limbs) — each verified
+against the host path on the single-device plan AND the 8-device mesh."""
+
+import numpy as np
+import pytest
+
+from infera_tpu.sql import Connection
+from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+N = MIN_DEVICE_ROWS * 2
+
+
+def _mk(conn):
+    conn.execute(
+        f"create table t as select x % 5 as g, "
+        f"(x % 40)::float / 4.0 - 3.0 as v, (x % 7) as iv, "
+        f"((x * 13) % 101)::float as hv from range({N}) r(x)")
+
+
+def _host_rows(conn, q, monkeypatch):
+    host = Connection()
+    host.catalog = conn.catalog
+    import infera_tpu.sql.device_plan as dp
+
+    with monkeypatch.context() as m:
+        m.setattr(dp, "try_execute_on_device", lambda *a, **k: None)
+        rows = host.execute(q).rows
+    assert host._exec_path == "host"
+    return rows
+
+
+def _check(conn, q, monkeypatch, expect_path, rel=1e-6):
+    rows = conn.execute(q).rows
+    assert conn._exec_path == expect_path
+    hrows = _host_rows(conn, q, monkeypatch)
+    assert len(rows) == len(hrows)
+    for a, b in zip(rows, hrows):
+        for x, y in zip(a, b):
+            if isinstance(y, float):
+                assert x == pytest.approx(y, rel=rel, abs=1e-9)
+            else:
+                assert x == y
+    return rows
+
+
+@pytest.fixture(params=["single", "mesh"])
+def conn(request):
+    c = Connection()
+    if request.param == "mesh":
+        c.set_mesh(8)
+    _mk(c)
+    path = ("device_plan_mesh" if request.param == "mesh"
+            else "device_plan")
+    return c, path
+
+
+def test_count_if(conn, monkeypatch):
+    c, path = conn
+    rows = _check(c, "select g, count_if(v > 0.0) c from t "
+                     "group by g order by g", monkeypatch, path)
+    x = np.arange(N)
+    v = (x % 40) / 4.0 - 3.0
+    for key, cnt in rows:
+        assert cnt == int(((x % 5 == key) & (v > 0)).sum())
+
+
+def test_bool_and_or(conn, monkeypatch):
+    c, path = conn
+    _check(c, "select g, bool_and(v > -4.0) ba, bool_or(v > 9.0) bo, "
+              "bool_and(v > 0.0) bf from t group by g order by g",
+           monkeypatch, path)
+
+
+def test_arg_min_max(conn, monkeypatch):
+    c, path = conn
+    rows = _check(c, "select g, arg_min(iv, v) am, arg_max(iv, v) ax "
+                     "from t group by g order by g", monkeypatch, path)
+    # sanity vs numpy (ties -> first occurrence)
+    x = np.arange(N)
+    g = x % 5
+    v = ((x % 40).astype(np.float32) / np.float32(4.0)
+         - np.float32(3.0)).astype(np.float64)
+    iv = x % 7
+    for key, am, ax in rows:
+        m = g == key
+        assert am == iv[m][np.argmin(v[m])]
+        assert ax == iv[m][np.argmax(v[m])]
+
+
+def test_approx_count_distinct_host_exact(conn, monkeypatch):
+    """The device HLL must reproduce the HOST estimate bit-exactly (same
+    splitmix64 hash, same register histogram, same fixed-order fold)."""
+    c, path = conn
+    _check(c, "select g, approx_count_distinct(hv) a, "
+              "approx_count_distinct(iv) b from t group by g order by g",
+           monkeypatch, path)
+    _check(c, "select approx_count_distinct(hv) from t", monkeypatch, path)
+
+
+def test_product(conn, monkeypatch):
+    """Device product = sign + compensated log2-sum; tolerance reflects
+    the f32 expression-evaluation rounding a multiplicative aggregate
+    amplifies linearly in the group size (sums stay compensated)."""
+    c, path = conn
+    _check(c, "select g, product(1.0 + v / 1000.0) p from t "
+              "group by g order by g", monkeypatch, path, rel=1e-3)
+    # sign and zero handling
+    c.execute(f"create table pz as select x % 3 as g, "
+              f"case when x % 8 = 0 then 0.0 else "
+              f"(x % 5)::float - 2.0 end as v from range({N}) r(x)")
+    rows = c.execute("select g, product(v) from pz group by g order by g").rows
+    assert c._exec_path == path
+    for _g, p in rows:
+        assert p == 0.0  # every group contains a zero
+
+
+def test_argmax_string_payload(monkeypatch):
+    """arg_max may RETURN a non-numeric column: the device finds the row
+    id, the host gathers the string."""
+    c = Connection()
+    c.execute(f"create table s as select x % 4 as g, (x % 90)::float as v, "
+              f"'name_' || (x % 11)::varchar as nm from range({N}) r(x)")
+    rows = c.execute(
+        "select g, arg_max(nm, v) from s group by g order by g").rows
+    assert c._exec_path == "device_plan"
+    x = np.arange(N)
+    for key, nm in rows:
+        m = x % 4 == key
+        v = (x % 90)[m]
+        assert nm == f"name_{(x % 11)[m][np.argmax(v)]}"
+
+
+def test_mesh_median_quantile_bisection(monkeypatch):
+    """median/quantile on the mesh: global counts fix the ranks, then a
+    32-step bitwise bisection selects exact order statistics with only
+    [G]-sized count vectors crossing the exchange (VERDICT r3 item 5)."""
+    c = Connection()
+    c.set_mesh(8)
+    _mk(c)
+    rows = _check(
+        c, "select g, median(v) m, quantile_cont(v, 0.25) qc, "
+           "quantile_disc(v, 0.9) qd from t group by g order by g",
+        monkeypatch, "device_plan_mesh")
+    x = np.arange(N)
+    g = x % 5
+    v = ((x % 40).astype(np.float32) / np.float32(4.0)
+         - np.float32(3.0)).astype(np.float64)
+    for key, m, qc, qd in rows:
+        vals = np.sort(v[g == key])
+        assert m == pytest.approx(np.median(vals), abs=1e-6)
+        assert qc == pytest.approx(np.quantile(vals, 0.25), abs=1e-6)
+        idx = max(int(np.ceil(0.9 * len(vals))) - 1, 0)
+        assert qd == pytest.approx(vals[idx], abs=1e-6)
