@@ -98,8 +98,9 @@ def bench_tpu(params, rows, iters=200, use_pallas=True):
     # f32 table, then the f32 parity kernel.
     impls = [("xla", jax.jit(lambda x: query_tail(mlp_xla(x))), x)]
     if use_pallas and rows % 4096 == 0:
-        from infera_tpu.ops.pallas_query import (fused_mlp_query,
-                                                 fused_mlp_query_columnar)
+        from infera_tpu.ops.pallas_query import (
+            fused_mlp_query, fused_mlp_query_columnar,
+            fused_mlp_query_columnar_int8, quantize_mlp_static)
 
         # Columnar (feature-major) kernel first: [d, N] blocks are
         # lane-dense, which round-3 profiling showed is worth ~3x over the
@@ -110,6 +111,16 @@ def bench_tpu(params, rows, iters=200, use_pallas=True):
             lambda x: fused_mlp_query_columnar(jparams, x, tile_n=16384,
                                                compute_dtype=jnp.bfloat16)),
             xc_bf16))
+        # int8 columnar (VERDICT r3 item 4): static-calibrated int8 table
+        # (half the bf16 scan bytes) + int8 MXU matmuls (2x the bf16 issue
+        # rate on v5e) with in-VMEM requantization between layers
+        x_host = np.asarray(x[: 1 << 14])
+        qparams, s0 = quantize_mlp_static(params, x_host)
+        xq = jax.block_until_ready(jnp.clip(
+            jnp.rint(x.T / s0), -127, 127).astype(jnp.int8))
+        impls.append(("pallas_col_int8", jax.jit(
+            lambda x: fused_mlp_query_columnar_int8(qparams, x,
+                                                    tile_n=16384)), xq))
         x_bf16 = jax.block_until_ready(x.astype(jnp.bfloat16))
         impls.append(("pallas_bf16_io", jax.jit(
             lambda x: fused_mlp_query(jparams, x, tile_n=4096,

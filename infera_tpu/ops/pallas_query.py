@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -216,3 +218,124 @@ def fused_mlp_query(params: list, x: jnp.ndarray,
         interpret=interpret,
     )(x, *weight_args)
     return counts[0], sums[0]
+
+
+def _query_kernel_columnar_int8(n_layers, x_ref, *refs):
+    """int8 feature-major variant (VERDICT r3 item 4): the table scans as
+    int8 (half the bf16 bytes), every matmul runs int8 x int8 -> int32 on
+    the MXU (2x the bf16 issue rate on v5e), and hidden activations
+    requantize to int8 IN VMEM between layers (the static-calibration
+    epilogue from onnx/fusion.maybe_run_int8_fused) — only the final
+    layer dequantizes to f32 for the argmax/filter/aggregate tail."""
+    counts_ref = refs[-2]
+    sums_ref = refs[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+    q = x_ref[:]  # [d0, tile] int8
+    h = None
+    for li in range(n_layers):
+        wq = refs[3 * li][:]        # [dout, din] int8
+        comb = refs[3 * li + 1][:]  # [dout, 1] f32
+        bq = refs[3 * li + 2][:]    # [dout, 1] f32
+        y = jax.lax.dot_general(
+            wq, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t = y.astype(jnp.float32) * comb + bq
+        if li < n_layers - 1:
+            q = jnp.clip(jnp.rint(jnp.maximum(t, 0.0)), 0, 127).astype(
+                jnp.int8)
+        else:
+            h = t  # [n_classes, tile] f32
+
+    n_classes, tile = h.shape
+    pred = jnp.argmax(h, axis=0)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+              == pred[None, :]).astype(jnp.float32)
+    sel = (h[0, :] > 0.0).astype(jnp.float32)
+    cnt = onehot * sel[None, :]
+    sms = onehot * (h[0, :] * sel)[None, :]
+    counts_ref[:, :] += jnp.sum(
+        cnt.reshape(n_classes, tile // 128, 128), axis=1)
+    sums_ref[:, :] += jnp.sum(
+        sms.reshape(n_classes, tile // 128, 128), axis=1)
+
+
+def quantize_mlp_static(params, x_sample):
+    """Static int8 calibration for the columnar query kernel: per-output-
+    channel weight scales, per-layer activation scales from one f32
+    forward over the sample. Returns (qparams, s0) where qparams =
+    [(wqT int8 [dout, din], comb [dout, 1], bq [dout, 1]), ...] with the
+    requantization folded into each layer's epilogue, and s0 is the input
+    scale (table quantizes as rint(x / s0))."""
+    acts = [np.abs(x_sample).max() / 127.0]
+    h = x_sample
+    outs = []
+    for i, (w, b) in enumerate(params):
+        h = h @ w + b
+        if i < len(params) - 1:
+            h = np.maximum(h, 0.0)
+            acts.append(np.abs(h).max() / 127.0)
+        outs.append(None)
+    qparams = []
+    for i, (w, b) in enumerate(params):
+        w_scale = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+        wq = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
+        last = i == len(params) - 1
+        if last:
+            comb = (w_scale * acts[i]).astype(np.float32)
+            bq = b.astype(np.float32)
+        else:
+            comb = (w_scale * acts[i] / acts[i + 1]).astype(np.float32)
+            bq = (b / acts[i + 1]).astype(np.float32)
+        qparams.append((np.ascontiguousarray(wq.T),
+                        comb.reshape(-1, 1), bq.reshape(-1, 1)))
+    return qparams, np.float32(acts[0])
+
+
+def fused_mlp_query_columnar_int8(qparams, xq, tile_n: int = DEFAULT_TILE_N,
+                                  interpret: bool = False):
+    """int8 feature-major fused query: xq is [d0, N] int8 (pre-quantized
+    stacked columns). Same contract as fused_mlp_query_columnar."""
+    d0, n = xq.shape
+    assert n % tile_n == 0 and tile_n % 128 == 0
+    n_layers = len(qparams)
+    n_classes = qparams[-1][0].shape[0]
+
+    weight_specs = []
+    weight_args = []
+    for wq, comb, bq in qparams:
+        for arr, dt in ((wq, jnp.int8), (comb, jnp.float32),
+                        (bq, jnp.float32)):
+            a = jnp.asarray(arr, dt)
+            weight_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+            weight_args.append(a)
+
+    flops = 2 * n * sum(w.shape[0] * w.shape[1] for w, _c, _b in qparams)
+    counts, sums = pl.pallas_call(
+        functools.partial(_query_kernel_columnar_int8, n_layers),
+        grid=(n // tile_n,),
+        in_specs=[
+            pl.BlockSpec((d0, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((n_classes, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_classes, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_classes, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_classes, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=xq.size, transcendentals=0),
+        interpret=interpret,
+    )(xq, *weight_args)
+    return jnp.sum(counts, axis=1), jnp.sum(sums, axis=1)

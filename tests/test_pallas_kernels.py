@@ -118,3 +118,36 @@ def test_fused_query_columnar_matches_rowmajor(mlp_params):
     np.testing.assert_allclose(np.asarray(s_col), want_s, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(s_row), np.asarray(s_col),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_int8_columnar_query_matches_static_path():
+    """int8 columnar kernel (interpret): counts/sums track the f32 kernel
+    within int8 quantization tolerance, and the math matches the static-
+    calibration epilogue exactly (same scales as onnx/fusion's chain)."""
+    import numpy as np
+
+    from infera_tpu.ops.pallas_query import (
+        fused_mlp_query_columnar, fused_mlp_query_columnar_int8,
+        quantize_mlp_static)
+
+    rng = np.random.default_rng(3)
+    dims = [32, 64, 16]
+    params = []
+    for i in range(len(dims) - 1):
+        w = rng.standard_normal((dims[i], dims[i + 1])).astype(
+            np.float32) / np.float32(np.sqrt(dims[i]))
+        b = rng.standard_normal(dims[i + 1]).astype(np.float32) * 0.1
+        params.append((w, b.astype(np.float32)))
+    n = 2048
+    x = rng.standard_normal((n, 32)).astype(np.float32)
+    qparams, s0 = quantize_mlp_static(params, x[:512])
+    xq = np.clip(np.rint(x / s0), -127, 127).astype(np.int8).T.copy()
+    c8, s8 = fused_mlp_query_columnar_int8(qparams, jnp.asarray(xq),
+                                           tile_n=256, interpret=True)
+    jp = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    cf, sf = fused_mlp_query_columnar(jp, jnp.asarray(x.T.copy()),
+                                      tile_n=256, interpret=True)
+    c8, s8, cf, sf = map(np.asarray, (c8, s8, cf, sf))
+    assert c8.sum() == pytest.approx(cf.sum(), rel=0.02)  # same filter rate
+    assert abs(c8 - cf).sum() / max(cf.sum(), 1) < 0.05   # few class flips
+    assert s8.sum() == pytest.approx(sf.sum(), rel=0.05)
