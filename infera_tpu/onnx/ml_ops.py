@@ -263,9 +263,16 @@ class _PackedTrees:
             )
         s = s.astype(jnp.float32)
         # leaf l is reached iff its path score equals its true-ancestor
-        # count (integer-valued f32 arithmetic → exact equality)
+        # count (integer-valued f32 arithmetic → exact equality).
+        # DEFAULT precision is EXACT here: s ∈ {0,1} and C ∈ {-1,0,1} are
+        # bf16-exact, the MXU accumulates the ≤depth-magnitude integer
+        # score without rounding, and the bf16-rounded output is exact for
+        # integers < 2^8 — round-4 TPU profiling measured this einsum (79%
+        # of the forest FLOPs) 6x cheaper than HIGHEST with bit-identical
+        # `hit` masks (verified vs the gather-exact pipeline on-chip).
         score = jnp.einsum("nti,til->ntl", s,
-                           jnp.asarray(g["C"], jnp.float32), precision=hi,
+                           jnp.asarray(g["C"], jnp.float32),
+                           precision=jax.lax.Precision.DEFAULT,
                            preferred_element_type=jnp.float32)
         hit = (score == jnp.asarray(g["D"])).astype(jnp.float32)
         return jnp.einsum("ntl,tlo->no", hit, jnp.asarray(g["W"]),

@@ -327,7 +327,7 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
     import jax
     import jax.numpy as jnp
     from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ..parallel.shuffle import _pack_buckets
 

@@ -141,7 +141,6 @@ def test_multi_key_order_by_peers(conn):
         "select v, sum(v) over (order by g, v % 2) s from w "
         "order by g, v % 2, v").rows
     # keys (g, v%2): peer groups within g split by parity
-    import itertools
     got = {r[0]: r[1] for r in rows}
     by_key = {}
     for v in range(9):
@@ -179,8 +178,6 @@ def test_sliding_min_max_sparse_table(conn):
 def test_device_window_route_matches_host(monkeypatch):
     """INFERA_WINDOW_DEVICE=1 routes ranking/running aggregates through
     the accelerator; results must match the host-vectorized path."""
-    import os
-
     from infera_tpu.ops import window as W
 
     monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1 << 10)
