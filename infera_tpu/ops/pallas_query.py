@@ -246,8 +246,9 @@ def _query_kernel_columnar_int8(n_layers, x_ref, *refs):
             preferred_element_type=jnp.int32)
         t = y.astype(jnp.float32) * comb + bq
         if li < n_layers - 1:
-            q = jnp.clip(jnp.rint(jnp.maximum(t, 0.0)), 0, 127).astype(
-                jnp.int8)
+            # relu folds into the clip floor (rint of a negative clips to
+            # 0 identically) — the epilogue is the int8 kernel's VPU cost
+            q = jnp.clip(jnp.rint(t), 0, 127).astype(jnp.int8)
         else:
             h = t  # [n_classes, tile] f32
 
