@@ -338,26 +338,42 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     if cache is None:
         cache = {}
         conn._device_plan_cache = cache
-    full_key = ("pallas", plan_key, tile)
+    # Composed mode (default): ONE jit wraps the pallas_call + the lane
+    # fold — a single dispatch round-trip per query (measured 28.6 vs
+    # 33 ms split on the tunnel; one fewer launch anywhere). The remote
+    # Mosaic compiler has historically stalled on pallas-composed
+    # programs (CLAUDE.md); INFERA_PALLAS_SQL_SPLIT=1 reverts to two
+    # jits if a deployment hits that.
+    split = os.environ.get("INFERA_PALLAS_SQL_SPLIT") == "1"
+    rows_sum = (1 + S) * G
+    rows_min = max((M + K) * G, 8)
+    rows_max = max((X + K) * G, 8)
+    full_key = ("pallas", plan_key, tile, split)
     compiled = cache.get(full_key)
     if compiled is None:
-        compiled = build_fused_plan_call(
+        kernel = build_fused_plan_call(
             col_keys=col_keys, weights=weights, where_fn=where_fn,
             key_fns=key_fns, strides=strides, n_groups=G, sum_fns=sum_fns,
             min_fns=min_fns, max_fns=max_fns, n_valid=n, n_pad=n_pad,
             tile=tile, interpret=interpret)
+        if split:
+            compiled = kernel
+        else:
+            fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1)
+            compiled = jax.jit(lambda xcx, *ws: fold0(*kernel(xcx, *ws)))
         if len(cache) >= 16:
             cache.pop(next(iter(cache)))
         cache[full_key] = compiled
 
     w_dev = [jnp.asarray(w) for w in weights]
     try:
-        bufs = compiled(xc, *w_dev)
-        rows_sum = (1 + S) * G
-        rows_min = max((M + K) * G, 8)
-        rows_max = max((X + K) * G, 8)
-        fold = _fold_call(rows_sum, rows_min, rows_max, K + 1)
-        s_f, c_f, min_f, max_f, flag_f = jax.device_get(fold(*bufs))
+        if split:
+            bufs = compiled(xc, *w_dev)
+            fold = _fold_call(rows_sum, rows_min, rows_max, K + 1)
+            s_f, c_f, min_f, max_f, flag_f = jax.device_get(fold(*bufs))
+        else:
+            s_f, c_f, min_f, max_f, flag_f = jax.device_get(
+                compiled(xc, *w_dev))
     except Exception:
         return None
 
