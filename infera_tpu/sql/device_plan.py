@@ -539,7 +539,8 @@ def _finalize_agg(pname, payload, res, group_count):
             l64 = _fold2(res[2], res[3])
         sign = np.where(np.rint(neg).astype(np.int64) % 2 == 1, -1.0, 1.0)
         with np.errstate(over="ignore"):
-            vals = np.where(zero > 0.5, 0.0, sign * np.exp2(l64))
+            # sign * 0.0 preserves IEEE signed zero — host-path parity
+            vals = np.where(zero > 0.5, sign * 0.0, sign * np.exp2(l64))
         return vals, T.DOUBLE, None
     if pname in ("argmn", "argmx"):
         _vfn, acol = payload

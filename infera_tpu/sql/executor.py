@@ -427,11 +427,16 @@ class Connection:
                 pass
         elif isinstance(sel.from_, A.Join):
             from .device_join_plan import try_execute_join_on_device
+            from .shuffle_join_plan import try_execute_shuffle_join
 
             try:
                 fused_join = bool(
                     try_execute_join_on_device(self, sel, analyze_only=True)
                 )
+                if not fused_join:
+                    fused_join = bool(
+                        try_execute_shuffle_join(self, sel,
+                                                 analyze_only=True))
                 device = fused_join
             except SqlError:
                 pass
