@@ -114,7 +114,12 @@ def bench_tpu(params, rows, iters=200, use_pallas=True):
         # int8 columnar (VERDICT r3 item 4): static-calibrated int8 table
         # (half the bf16 scan bytes) + int8 MXU matmuls (2x the bf16 issue
         # rate on v5e) with in-VMEM requantization between layers
-        x_host = np.asarray(x[: 1 << 14])
+        # calibration sample generated HOST-side: np.asarray of a device
+        # array costs a tunnel readback (CLAUDE.md); the scales only need
+        # representative magnitudes, so a same-distribution host sample
+        # calibrates equivalently
+        x_host = np.random.default_rng(7).standard_normal(
+            (1 << 14, IN_DIM)).astype(np.float32)
         qparams, s0 = quantize_mlp_static(params, x_host)
         xq = jax.block_until_ready(jnp.clip(
             jnp.rint(x.T / s0), -127, 127).astype(jnp.int8))

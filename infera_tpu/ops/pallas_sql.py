@@ -324,15 +324,19 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         xc_cache = {}
         conn._pallas_xc_cache = xc_cache
     xc_key = (tuple(id(a) for a in col_arrays), n_pad)
-    xc = xc_cache.get(xc_key)
-    if xc is None:
+    cached_xc = xc_cache.get(xc_key)
+    if cached_xc is None:
         host = np.zeros((len(col_arrays), n_pad), np.float32)
         for i, a in enumerate(col_arrays):
             host[i, :n] = np.asarray(a, np.float32)
         xc = jnp.asarray(host)
         if len(xc_cache) >= 8:
             xc_cache.pop(next(iter(xc_cache)))
-        xc_cache[xc_key] = xc
+        # the VALUE pins the source arrays: id()-keyed entries would
+        # otherwise serve a stale block after allocator id reuse
+        xc_cache[xc_key] = (tuple(col_arrays), xc)
+    else:
+        xc = cached_xc[1]
 
     cache = getattr(conn, "_device_plan_cache", None)
     if cache is None:

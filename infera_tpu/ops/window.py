@@ -54,26 +54,19 @@ _FRAMED = frozenset({"count", "sum", "avg", "mean", "min", "max",
 DEVICE_WINDOW_MIN_ROWS = 1 << 17
 
 
-def _segmented_extreme_scan(vals, pstart, is_min, reverse=False):
+def _segmented_extreme_scan(vals, pstart, is_min):
     """Inclusive running min/max within partitions via doubling (Hillis-
-    Steele): log2(n) vectorized passes, no per-partition loop. ``reverse``
-    scans from the partition end (suffix extremes)."""
+    Steele): log2(n) vectorized passes, no per-partition loop. Suffix
+    extremes run this over the reversed arrays."""
     n = len(vals)
     m = vals.copy()
     idx = np.arange(n)
     op = np.minimum if is_min else np.maximum
     fill = np.inf if is_min else -np.inf
-    if reverse:
-        # mirror: positions relative to partition end
-        pend = pstart  # caller passes pend-1 mirrored; see _suffix below
     d = 1
     while d < n:
-        if reverse:
-            src_ok = idx + d <= pstart  # pstart holds pend-1 here
-            shifted = np.concatenate([m[d:], np.full(d, fill)])
-        else:
-            src_ok = idx - d >= pstart
-            shifted = np.concatenate([np.full(d, fill), m[:-d]])
+        src_ok = idx - d >= pstart
+        shifted = np.concatenate([np.full(d, fill), m[:-d]])
         m = np.where(src_ok, op(m, shifted), m)
         d <<= 1
     return m
@@ -401,7 +394,11 @@ def _try_device_window(wf, scope, eval_fn, n, name) -> Column | None:
 
     part = parts[0] if parts else np.zeros(n, np.int32)
     key = keys[0]
-    val = arg if arg is not None else np.ones(n, np.float32)
+    # count ALWAYS scans ones (the arg column is guaranteed NULL-free by
+    # the eligibility check above — counting is row counting, not a value
+    # sum; round-4 review fix)
+    val = (arg if arg is not None and name != "count"
+           else np.ones(n, np.float32))
 
     cached = _DEVICE_WINDOW_CACHE.get((n, name))
     if cached is not None:

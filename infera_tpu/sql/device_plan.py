@@ -518,8 +518,9 @@ def _finalize_agg(pname, payload, res, group_count):
             s64 = np.asarray(res, np.float64)
         return np.rint(s64).astype(np.int64), T.BIGINT, None
     if pname in ("band", "bor"):
+        # the and/or distinction lives in the min-vs-max partial upstream
         v = np.asarray(res, np.float64)
-        return (v >= 0.5) if pname == "bor" else (v >= 0.5), T.BOOLEAN, None
+        return v >= 0.5, T.BOOLEAN, np.asarray(group_count) == 0
     if pname == "prod":
         def _fold2(a, b=None):
             x = np.asarray(a, np.float64)
@@ -541,7 +542,7 @@ def _finalize_agg(pname, payload, res, group_count):
         with np.errstate(over="ignore"):
             # sign * 0.0 preserves IEEE signed zero — host-path parity
             vals = np.where(zero > 0.5, sign * 0.0, sign * np.exp2(l64))
-        return vals, T.DOUBLE, None
+        return vals, T.DOUBLE, np.asarray(group_count) == 0
     if pname in ("argmn", "argmx"):
         _vfn, acol = payload
         rid = np.asarray(res[0]).astype(np.int64)
@@ -556,7 +557,8 @@ def _finalize_agg(pname, payload, res, group_count):
         hist = np.asarray(res, np.float64)
         if hist.ndim == 3:  # mesh: gathered [ndev, G, 55] owner tables
             hist = hist.reshape(-1, 55)
-        return hll_estimate_from_hist(hist), T.BIGINT, None
+        return (hll_estimate_from_hist(hist), T.BIGINT,
+                np.asarray(group_count) == 0)
     if pname in ("isum", "iavg"):
         if len(res) == 3:  # mesh merge returns 16-bit-widened limb words
             lo16, hi16, est = res
@@ -658,12 +660,16 @@ def _finalize_agg(pname, payload, res, group_count):
             v = np.tile(pair_sum, len(group_count) // pair_sum.shape[0])
         else:
             v = s64
+        empty = np.asarray(group_count) == 0
         if pname == "sum":
-            return v, T.DOUBLE, None
+            return v, T.DOUBLE, empty
         c = np.asarray(group_count, np.float64)
-        return v / np.where(c == 0, 1.0, c), T.DOUBLE, None
-    # plain f32 aggregates (sum/avg/min/max)
-    return np.asarray(res).astype(np.float64), T.DOUBLE, None
+        return v / np.where(c == 0, 1.0, c), T.DOUBLE, empty
+    # plain f32 aggregates (sum/avg/min/max); an EMPTY live group (global
+    # aggregate, all-false WHERE) must render NULL, not 0.0/+-inf — the
+    # badmask sends it to the host path (round-4 review fix)
+    return (np.asarray(res).astype(np.float64), T.DOUBLE,
+            np.asarray(group_count) == 0)
 
 
 def _assemble_result(sel: A.Select, items_plan, agg_plans, having_plan,

@@ -621,32 +621,6 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                     jnp, jax, lo, hi, mask.astype(jnp.int32), keys, G,
                     gg=GG if use_gemm else None)
                 arrs = [limbs, est]
-            elif kind in ("argmn", "argmx"):
-                r_k, r_r = rs
-                if kind == "argmn":
-                    m_k = jax.ops.segment_min(
-                        jnp.where(live, r_k, INT32_MAX), mkeys,
-                        num_segments=GS)
-                else:
-                    m_k = jax.ops.segment_max(
-                        jnp.where(live, r_k, INT32_MIN), mkeys,
-                        num_segments=GS)
-                at2 = live & (r_k == m_k[mkeys])
-                m_r = jax.ops.segment_min(
-                    jnp.where(at2, r_r, INT32_MAX), mkeys,
-                    num_segments=GS)
-                merged[si] = (m_k[:G], m_r[:G])
-            elif kind == "hllreg":
-                live2 = live[:, None]
-                merged[si] = (jnp.maximum(jax.ops.segment_max(
-                    jnp.where(live2, rs[0], 0), mkeys,
-                    num_segments=GS)[:G], 0),)
-            elif kind == "qsel":
-                # identical global values on every source device: the
-                # owner's merge is a live-masked max passthrough
-                merged[si] = tuple(jax.ops.segment_max(
-                    jnp.where(live, r, -jnp.inf), mkeys,
-                    num_segments=GS)[:G] for r in rs)
             elif kind in ("lexmin", "lexmax"):
                 lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
                 sel_hi, sel_lo = device_lex_minmax(

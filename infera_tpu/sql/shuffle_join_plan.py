@@ -225,9 +225,12 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                     continue
                 side = side_of_expr(node.args[0])
                 if name == "count":
-                    # device-eligible columns carry no NULLs → every pair
-                    # counts (same count(*) equivalence the fused plans use)
-                    agg_specs.append(("count_star", None, None))
+                    # count(expr) == count(*) ONLY when the argument can
+                    # never be NULL — the lowering phase verifies that by
+                    # lowering the arg (raises on nullable columns);
+                    # round-4 review fix: the unchecked rewrite overcounted
+                    # pairs whose aggregate argument was NULL
+                    agg_specs.append(("count_arg", side, node.args[0]))
                     continue
                 agg_specs.append((name, side, node.args[0]))
             plan = (at, anames, akey_ref, ak, bt, bnames, bk,
@@ -300,6 +303,13 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                 agg_plans.append(("key", arg))
                 continue
             if pname == "count_star":
+                agg_plans.append(("count_star", None))
+                continue
+            if pname == "count_arg":
+                # lower the argument purely for its NULL guard (_column
+                # raises _Unsupported on nullable columns) — then the
+                # count is the pair count
+                (a_low if side == "a" else b_low).lower(arg)
                 agg_plans.append(("count_star", None))
                 continue
             low = a_low if side == "a" else b_low
@@ -389,8 +399,11 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                                  indices_are_sorted=True)
         alive = jnp.arange(nb) < n_seg
         uk = jnp.where(alive, uk, INT32_MAX)
-        cnt = jax.ops.segment_sum(wb, uidx, num_segments=nb,
-                                  indices_are_sorted=True)
+        # per-key row counts in int32: f32 rounds past 2^24 rows per key,
+        # which would silently corrupt the "exact" limb pair counts built
+        # from these weights downstream (round-4 review fix)
+        cnt = jax.ops.segment_sum(wb.astype(jnp.int32), uidx,
+                                  num_segments=nb, indices_are_sorted=True)
         outs = [uk, cnt]
         for fn in b_sum_fns:
             v = jnp.asarray(fn(cols), jnp.float32)[order]
@@ -412,10 +425,11 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
     if cache is None:
         cache = {}
         conn._device_plan_cache = cache
-    bkey = ("sjoin_b", repr(sel), id(bt), nb, tuple(b_cols_used))
-    b_built = cache.get(bkey)
+    bkey = ("sjoin_b", repr(sel), id(bt), nb, tuple(b_cols_used),
+            tuple(sorted((nm, id(m)) for nm, m in b_low.models.items())))
+    cached_b = cache.get(bkey)
     try:
-        if b_built is None:
+        if cached_b is None:
             b_jit = jax.jit(b_prepass)
             b_arrs = [jnp.asarray(b_low.used_columns[k].data)
                       for k in b_cols_used]
@@ -423,7 +437,11 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                                         .astype(np.int32)), *b_arrs)
             if len(cache) >= 16:
                 cache.pop(next(iter(cache)))
-            cache[bkey] = b_built
+            # the cache VALUE holds the source table (id-keyed entries
+            # must pin their referent or a recycled id serves stale data)
+            cache[bkey] = (bt, b_built)
+        else:
+            b_built = cached_b[1]
         b_tables = b_built
     except Exception:
         return None
@@ -444,7 +462,8 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
         idx = jnp.searchsorted(uk, ka)
         idx = jnp.clip(idx, 0, nb - 1)
         matched = (uk[idx] == ka) & mask
-        w = jnp.where(matched, cnt[idx], 0.0)  # pairs per A row
+        wi0 = jnp.where(matched, cnt[idx], 0)   # int32 pairs per A row
+        w = wi0.astype(jnp.float32)
         if key_fns:
             combined = jnp.zeros(A_CHUNK_ROWS, jnp.int32)
             for kf, stride in zip(key_fns, strides):
@@ -471,7 +490,7 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
         # count is Σ cntB and can blow far past it; int32 limb sums stay
         # exact (chunk 2^20 x 255 < 2^31 — the int_agg discipline) and the
         # host folds limbs in int64
-        wi = jnp.where(matched, cnt[idx], 0.0).astype(jnp.int32)
+        wi = wi0
         climb_rows = [jnp.bitwise_and(jnp.right_shift(wi, 8 * jj), 255)
                       for jj in range(4)]
 
@@ -658,12 +677,18 @@ def _assemble(sel, items_plan, agg_plans, acc_outs, count64, acc_kmin,
             continue
         if pname == "count_star":
             out_cols[name] = Column(count64[live], T.BIGINT)
-        elif pname in ("aavg", "amean", "bavg", "bmean"):
-            c = count64[live].astype(np.float64)
+            continue
+        # zero-pair groups render NULL (the global group is always live):
+        # sums/avgs/mins would otherwise leak 0.0 / +-inf identities
+        c64 = count64[live]
+        if pname in ("aavg", "amean", "bavg", "bmean"):
+            c = c64.astype(np.float64)
             vals = res[live] / np.where(c == 0, 1.0, c)
-            out_cols[name] = Column(vals, T.DOUBLE)
         else:
-            out_cols[name] = Column(res[live].astype(np.float64), T.DOUBLE)
+            vals = res[live].astype(np.float64)
+        out_cols[name] = Column.from_values(
+            [None if c64[i] == 0 else float(vals[i])
+             for i in range(len(vals))], T.DOUBLE)
     return Table(out_cols)
 
 
@@ -720,7 +745,8 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
             ks_s, uidx, num_segments=lb, indices_are_sorted=True),
             INT32_MAX)
         payload = [uk_l,
-                   jax.ops.segment_sum(wb, uidx, num_segments=lb,
+                   jax.ops.segment_sum(wb.astype(jnp.int32), uidx,
+                                       num_segments=lb,
                                        indices_are_sorted=True)]
         for fn in b_sum_fns:
             v = jnp.asarray(fn(bcols), jnp.float32)[order]
@@ -761,8 +787,10 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
             rk_s, uidx2, num_segments=nm, indices_are_sorted=True),
             INT32_MAX)
         okf = ok2.astype(jnp.float32)
-        cnt = jax.ops.segment_sum(recv[1][order2] * okf, uidx2,
-                                  num_segments=nm, indices_are_sorted=True)
+        # int32 counts end to end: exact for any per-key row count
+        cnt = jax.ops.segment_sum(jnp.where(ok2, recv[1][order2], 0),
+                                  uidx2, num_segments=nm,
+                                  indices_are_sorted=True)
         b_slots = []
         for si in range(SB):
             b_slots.append(jax.ops.segment_sum(
@@ -806,7 +834,8 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
         maskr = rva & (rka != INT32_MAX)
         idx = jnp.clip(jnp.searchsorted(uk, rka), 0, nm - 1)
         matched = (uk[idx] == rka) & maskr
-        w = jnp.where(matched, cnt[idx], 0.0)
+        wi0 = jnp.where(matched, cnt[idx], 0)  # int32 pairs per A row
+        w = wi0.astype(jnp.float32)
         nkeys = len(key_fns)
         if key_fns:
             combined = jnp.zeros(ndev * la, jnp.int32)
@@ -820,7 +849,7 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
         # exact pair counts: 8-bit limbs of the int32 weight, int32 segment
         # sums (exact while rows-per-device x 255 < 2^31), int32 psum over
         # the mesh — the f32 path rounds past 2^24 pairs (round-4 fix)
-        wi = w.astype(jnp.int32)
+        wi = wi0
         climbs = [jax.lax.psum(jax.ops.segment_sum(
             jnp.bitwise_and(jnp.right_shift(wi, 8 * jj), 255), keys,
             num_segments=G), "dp") for jj in range(4)]

@@ -153,3 +153,15 @@ def test_mesh_median_quantile_bisection(monkeypatch):
         assert qc == pytest.approx(np.quantile(vals, 0.25), abs=1e-6)
         idx = max(int(np.ceil(0.9 * len(vals))) - 1, 0)
         assert qd == pytest.approx(vals[idx], abs=1e-6)
+
+
+def test_empty_selection_renders_null(conn, monkeypatch):
+    """Review r4: a global aggregate whose WHERE selects zero rows renders
+    NULL for bool_and/bool_or/product/approx_count_distinct/sum/min — the
+    device identities (True/False/1.0/0/0.0/inf) must never leak."""
+    c, path = conn
+    q = ("select bool_and(v > 0), bool_or(v > 0), product(v), "
+         "approx_count_distinct(iv), sum(v), min(v) from t "
+         "where v > 1000.0")
+    rows = c.execute(q).rows
+    assert rows[0] == (None, None, None, None, None, None)

@@ -155,3 +155,36 @@ def test_shuffle_join_ineligible_shapes():
         "select count(*) from fa join fb on fa.k = fb.k "
         "where v + w > 100.0").rows
     assert conn._exec_path != "shuffle_join"
+
+
+def test_count_nullable_arg_stays_off_shuffle_join():
+    """Review r4: count(expr) only equals the pair count when the argument
+    can never be NULL — a nullable argument must take the host join."""
+    conn = Connection()
+    conn.execute(f"create table na as select x % 50 as k from range({N}) r(x)")
+    conn.execute(f"create table nb as select x % 50 as k, "
+                 f"case when x % 2 = 0 then NULL else (x * 1.0)::float end "
+                 f"as w from range(4096) r(x)")
+    rows = conn.execute(
+        "select count(w) from na join nb on na.k = nb.k").rows
+    assert conn._exec_path != "shuffle_join"
+    # host oracle: only non-NULL w pairs count
+    per_key_nonnull = np.bincount((np.arange(4096) % 50)[
+        np.arange(4096) % 2 == 1], minlength=50)
+    ka = np.arange(N) % 50
+    assert rows[0][0] == int(per_key_nonnull[ka].sum())
+
+
+def test_zero_pair_join_renders_null():
+    """Review r4: a join with no matching pairs returns NULL aggregates
+    (not 0.0 / inf identities)."""
+    conn = Connection()
+    conn.execute(f"create table za as select x % 50 as k, "
+                 f"(x * 1.0)::float as v from range({N}) r(x)")
+    conn.execute(f"create table zb as select 1000 + x % 50 as k, "
+                 f"(x * 2.0)::float as w from range({N}) r(x)")
+    rows = conn.execute(
+        "select count(*), sum(w), min(w), avg(w) from za join zb "
+        "on za.k = zb.k").rows
+    assert conn._exec_path == "shuffle_join"
+    assert rows[0] == (0, None, None, None)

@@ -198,3 +198,20 @@ def test_device_window_route_matches_host(monkeypatch):
         host = c.execute(q).rows
         for a, b in zip(dev, host):
             assert a[0] == pytest.approx(b[0], rel=1e-5)
+
+
+def test_device_window_count_is_row_count(monkeypatch):
+    """Review r4: the device route's count(v) must count rows, never sum
+    the value column."""
+    from infera_tpu.ops import window as W
+
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1 << 10)
+    c = Connection()
+    c.execute(f"create table dc as select x % 8 as p, x as k, "
+              f"(x % 97)::float as v from range({1 << 12}) r(x)")
+    q = "select count(v) over (partition by p order by k) c from dc"
+    monkeypatch.setenv("INFERA_WINDOW_DEVICE", "1")
+    dev = c.execute(q).rows
+    monkeypatch.setenv("INFERA_WINDOW_DEVICE", "0")
+    host = c.execute(q).rows
+    assert [r[0] for r in dev] == [r[0] for r in host]
