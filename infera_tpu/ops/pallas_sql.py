@@ -395,3 +395,107 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         "fracs": [bool(flag_f[i] > 0.0) for i in range(K)],
     }
     return out
+
+
+def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
+                            dim_cols, lookup, fact_key_name, kmax_dim,
+                            weights, where_fn, key_fns, strides, n_groups,
+                            sum_fns, min_fns, max_fns, n, interpret):
+    """Pallas lowering for the fact→dimension join plans (BASELINE config
+    3): ONE composed jit runs the XLA join prologue (dense key lookup +
+    dim-column gathers), stacks the feature-major block ON DEVICE, and
+    feeds the same columnar kernel the single-table plans use — the
+    joined relation never exists, and the whole query is one dispatch.
+
+    - ``col_keys``: kernel row order; names resolve against ``fact_cols``
+      (host Columns), ``dim_cols`` ("__dim__."-prefixed host Columns), or
+      the literal "__matched__" row the prologue computes.
+    - INNER joins only: the caller folds ``__matched__`` into where_fn.
+    Returns the same host dict as execute_fused_plan, or None.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    G = int(n_groups)
+    tile = pick_tile(G)
+    n_pad = -(-n // tile) * tile
+    S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
+    rows_sum = (1 + S) * G
+    rows_min = max((M + K) * G, 8)
+    rows_max = max((X + K) * G, 8)
+
+    fact_names = sorted(fact_cols)
+    dim_names = sorted(dim_cols)
+    nf = len(fact_names)
+
+    cache = getattr(conn, "_device_plan_cache", None)
+    if cache is None:
+        cache = {}
+        conn._device_plan_cache = cache
+    full_key = ("pallas_join", plan_key, tile)
+    compiled = cache.get(full_key)
+    if compiled is None:
+        kernel = build_fused_plan_call(
+            col_keys=col_keys, weights=weights, where_fn=where_fn,
+            key_fns=key_fns, strides=strides, n_groups=G, sum_fns=sum_fns,
+            min_fns=min_fns, max_fns=max_fns, n_valid=n, n_pad=n_pad,
+            tile=tile, interpret=interpret)
+        fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1)
+
+        def run(lookup_d, *arrs):
+            fact = dict(zip(fact_names, arrs[:nf]))
+            dims = dict(zip(dim_names, arrs[nf:nf + len(dim_names)]))
+            ws = arrs[nf + len(dim_names):]
+            fk = jnp.asarray(fact[fact_key_name], jnp.int32)
+            in_range = (fk >= 0) & (fk <= kmax_dim)
+            ridx_raw = lookup_d[jnp.clip(fk, 0, kmax_dim)]
+            matched = in_range & (ridx_raw >= 0)
+            ridx = jnp.where(matched, ridx_raw, 0)
+            rows = []
+            for key in col_keys:
+                if key == "__matched__":
+                    rows.append(matched.astype(jnp.float32))
+                elif key in dims:
+                    rows.append(jnp.take(
+                        jnp.asarray(dims[key], jnp.float32), ridx, axis=0))
+                else:
+                    rows.append(jnp.asarray(fact[key], jnp.float32))
+            xc = jnp.stack(rows)
+            if n_pad > n:
+                xc = jnp.pad(xc, ((0, 0), (0, n_pad - n)))
+            return fold0(*kernel(xc, *ws))
+
+        compiled = jax.jit(run)
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        cache[full_key] = compiled
+
+    def dev(col):
+        arr = getattr(col, "_device_array", None)
+        if arr is None:
+            arr = jnp.asarray(col.data)
+            col._device_array = arr
+        return arr
+
+    try:
+        args = ([dev(fact_cols[k]) for k in fact_names]
+                + [dev(dim_cols[k]) for k in dim_names]
+                + [jnp.asarray(w) for w in weights])
+        s_f, c_f, min_f, max_f, flag_f = jax.device_get(
+            compiled(jnp.asarray(lookup), *args))
+    except Exception:
+        return None
+
+    if float(flag_f[K]) > 0.0:
+        return None
+    return {
+        "count": np.asarray(s_f[:G], np.float64)
+        + np.asarray(c_f[:G], np.float64),
+        "sums": [(s_f[(1 + i) * G:(2 + i) * G], c_f[(1 + i) * G:(2 + i) * G])
+                 for i in range(S)],
+        "mins": [min_f[i * G:(i + 1) * G] for i in range(M)],
+        "maxs": [max_f[i * G:(i + 1) * G] for i in range(X)],
+        "kmins": [min_f[(M + i) * G:(M + i + 1) * G] for i in range(K)],
+        "kmaxs": [max_f[(X + i) * G:(X + i + 1) * G] for i in range(K)],
+        "fracs": [bool(flag_f[i] > 0.0) for i in range(K)],
+    }

@@ -128,6 +128,158 @@ class _JoinLowerer(_Lowerer):
         return super().lower(expr)
 
 
+class _PallasJoinLowerer:
+    """Two-sided lowering for the pallas join path: fact columns resolve
+    through _PallasLowerer (in-kernel rows, in-kernel MXU predict), dim
+    columns resolve to "__dim__.<key>" rows the composed jit's prologue
+    fills with gathered dim values before the kernel runs."""
+
+    def __new__(cls, fact, fact_names, dim, dim_names):
+        from .device_plan import _PallasLowerer
+
+        class _Impl(_PallasLowerer):
+            def __init__(self, table):
+                super().__init__(table)
+                self.dim = dim
+                self.fact_names = {s.lower() for s in fact_names if s}
+                self.dim_names = {s.lower() for s in dim_names if s}
+                self.dim_used: dict = {}
+
+            def _column(self, name, qualifier):
+                q = qualifier.lower() if qualifier else None
+                in_fact = None
+                if q is None or q in self.fact_names:
+                    for k in self.table.columns:
+                        if k.split(".")[-1].lower() == name.lower():
+                            in_fact = k
+                            break
+                in_dim = None
+                if q is None or q in self.dim_names:
+                    for k in self.dim.columns:
+                        if k.split(".")[-1].lower() == name.lower():
+                            in_dim = k
+                            break
+                if in_fact is not None and in_dim is not None:
+                    raise _Unsupported(f"ambiguous column {name}")
+                if in_fact is not None:
+                    return super()._column(name, None)
+                if in_dim is None:
+                    raise _Unsupported(f"unknown column {name}")
+                col = self.dim.columns[in_dim]
+                if not col.sql_type.is_numeric or col.validity is not None:
+                    raise _Unsupported(f"column {name} not device-eligible")
+                self.dim_used["__dim__." + in_dim] = col
+                return "__dim__." + in_dim
+
+        return _Impl(fact)
+
+
+def _try_pallas_join(conn, sel, fact, fnames, dim, dnames, fkey_ref,
+                     lookup, kmax_dim, n, n_groups, strides, agg_plans,
+                     items_plan, plan_key):
+    """INNER fact→dim join through the columnar Pallas kernel: the join
+    gather runs as an XLA prologue in the SAME jit, matched folds into the
+    WHERE mask, and the aggregate tail is the kernel's lane accumulators.
+    Returns the _assemble_result 5-tuple or None (XLA program fallback)."""
+    from ..ops import pallas_sql as PS
+
+    mode = PS.pallas_sql_mode()
+    if mode == "0":
+        return None
+    import jax
+
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    if interpret and mode != "1":
+        return None
+    if not (1 <= n_groups <= PS.PALLAS_MAX_GROUPS) or n < MIN_DEVICE_ROWS:
+        return None
+    ok_names = {"key", "count_star", "count", "sum", "avg", "mean",
+                "min", "max"}
+    if any(p[0] not in ok_names for p in agg_plans):
+        return None
+    low = _PallasJoinLowerer(fact, fnames, dim, dnames)
+    try:
+        fact_key = low._column(fkey_ref.name, fkey_ref.table)
+        if fact_key.startswith("__dim__."):
+            raise _Unsupported("join key resolved to the dim side")
+        base_where = (low.lower(sel.where) if sel.where is not None
+                      else None)
+        key_fns = [low.lower(g) for g in sel.group_by]
+        sum_fns: list = []
+        min_fns: list = []
+        max_fns: list = []
+        slot_map: list = []
+        nodes = [node for _k, node in items_plan]
+        for (pname, payload), node in zip(agg_plans, nodes):
+            if pname == "key":
+                slot_map.append(("key", payload))
+                continue
+            if pname in ("count", "count_star"):
+                slot_map.append(("count", None))
+                continue
+            arg_fn = low.lower(node.args[0])
+            if pname in ("sum", "avg", "mean"):
+                sum_fns.append(arg_fn)
+                slot_map.append((pname, len(sum_fns) - 1))
+            elif pname == "min":
+                min_fns.append(arg_fn)
+                slot_map.append(("min", len(min_fns) - 1))
+            else:
+                max_fns.append(arg_fn)
+                slot_map.append(("max", len(max_fns) - 1))
+    except _Unsupported:
+        return None
+    if sum(w.nbytes for w in low.weight_arrays) >             PS.PALLAS_MAX_WEIGHT_BYTES:
+        return None
+    for c in list(low.used_columns.values()) + list(low.dim_used.values()):
+        d = c.data
+        if d.dtype.kind in "iu" and d.size:
+            rng = getattr(c, "_int_range", None)
+            if rng is None:
+                rng = (int(d.min()), int(d.max()))
+                c._int_range = rng
+            if rng[0] < -(1 << 24) or rng[1] > (1 << 24):
+                return None
+    col_keys = sorted(low.used_columns) + sorted(low.dim_used)         + ["__matched__"]
+    if len(col_keys) > PS.PALLAS_MAX_COLS:
+        return None
+
+    def where_fn(cols, base=base_where):
+        m = cols["__matched__"] > 0.0
+        if base is not None:
+            return m & cols_bool(base(cols))
+        return m
+
+    import jax.numpy as jnp
+
+    def cols_bool(v):
+        return jnp.asarray(v, bool)
+
+    res = PS.execute_fused_join_plan(
+        conn, plan_key=plan_key, col_keys=col_keys,
+        fact_cols=low.used_columns, dim_cols=low.dim_used, lookup=lookup,
+        fact_key_name=fact_key, kmax_dim=kmax_dim,
+        weights=low.weight_arrays, where_fn=where_fn, key_fns=key_fns,
+        strides=strides, n_groups=n_groups, sum_fns=sum_fns,
+        min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret)
+    if res is None:
+        return None
+    results: list = []
+    for spec, si in slot_map:
+        if spec == "key":
+            results.append(np.asarray(res["kmaxs"][si]))
+        elif spec == "count":
+            results.append(res["count"])
+        elif spec in ("sum", "avg", "mean"):
+            results.append(res["sums"][si])
+        elif spec == "min":
+            results.append(np.asarray(res["mins"][si]))
+        else:
+            results.append(np.asarray(res["maxs"][si]))
+    return (results, res["count"], res["kmins"], res["kmaxs"],
+            res["fracs"])
+
+
 def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     """Compile + run a fused join-aggregate SELECT; Table or None."""
     import time as _time
@@ -417,6 +569,26 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
                 return out_table
             return None  # a guard tripped — host path, not single-device
         # mesh execution unavailable/failed → single-device fused program
+
+    # --- Pallas columnar kernel for INNER joins (config 3): the join
+    # gather runs as an XLA prologue in the SAME jit as the kernel, so the
+    # whole join-aggregate is one dispatch with zero scatters. Outer joins
+    # and ineligible shapes stay on the XLA program below.
+    conn._pallas_plan_used = False
+    if mesh is None and not outer:
+        pallas_out = _try_pallas_join(
+            conn, sel, fact, fnames, dim, dnames, fkey_ref, lookup,
+            kmax_dim, n, n_groups, strides, agg_plans, items_plan,
+            plan_key)
+        if pallas_out is not None:
+            out_table = _assemble_result(sel, items_plan, agg_plans, [],
+                                         *pallas_out,
+                                         has_keys=bool(key_fns))
+            if out_table is not None:
+                conn._pallas_plan_used = True
+                return out_table
+            return None  # collision/frac guard — identical bucketing on
+            # the XLA program would trip the same guard → host path
 
     def program(cols):
         fk = jnp.asarray(cols[fact_key], jnp.int32)

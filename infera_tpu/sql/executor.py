@@ -579,9 +579,12 @@ class Connection:
                         stop = (start + sel.limit if sel.limit is not None
                                 else fused.num_rows)
                         fused = fused.slice(start, stop)
-                    self._exec_path = (path_base + "_mesh"
-                                       if getattr(self, "_mesh_plan_used", False)
-                                       else path_base)
+                    self._exec_path = (
+                        path_base + "_mesh"
+                        if getattr(self, "_mesh_plan_used", False)
+                        else path_base + "_pallas"
+                        if getattr(self, "_pallas_plan_used", False)
+                        else path_base)
                     return fused
 
         # 1. FROM

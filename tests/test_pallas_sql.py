@@ -155,3 +155,49 @@ def test_pallas_matches_sqllogic_tolerances(pconn, monkeypatch):
     for a, b in zip(rows, hrows):
         assert a[0] == b[0]
         assert a[1] == pytest.approx(b[1], abs=0.5)
+
+
+def test_pallas_inner_join_parity(pconn, monkeypatch, tmp_path):
+    """INNER fact->dim joins ride the columnar kernel with an in-jit XLA
+    gather prologue (path=device_join_plan_pallas), host-exact."""
+    conn, n = pconn
+    conn.execute(f"create table jfact as select x % 100 as k, x % 7 as jg, "
+                 f"(x % 40)::float / 4.0 as v from range({n}) r(x)")
+    conn.execute("create table jdim as select x as k, (x * 2)::float as w, "
+                 "x % 3 as cat from range(100) r(x)")
+    qs = [
+        ("select cat, count(*) c, sum(w) sw, max(v) mx from jfact "
+         "join jdim on jfact.k = jdim.k group by cat order by cat"),
+        ("select count(*), sum(v * w), min(w) from jfact "
+         "join jdim on jfact.k = jdim.k where v > 2.0"),
+        ("select jg, avg(infera_predict('m', v, w, v, w)) from jfact "
+         "join jdim on jfact.k = jdim.k group by jg order by jg"),
+    ]
+    import infera_tpu.sql.device_join_plan as djp
+
+    for q in qs:
+        rows = conn.execute(q).rows
+        assert conn._exec_path == "device_join_plan_pallas", q
+        host = Connection()
+        host.catalog = conn.catalog
+        with monkeypatch.context() as m:
+            m.setattr(djp, "try_execute_join_on_device",
+                      lambda *a, **k: None)
+            hrows = host.execute(q).rows
+        _assert_rows_close(rows, hrows, rel=1e-5)
+
+
+def test_pallas_outer_join_stays_on_xla(pconn, monkeypatch):
+    """LEFT joins keep the XLA outer program (matched-validity masking is
+    not in the kernel); answers unchanged."""
+    conn, n = pconn
+    conn.execute(f"create table ofact as select x % 150 as k, "
+                 f"(x % 40)::float as v from range({n}) r(x)")
+    conn.execute("create table odim as select x as k, (x * 2)::float as w "
+                 "from range(100) r(x)")
+    rows = conn.execute(
+        "select count(*), count(w) from ofact left join odim "
+        "on ofact.k = odim.k").rows
+    assert conn._exec_path == "device_join_plan"
+    x = np.arange(n)
+    assert rows[0] == (n, int((x % 150 < 100).sum()))
