@@ -21,7 +21,8 @@ import infera_tpu as it
 from infera_tpu.onnx.builder import mlp_model
 
 with tempfile.NamedTemporaryFile(suffix=".onnx", delete=False) as f:
-    f.write(mlp_model(in_dim=3, hidden=(16,), out_dim=1).serialize())
+    f.write(mlp_model(in_dim=3, hidden=(16,), out_dim=1,
+                      softmax=False).serialize())
     model_path = f.name
 it.load_model("scorer", model_path)
 conn.execute(

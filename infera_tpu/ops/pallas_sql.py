@@ -432,7 +432,11 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
     if cache is None:
         cache = {}
         conn._device_plan_cache = cache
-    full_key = ("pallas_join", plan_key, tile)
+    # INFERA_PALLAS_SQL_SPLIT=1 keeps the pallas_call in its own jit (the
+    # remote Mosaic compose-stall escape hatch — same contract as
+    # execute_fused_plan): prologue and fold become separate dispatches.
+    split = os.environ.get("INFERA_PALLAS_SQL_SPLIT") == "1"
+    full_key = ("pallas_join", plan_key, tile, split)
     compiled = cache.get(full_key)
     if compiled is None:
         kernel = build_fused_plan_call(
@@ -442,10 +446,9 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
             tile=tile, interpret=interpret)
         fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1)
 
-        def run(lookup_d, *arrs):
+        def prologue(lookup_d, *arrs):
             fact = dict(zip(fact_names, arrs[:nf]))
             dims = dict(zip(dim_names, arrs[nf:nf + len(dim_names)]))
-            ws = arrs[nf + len(dim_names):]
             fk = jnp.asarray(fact[fact_key_name], jnp.int32)
             in_range = (fk >= 0) & (fk <= kmax_dim)
             ridx_raw = lookup_d[jnp.clip(fk, 0, kmax_dim)]
@@ -463,9 +466,22 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
             xc = jnp.stack(rows)
             if n_pad > n:
                 xc = jnp.pad(xc, ((0, 0), (0, n_pad - n)))
-            return fold0(*kernel(xc, *ws))
+            return xc
 
-        compiled = jax.jit(run)
+        if split:
+            pro_jit = jax.jit(prologue)
+
+            def compiled(lookup_d, *arrs):
+                ws = arrs[nf + len(dim_names):]
+                xc = pro_jit(lookup_d, *arrs[:nf + len(dim_names)])
+                return fold0(*kernel(xc, *ws))
+        else:
+            def run(lookup_d, *arrs):
+                ws = arrs[nf + len(dim_names):]
+                xc = prologue(lookup_d, *arrs[:nf + len(dim_names)])
+                return fold0(*kernel(xc, *ws))
+
+            compiled = jax.jit(run)
         if len(cache) >= 16:
             cache.pop(next(iter(cache)))
         cache[full_key] = compiled

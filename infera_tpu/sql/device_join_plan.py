@@ -29,6 +29,7 @@ from .device_plan import (
     _find_aggs,
     _group_keys_int32_safe,
     _Lowerer,
+    _PallasLowerer,
     _Unsupported,
 )
 
@@ -36,13 +37,13 @@ DIM_MAX_ROWS = 1 << 20
 DIM_MAX_KEY = 1 << 22
 
 
-class _JoinLowerer(_Lowerer):
-    """Resolves columns across (fact, dim). Fact columns read directly; dim
-    columns resolve to '__dim__.<name>' keys the program prologue fills
-    with `dim_col[ridx]` gathers, so the base closures need no changes."""
+class _TwoSidedColumns:
+    """Fact/dim column resolution shared by the XLA and Pallas join
+    lowerers: fact columns resolve through the base lowerer (next in the
+    MRO), dim columns become "__dim__.<key>" entries the join prologue
+    fills with `dim_col[ridx]` gathers."""
 
-    def __init__(self, fact: Table, fact_names: set, dim: Table, dim_names: set):
-        super().__init__(fact)
+    def _init_two_sided(self, dim: Table, fact_names: set, dim_names: set):
         self.dim = dim
         self.fact_names = {s.lower() for s in fact_names if s}
         self.dim_names = {s.lower() for s in dim_names if s}
@@ -76,6 +77,14 @@ class _JoinLowerer(_Lowerer):
         key = "__dim__." + in_dim
         self.dim_used[key] = col
         return key
+
+
+class _JoinLowerer(_TwoSidedColumns, _Lowerer):
+    """XLA join lowering with the outer-join NULL-validity lattice."""
+
+    def __init__(self, fact: Table, fact_names: set, dim: Table, dim_names: set):
+        _Lowerer.__init__(self, fact)
+        self._init_two_sided(dim, fact_names, dim_names)
 
     def col_for_key(self, key: str) -> Column:
         if key in self.dim_used:
@@ -128,50 +137,15 @@ class _JoinLowerer(_Lowerer):
         return super().lower(expr)
 
 
-class _PallasJoinLowerer:
-    """Two-sided lowering for the pallas join path: fact columns resolve
-    through _PallasLowerer (in-kernel rows, in-kernel MXU predict), dim
-    columns resolve to "__dim__.<key>" rows the composed jit's prologue
-    fills with gathered dim values before the kernel runs."""
+class _PallasJoinLowerer(_TwoSidedColumns, _PallasLowerer):
+    """Pallas join lowering: fact columns become in-kernel rows (with the
+    in-kernel MXU predict), dim columns become "__dim__.<key>" rows the
+    composed jit's gather prologue fills before the kernel runs."""
 
-    def __new__(cls, fact, fact_names, dim, dim_names):
-        from .device_plan import _PallasLowerer
-
-        class _Impl(_PallasLowerer):
-            def __init__(self, table):
-                super().__init__(table)
-                self.dim = dim
-                self.fact_names = {s.lower() for s in fact_names if s}
-                self.dim_names = {s.lower() for s in dim_names if s}
-                self.dim_used: dict = {}
-
-            def _column(self, name, qualifier):
-                q = qualifier.lower() if qualifier else None
-                in_fact = None
-                if q is None or q in self.fact_names:
-                    for k in self.table.columns:
-                        if k.split(".")[-1].lower() == name.lower():
-                            in_fact = k
-                            break
-                in_dim = None
-                if q is None or q in self.dim_names:
-                    for k in self.dim.columns:
-                        if k.split(".")[-1].lower() == name.lower():
-                            in_dim = k
-                            break
-                if in_fact is not None and in_dim is not None:
-                    raise _Unsupported(f"ambiguous column {name}")
-                if in_fact is not None:
-                    return super()._column(name, None)
-                if in_dim is None:
-                    raise _Unsupported(f"unknown column {name}")
-                col = self.dim.columns[in_dim]
-                if not col.sql_type.is_numeric or col.validity is not None:
-                    raise _Unsupported(f"column {name} not device-eligible")
-                self.dim_used["__dim__." + in_dim] = col
-                return "__dim__." + in_dim
-
-        return _Impl(fact)
+    def __init__(self, fact: Table, fact_names: set, dim: Table,
+                 dim_names: set):
+        _PallasLowerer.__init__(self, fact)
+        self._init_two_sided(dim, fact_names, dim_names)
 
 
 def _try_pallas_join(conn, sel, fact, fnames, dim, dnames, fkey_ref,
@@ -229,7 +203,7 @@ def _try_pallas_join(conn, sel, fact, fnames, dim, dnames, fkey_ref,
                 slot_map.append(("max", len(max_fns) - 1))
     except _Unsupported:
         return None
-    if sum(w.nbytes for w in low.weight_arrays) >             PS.PALLAS_MAX_WEIGHT_BYTES:
+    if sum(w.nbytes for w in low.weight_arrays) > PS.PALLAS_MAX_WEIGHT_BYTES:
         return None
     for c in list(low.used_columns.values()) + list(low.dim_used.values()):
         d = c.data
@@ -240,7 +214,8 @@ def _try_pallas_join(conn, sel, fact, fnames, dim, dnames, fkey_ref,
                 c._int_range = rng
             if rng[0] < -(1 << 24) or rng[1] > (1 << 24):
                 return None
-    col_keys = sorted(low.used_columns) + sorted(low.dim_used)         + ["__matched__"]
+    col_keys = (sorted(low.used_columns) + sorted(low.dim_used)
+                + ["__matched__"])
     if len(col_keys) > PS.PALLAS_MAX_COLS:
         return None
 
@@ -576,16 +551,21 @@ def try_execute_join_on_device(conn, sel: A.Select, analyze_only: bool = False):
     # and ineligible shapes stay on the XLA program below.
     conn._pallas_plan_used = False
     if mesh is None and not outer:
+        _phases["plan_ms"] = round((_time.perf_counter() - _t0) * 1e3, 3)
+        _tp = _time.perf_counter()
         pallas_out = _try_pallas_join(
             conn, sel, fact, fnames, dim, dnames, fkey_ref, lookup,
             kmax_dim, n, n_groups, strides, agg_plans, items_plan,
             plan_key)
         if pallas_out is not None:
+            _phases["pallas_exec_ms"] = round(
+                (_time.perf_counter() - _tp) * 1e3, 3)
             out_table = _assemble_result(sel, items_plan, agg_plans, [],
                                          *pallas_out,
                                          has_keys=bool(key_fns))
             if out_table is not None:
                 conn._pallas_plan_used = True
+                conn._last_phases = _phases
                 return out_table
             return None  # collision/frac guard — identical bucketing on
             # the XLA program would trip the same guard → host path

@@ -142,6 +142,10 @@ class Connection:
                 with measure(type(stmt).__name__) as m:
                     self._exec_path = "host"
                     self._last_phases = None
+                    # tier flags are per-statement: a plan that declines
+                    # early must not inherit the previous statement's
+                    self._pallas_plan_used = False
+                    self._mesh_plan_used = False
                     result = self._execute_statement(stmt)
                     m.path = self._exec_path
                     m.phases = getattr(self, "_last_phases", None)

@@ -975,10 +975,10 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
                  for k in b_cols_used]
         outs, climbs, kmins, kmaxs = jax.device_get(
             compiled(a_valid, b_valid, ka, kb, *arrs))
-    except Exception:
-        import os, traceback
-        if os.environ.get("INFERA_SJ_DEBUG"):
-            traceback.print_exc()
+    except Exception as e:
+        from ..log import debug
+
+        debug(f"shuffle_join mesh lowering fell back: {e!r}")
         return None
 
     conv = []
