@@ -246,6 +246,39 @@ SQL_WORKER = textwrap.dedent("""
         assert abs(p - float(pred[m].mean())) < 1e-3 * abs(p)
         assert abs(sd - float(np.std(f1[m], ddof=1))) < 1e-3 * sd
 
+    # round-4 tiers across REAL process boundaries: outer join with
+    # matched-validity partials, median via bitwise bisection (psum inside
+    # fori_loop), and the pre-aggregated shuffle join
+    conn.execute("create table dim as select x as k, (x * 2)::float as w "
+                 "from range(60) r(x)")
+    conn.execute(f"create table fact as select x % 100 as k, "
+                 f"(x % 40)::float / 4.0 as fv from range({n}) r(x)")
+    orows = conn.execute(
+        "select count(*) c, count(w) cw, avg(w) aw from fact "
+        "left join dim on fact.k = dim.k").rows
+    assert conn._exec_path == "device_join_plan_mesh", conn._exec_path
+    ks = x % 100
+    mm = ks < 60
+    assert orows[0][0] == n and orows[0][1] == int(mm.sum())
+    assert abs(orows[0][2] - float((ks[mm] * 2.0).mean())) < 1e-5
+
+    mrows = conn.execute("select median(fv) from fact").rows
+    assert conn._exec_path == "device_plan_mesh", conn._exec_path
+    assert abs(mrows[0][0] - float(np.median((x % 40) / 4.0))) < 1e-6
+
+    conn.execute(f"create table fb as select (x * 3) % 120 as k, "
+                 f"(x % 90)::float / 9.0 as w from range({n}) r(x)")
+    srows = conn.execute("select count(*) c, sum(w) sw from fact "
+                         "join fb on fact.k = fb.k").rows
+    assert conn._exec_path == "shuffle_join_mesh", conn._exec_path
+    kb = (x * 3) % 120
+    cntb = np.bincount(kb, minlength=128)
+    swb = np.zeros(128)
+    np.add.at(swb, kb, (x % 90) / 9.0)
+    assert srows[0][0] == int(cntb[ks].sum())
+    assert abs(srows[0][1] - float(swb[ks].sum())) <= \
+        1e-6 * abs(float(swb[ks].sum()))
+
     # volatile semantics still hold across the process group
     ops.unload("linear")
     assert not it.is_model_loaded("linear")
