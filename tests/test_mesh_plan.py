@@ -286,7 +286,8 @@ def test_mesh_disabled_uses_single_device(model_dir, clean_registry):
     conn.execute(f"create table t as select x % 7 as g, (x % 10)::float as f "
                  f"from range({n}) r(x)")
     rows = conn.execute("select g, count(*) from t group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    # single-device (pallas variant when INFERA_PALLAS_SQL forces it)
+    assert conn._exec_path in ("device_plan", "device_plan_pallas")
     assert sum(r[1] for r in rows) == n
 
 

@@ -64,9 +64,13 @@ def test_sql_execute_records_metrics():
     assert rec.rows == 1
 
 
-def test_metrics_record_execution_path(model_dir, clean_registry):
+def test_metrics_record_execution_path(model_dir, clean_registry,
+                                        monkeypatch):
     """Per-statement metrics name the path that served the query
-    (host / device_plan / device_join_plan / streaming_plan)."""
+    (host / device_plan / device_join_plan / streaming_plan). Pins the
+    XLA tier names — the pallas knob is held off (its _pallas suffixes
+    are covered by tests/test_pallas_sql.py)."""
+    monkeypatch.setenv("INFERA_PALLAS_SQL", "0")
     import infera_tpu as it
     from infera_tpu.observability import METRICS
     from infera_tpu.sql import Connection
@@ -101,9 +105,12 @@ def test_explain_analyze_reports_actuals(model_dir, clean_registry):
     assert not any("ACTUAL" in r[0] for r in rows)
 
 
-def test_device_plan_phase_breakdown(clean_registry):
+def test_device_plan_phase_breakdown(clean_registry, monkeypatch):
     """Fused plans record a per-phase wall breakdown (plan/probe/upload/
-    exec+readback) in METRICS and EXPLAIN ANALYZE (round-3, VERDICT item 5)."""
+    exec+readback) in METRICS and EXPLAIN ANALYZE (round-3, VERDICT item 5).
+    Pins the XLA program's schema — the pallas path records its own
+    (plan/probe/pallas_exec), so the knob is held off here."""
+    monkeypatch.setenv("INFERA_PALLAS_SQL", "0")
     from infera_tpu.observability import METRICS
     from infera_tpu.sql import Connection
     from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
