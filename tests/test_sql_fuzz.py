@@ -255,3 +255,68 @@ def test_prepared_statement_parameters(model_dir, clean_registry):
     # NULL binding propagates
     assert conn.execute("select ?::integer is null",
                         parameters=[None]).rows == [(True,)]
+
+
+def test_differential_device_vs_host_fuzz(monkeypatch):
+    """Differential fuzz (round 4): random eligible aggregate queries must
+    agree across the host path, the XLA device plan, and the forced pallas
+    plan — the three tiers answer the same SQL."""
+    import os
+
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    rng = np.random.default_rng(42)
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(
+        f"create table ft as select x % 6 as g, x % 11 as iv, "
+        f"(x % 97)::float / 7.0 as f, ((x * 13) % 53)::float / 5.0 as v "
+        f"from range({n}) r(x)")
+    host = Connection()
+    host.catalog = conn.catalog
+
+    agg_pool = [
+        "count(*)", "sum(f)", "avg(v)", "min(f)", "max(v)", "stddev(f)",
+        "median(v)", "quantile_cont(f, 0.25)", "count_if(f > 5.0)",
+        "bool_and(f >= 0.0)", "bool_or(v > 10.0)",
+        "product(1.0 + f / 5000.0)", "arg_min(iv, f)", "arg_max(iv, v)",
+        "approx_count_distinct(iv)", "sum(iv)", "count(distinct iv)",
+    ]
+    wheres = ["", " where f > 3.0", " where v < 9.0 and f > 1.0",
+              " where f + v > 6.0"]
+
+    import infera_tpu.sql.device_plan as dp
+
+    orig = dp.try_execute_on_device
+    for trial in range(20):
+        k = int(rng.integers(1, 4))
+        aggs = list(rng.choice(agg_pool, size=k, replace=False))
+        grouped = bool(rng.integers(0, 2))
+        sel = ", ".join((["g"] if grouped else []) + aggs)
+        q = (f"select {sel} from ft{rng.choice(wheres)}"
+             + (" group by g order by g" if grouped else ""))
+        outs = {}
+        for mode in ("auto", "1", "host"):
+            if mode == "host":
+                monkeypatch.setattr(dp, "try_execute_on_device",
+                                    lambda *a, **kw: None)
+            else:
+                monkeypatch.setattr(dp, "try_execute_on_device", orig)
+                os.environ["INFERA_PALLAS_SQL"] = \
+                    "1" if mode == "1" else "0"
+            try:
+                outs[mode] = (host if mode == "host" else conn).execute(q).rows
+            finally:
+                os.environ.pop("INFERA_PALLAS_SQL", None)
+        base = outs["host"]
+        for mode in ("auto", "1"):
+            got = outs[mode]
+            assert len(got) == len(base), q
+            for a, b in zip(got, base):
+                for x, y, label in zip(a, b, (["g"] if grouped else []) + aggs):
+                    tol = 1e-3 if label.startswith("product") else 1e-5
+                    if isinstance(y, float):
+                        assert x == pytest.approx(y, rel=tol, abs=1e-6), \
+                            (q, mode, label, x, y)
+                    else:
+                        assert x == y, (q, mode, label, x, y)
