@@ -320,3 +320,61 @@ def test_differential_device_vs_host_fuzz(monkeypatch):
                             (q, mode, label, x, y)
                     else:
                         assert x == y, (q, mode, label, x, y)
+
+
+def test_differential_join_tiers_fuzz(monkeypatch):
+    """Differential fuzz over the JOIN tiers: random fact→dim INNER join
+    aggregates agree across the host join, the XLA join plan, and the
+    pallas join plan."""
+    import os
+
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    rng = np.random.default_rng(7)
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(f"create table jf as select x % 120 as k, x % 6 as g, "
+                 f"(x % 41)::float / 4.0 as v from range({n}) r(x)")
+    conn.execute("create table jd as select x as k, (x * 3)::float as w, "
+                 "x % 4 as cat from range(100) r(x)")
+    host = Connection()
+    host.catalog = conn.catalog
+    agg_pool = ["count(*)", "sum(v)", "sum(w)", "sum(v * w)", "avg(w)",
+                "min(v)", "max(w)"]
+    wheres = ["", " where v > 2.0", " where v + 1.0 < 9.0"]
+
+    import infera_tpu.sql.device_join_plan as djp
+
+    orig = djp.try_execute_join_on_device
+    for trial in range(12):
+        k = int(rng.integers(1, 4))
+        aggs = list(rng.choice(agg_pool, size=k, replace=False))
+        grouped = bool(rng.integers(0, 2))
+        sel = ", ".join((["cat"] if grouped else []) + aggs)
+        q = (f"select {sel} from jf join jd on jf.k = jd.k"
+             f"{rng.choice(wheres)}"
+             + (" group by cat order by cat" if grouped else ""))
+        outs = {}
+        for mode in ("auto", "1", "host"):
+            if mode == "host":
+                monkeypatch.setattr(djp, "try_execute_join_on_device",
+                                    lambda *a, **kw: None)
+            else:
+                monkeypatch.setattr(djp, "try_execute_join_on_device", orig)
+                os.environ["INFERA_PALLAS_SQL"] = \
+                    "1" if mode == "1" else "0"
+            try:
+                outs[mode] = (host if mode == "host" else conn).execute(q).rows
+            finally:
+                os.environ.pop("INFERA_PALLAS_SQL", None)
+        base = outs["host"]
+        for mode in ("auto", "1"):
+            got = outs[mode]
+            assert len(got) == len(base), q
+            for a, b in zip(got, base):
+                for x, y in zip(a, b):
+                    if isinstance(y, float):
+                        assert x == pytest.approx(y, rel=1e-5, abs=1e-6), \
+                            (q, mode, x, y)
+                    else:
+                        assert x == y, (q, mode, x, y)
