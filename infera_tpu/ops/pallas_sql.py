@@ -223,7 +223,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
             flag_ref[K:K + 1, :],
             jnp.max(big_row.reshape(1, tile // 128, 128), axis=1))
 
-    weight_specs = [pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+    weight_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                                  memory_space=pltpu.VMEM) for w in weights]
     out_specs = [
         pl.BlockSpec((rows_sum, 128), lambda i: (0, 0),

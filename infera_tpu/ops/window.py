@@ -386,8 +386,15 @@ def _try_device_window(wf, scope, eval_fn, n, name) -> Column | None:
             acol = eval_fn(wf.args[0], scope)
             if acol.validity is not None or not acol.sql_type.is_numeric:
                 return None
-            arg = np.asarray(acol.data, np.float32)
             arg_is_int = acol.sql_type.is_integer
+            if arg_is_int and name == "sum" and acol.data.size:
+                # the device scan accumulates in f32; a running BIGINT sum
+                # past 2^24 would be silently wrong (round-4 audit) —
+                # bound by n * max|v| and fall back to the host f64 path
+                amax = int(np.abs(acol.data).max())
+                if amax * len(acol.data) >= (1 << 24):
+                    return None
+            arg = np.asarray(acol.data, np.float32)
 
     import jax
     import jax.numpy as jnp
@@ -603,8 +610,11 @@ def eval_window(wf, scope, eval_fn) -> Column:
                     scan = _segmented_extreme_scan(mv, pstart, is_min)
                     res = scan[hi]
                 elif suffix_frame:
+                    # pstart is per-row: map each row's reversed-partition
+                    # start (n - pend) into reversed coordinates too, else
+                    # the scan crosses partition boundaries (round-4 audit).
                     rev = _segmented_extreme_scan(
-                        mv[::-1], (n - 1) - (pend - 1), is_min)[::-1]
+                        mv[::-1], ((n - 1) - (pend - 1))[::-1], is_min)[::-1]
                     res = rev[lo]
                 else:
                     st = _SparseTable(mv, is_min)

@@ -1013,7 +1013,21 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
                     col._int_range = rng
                 if rng[0] < -(1 << 31) or rng[1] >= (1 << 31):
                     return None
-            elif d.dtype.kind != "f":
+            elif d.dtype.kind == "f":
+                if d.dtype.itemsize > 4 and d.size:
+                    # x64-disabled upload downcasts f64→f32 and the device
+                    # hash would collide distinct doubles (round-4 audit:
+                    # ~120x HLL undercount). Only take the device route
+                    # when every value is f32-exact; cache like _int_range.
+                    exact = getattr(col, "_f32_exact", None)
+                    if exact is None:
+                        exact = bool(
+                            np.all(d.astype(np.float32).astype(np.float64)
+                                   == d))
+                        col._f32_exact = exact
+                    if not exact:
+                        return None
+            else:
                 return None
             return ("hll", (key, str(d.dtype)))
         # exact int64: sum/avg/min/max over a plain no-NULL integer column

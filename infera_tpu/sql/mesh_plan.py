@@ -268,10 +268,16 @@ def _bisect_select(jax, jnp, u, mask, keys, G, ranks, axis_name):
     def body(i, carry):
         p, rk = carry
         b = jnp.uint32(31) - jnp.asarray(i, jnp.uint32)
-        in_set = mask & (((u ^ p[keys]) >> (b + jnp.uint32(1))) == 0)
+        # b=31 would shift a uint32 by 32 — implementation-defined in XLA
+        # (round-4 audit): on the first iteration every masked row is in
+        # the candidate set by construction, so gate it explicitly.
+        shift = jnp.minimum(b + jnp.uint32(1), jnp.uint32(31))
+        prefix_eq = ((u ^ p[keys]) >> shift) == 0
+        in_set = mask & jnp.where(b == jnp.uint32(31), True, prefix_eq)
         bit0 = in_set & (((u >> b) & jnp.uint32(1)) == 0)
+        # int32 counts/ranks: f32 would round past 2^24 masked rows
         cnt0 = jax.lax.psum(jax.ops.segment_sum(
-            bit0.astype(jnp.float32), keys, num_segments=G), axis_name)
+            bit0.astype(jnp.int32), keys, num_segments=G), axis_name)
         take1 = rk >= cnt0
         p = jnp.where(take1, p | (jnp.uint32(1) << b), p)
         rk = jnp.where(take1, rk - cnt0, rk)
@@ -279,7 +285,7 @@ def _bisect_select(jax, jnp, u, mask, keys, G, ranks, axis_name):
 
     p0 = jnp.zeros(G, jnp.uint32)
     p, _ = jax.lax.fori_loop(0, 32, body,
-                             (p0, jnp.asarray(ranks, jnp.float32)))
+                             (p0, jnp.asarray(ranks, jnp.int32)))
     return p
 
 

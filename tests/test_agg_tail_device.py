@@ -99,6 +99,32 @@ def test_approx_count_distinct_host_exact(conn, monkeypatch):
     _check(c, "select approx_count_distinct(hv) from t", monkeypatch, path)
 
 
+def test_approx_count_distinct_f64_not_f32_exact_falls_back(monkeypatch):
+    """ADVICE r4 (high): DOUBLE columns whose values are not f32-exact
+    must NOT take the device HLL (the x64-disabled upload downcasts to
+    f32 and distinct doubles collide — measured ~120x undercount)."""
+    c = Connection()
+    c.execute(f"create table fd as select 1 as g, "
+              f"1.0 + x * 1e-9 as dv from range({N}) r(x)")
+    (est,) = c.execute("select approx_count_distinct(dv) from fd").rows[0]
+    assert c._exec_path == "host"
+    # all N values distinct; HLL error envelope ~2% at 2^14 registers
+    assert abs(est - N) / N < 0.05
+    # f32-exact doubles (small integers widened) still ride the device
+    c.execute(f"create table fe as select 1 as g, (x % 1000) * 1.0 as ev "
+              f"from range({N}) r(x)")
+    rows = c.execute("select approx_count_distinct(ev) from fe").rows
+    assert c._exec_path == "device_plan"
+    host = Connection()
+    host.catalog = c.catalog
+    import infera_tpu.sql.device_plan as dp
+    with monkeypatch.context() as m:
+        m.setattr(dp, "try_execute_on_device", lambda *a, **k: None)
+        hrows = host.execute(
+            "select approx_count_distinct(ev) from fe").rows
+    assert rows == hrows
+
+
 def test_product(conn, monkeypatch):
     """Device product = sign + compensated log2-sum; tolerance reflects
     the f32 expression-evaluation rounding a multiplicative aggregate

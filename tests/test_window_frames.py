@@ -175,6 +175,48 @@ def test_sliding_min_max_sparse_table(conn):
         assert mx == (max(hi) if hi else None)
 
 
+def test_suffix_frame_with_partitions(conn):
+    # ADVICE r4 (high): the reversed segmented scan must receive partition
+    # starts in REVERSED coordinates; with >1 partition the old code
+    # crossed partition boundaries (e.g. partition min 7.0 instead of 1.0).
+    rows = conn.execute(
+        "select g, v, min(v) over (partition by g order by v rows between "
+        "current row and unbounded following) mn, "
+        "max(v) over (partition by g order by v rows between "
+        "current row and unbounded following) mx from w order by g, v").rows
+    for g, v, mn, mx in rows:
+        members = [j for j in range(9) if j % 3 == g and j >= v]
+        assert mn == min(members), (g, v, mn)
+        assert mx == max(members), (g, v, mx)
+    # explicit whole-partition frame
+    rows = conn.execute(
+        "select g, min(v) over (partition by g order by v rows between "
+        "unbounded preceding and unbounded following) mn from w "
+        "order by g").rows
+    for g, mn in rows:
+        assert mn == min(j for j in range(9) if j % 3 == g)
+
+
+def test_device_window_int_sum_overflow_falls_back(monkeypatch):
+    """ADVICE r4 (medium): integer running SUM whose magnitude can pass
+    2^24 must not ride the f32 device cumsum — exact BIGINT required."""
+    from infera_tpu.ops import window as W
+
+    monkeypatch.setattr(W, "DEVICE_WINDOW_MIN_ROWS", 1 << 10)
+    monkeypatch.setenv("INFERA_WINDOW_DEVICE", "1")
+    c = Connection()
+    n = 1 << 12
+    big = 1 << 20  # n * big >> 2^24
+    c.execute(f"create table ov as select x as k, {big} + x as v "
+              f"from range({n}) r(x)")
+    rows = c.execute("select sum(v) over (order by k) s from ov "
+                     "order by k").rows
+    run = 0
+    for i, (s,) in enumerate(rows):
+        run += big + i
+        assert s == run, (i, s, run)
+
+
 def test_device_window_route_matches_host(monkeypatch):
     """INFERA_WINDOW_DEVICE=1 routes ranking/running aggregates through
     the accelerator; results must match the host-vectorized path."""
