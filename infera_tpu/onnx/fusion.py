@@ -106,6 +106,36 @@ def detect_mlp(graph: proto.Graph):
     return params, final_softmax, matmul_nodes
 
 
+def detect_tree(graph: proto.Graph):
+    """Return (node, is_classifier) when the graph is a single ai.onnx.ml
+    TreeEnsemble node (Identity wrappers allowed) — the shape the SQL
+    Pallas lowerer turns into an in-kernel GEMM forest. None otherwise."""
+    runtime_inputs = [v.name for v in graph.inputs
+                      if v.name not in graph.initializers]
+    if len(runtime_inputs) != 1:
+        return None
+    core = [n for n in graph.nodes if n.op_type != "Identity"]
+    if len(core) != 1:
+        return None
+    node = core[0]
+    if node.op_type not in ("TreeEnsembleRegressor",
+                            "TreeEnsembleClassifier"):
+        return None
+    # the tree input must resolve to the runtime input through Identities
+    alias = {}
+    for n in graph.nodes:
+        if n.op_type == "Identity":
+            alias[n.outputs[0]] = n.inputs[0]
+    src = node.inputs[0]
+    seen = 0
+    while src in alias and seen < len(alias) + 1:
+        src = alias[src]
+        seen += 1
+    if src != runtime_inputs[0]:
+        return None
+    return node, node.op_type == "TreeEnsembleClassifier"
+
+
 def pallas_mlp_mode() -> str:
     """INFERA_PALLAS_MLP: "1" force kernel, "0" force XLA, unset/auto →
     timed per-(model, shape) probe on TPU (round-3: the knob is no longer a

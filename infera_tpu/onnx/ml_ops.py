@@ -293,6 +293,127 @@ class _PackedTrees:
         y = jax.lax.map(self._gemm_eval_tile, tiles)
         return y.reshape(-1, self.weights.shape[2])[:n]
 
+    # ---- Pallas in-kernel forest tables -------------------------------
+
+    # each chunk of trees fits one 128-lane MXU strip: sum(internal) <= 128
+    # and sum(leaves) <= 128, so the whole chunk evaluates as two
+    # [128,128]-class matmuls per row tile inside the SQL kernel
+    _PALLAS_STRIP = 128
+    _PALLAS_TABLE_LIMIT = 2 << 20  # f32 bytes across all chunk constants
+
+    def _build_pallas_forest(self, n_features: int):
+        """Strip-packed GEMM-forest tables for the fused SQL Pallas kernel
+        (sql/device_plan._PallasLowerer). Trees are DFS-numbered exactly as
+        _build_gemm_tables, then greedily packed into chunks whose internal
+        and leaf counts both fit a 128-row strip; per chunk the kernel runs
+
+            xa    = sel_c  @ h          (one-hot select, HIGHEST — exact)
+            s     = xa {<=,<} th_c      ({0,1} decision vector)
+            score = C_c    @ s          (DEFAULT bf16 — integer-exact, the
+                                         config-4 roofline trick)
+            hit   = score == D_c        (unique leaf per tree)
+            out  += W_c^T  @ hit
+
+        Identical-topology trees (complete heap forests — the benchmark
+        class) share ONE deduplicated C matrix. Returns None whenever the
+        forest doesn't fit the strip packing (caller rides the XLA GEMM
+        path instead — semantics never regress)."""
+        leaf_code = _MODES["LEAF"]
+        used = {int(m) for m in np.unique(self.mode)} - {leaf_code}
+        if used not in ({_MODES["BRANCH_LEQ"]}, {_MODES["BRANCH_LT"]}):
+            return None
+        strict = used == {_MODES["BRANCH_LT"]}
+        strip = self._PALLAS_STRIP
+        trees = []
+        for t in range(self.n_trees):
+            internal, leaves = [], []
+            stack = [(0, ())]
+            steps = 0
+            while stack:
+                nd, anc = stack.pop()
+                steps += 1
+                if steps > 4 * self.max_nodes:
+                    return None
+                if self.mode[t, nd] == leaf_code:
+                    leaves.append((nd, anc))
+                    continue
+                i = len(internal)
+                internal.append(nd)
+                stack.append((int(self.false_child[t, nd]),
+                              anc + ((i, -1),)))
+                stack.append((int(self.true_child[t, nd]),
+                              anc + ((i, 1),)))
+            if len(internal) > strip or len(leaves) > strip:
+                return None
+            trees.append((internal, leaves))
+        n_out = self.weights.shape[2]
+        if n_out > strip:
+            return None
+        # greedy strip packing
+        chunks, cur, ci, cl = [], [], 0, 0
+        for t, (internal, leaves) in enumerate(trees):
+            if ci + len(internal) > strip or cl + len(leaves) > strip:
+                chunks.append(cur)
+                cur, ci, cl = [], 0, 0
+            cur.append(t)
+            ci += len(internal)
+            cl += len(leaves)
+        if cur:
+            chunks.append(cur)
+        nch = len(chunks)
+        sel = np.zeros((nch * strip, n_features), np.float32)
+        # padded internal rows: sel row is zero -> xa = 0; th = -BIG makes
+        # the decision 0 under both <= and <
+        th = np.full((nch * strip, 1), -np.float32(1 << 30), np.float32)
+        # padded leaf rows: C row zero -> score 0; D = -1 never hits
+        d_all = np.full((nch * strip, 1), -1.0, np.float32)
+        wT = np.zeros((nch * n_out, strip), np.float32)
+        c_mats: list = []
+        c_idx: list = []
+        uniq: dict = {}
+        for c, tlist in enumerate(chunks):
+            C = np.zeros((strip, strip), np.float32)  # [leaf, internal]
+            io = lo = 0
+            for t in tlist:
+                internal, leaves = trees[t]
+                for i, nd in enumerate(internal):
+                    f = int(self.feature[t, nd])
+                    if f >= n_features:
+                        return None
+                    sel[c * strip + io + i, f] = 1.0
+                    th[c * strip + io + i, 0] = self.threshold[t, nd]
+                for li, (nd, anc) in enumerate(leaves):
+                    d_all[c * strip + lo + li, 0] = float(
+                        sum(1 for _, d in anc if d == 1))
+                    wT[c * n_out:(c + 1) * n_out, lo + li] = \
+                        self.weights[t, nd]
+                    for i, d in anc:
+                        C[lo + li, io + i] = d
+                io += len(internal)
+                lo += len(leaves)
+            key = C.tobytes()
+            ui = uniq.get(key)
+            if ui is None:
+                ui = len(c_mats)
+                uniq[key] = ui
+                c_mats.append(C)
+            c_idx.append(ui)
+        c_all = np.concatenate(c_mats, axis=0)
+        total = sel.nbytes + th.nbytes + d_all.nbytes + wT.nbytes \
+            + c_all.nbytes
+        if total > self._PALLAS_TABLE_LIMIT:
+            return None
+        return {"sel": sel, "th": th, "C": c_all, "c_idx": tuple(c_idx),
+                "D": d_all, "wT": wT, "n_chunks": nch, "n_out": n_out,
+                "strict": strict, "strip": strip}
+
+    def pallas_forest(self, n_features: int):
+        key = getattr(self, "_pallas_forest_key", None)
+        if key != n_features:
+            self._pallas_forest_key = n_features
+            self._pallas_forest = self._build_pallas_forest(n_features)
+        return self._pallas_forest
+
     def evaluate(self, x) -> jnp.ndarray:
         """Dispatch: GEMM when the path tables fit (INFERA_TREE_MODE=auto),
         else gather traversal. [N, F] → [N, n_out] summed over trees."""

@@ -66,7 +66,7 @@ def _kernel(body, n_weights, n_outs, x_ref, *refs):
 
 def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                           n_groups, sum_fns, min_fns, max_fns, n_valid,
-                          n_pad, tile, interpret):
+                          n_pad, tile, interpret, dist_fns=()):
     """Build the jitted pallas_call for one fused plan.
 
     Closures (where_fn/key_fns/sum_fns/min_fns/max_fns) take a dict mapping
@@ -79,8 +79,18 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                                        is the selected-row count
       minbuf [(M+K)*G, 128]          — min slots then per-key raw minima
       maxbuf [(X+K)*G, 128]          — max slots then per-key raw maxima
-      flagbuf [K+1, 128]             — per-key fractional flags + the
-                                       |key| >= 2^24 magnitude flag
+      flagbuf [K+1+D, 128]           — per-key fractional flags, the
+                                       |key| >= 2^24 magnitude flag, then
+                                       one invalid flag per DISTINCT slot
+      presbuf [sum(banks)*G, 128]    — DISTINCT presence counts: value
+                                       index rides the LANES (128 values
+                                       per bank), built by one one-hot
+                                       MXU matmul per (tile, bank) — zero
+                                       scatters, zero transposes
+                                       (VERDICT r4 item 2)
+
+    ``dist_fns``: [(fn, v_domain), ...] — COUNT/SUM/AVG(DISTINCT expr)
+    slots over probed integer domains (v_domain <= 512 = 4 banks).
     """
     import jax
     import jax.numpy as jnp
@@ -89,11 +99,15 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
 
     G = int(n_groups)
     S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
+    D = len(dist_fns)
+    bank_list = [(int(v) + 127) // 128 for _fn, v in dist_fns]
+    banks_total = sum(bank_list)
     n_cols = len(col_keys)
     rows_sum = (1 + S) * G
     rows_min = max((M + K) * G, 8)
     rows_max = max((X + K) * G, 8)
-    rows_flag = K + 1
+    rows_flag = K + 1 + D
+    rows_pres = max(banks_total * G, 8)
 
     def _row(v, zeros):
         v = jnp.asarray(v, jnp.float32)
@@ -102,7 +116,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
         return v
 
     def body(x_ref, w_vals, out_refs):
-        sum_ref, comp_ref, min_ref, max_ref, flag_ref = out_refs
+        sum_ref, comp_ref, min_ref, max_ref, flag_ref, pres_ref = out_refs
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -111,6 +125,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
             min_ref[:] = jnp.full_like(min_ref, _BIG)
             max_ref[:] = jnp.full_like(max_ref, -_BIG)
             flag_ref[:] = jnp.zeros_like(flag_ref)
+            pres_ref[:] = jnp.zeros_like(pres_ref)
 
         zeros = jnp.zeros((1, tile), jnp.float32)
         cols = {k: x_ref[i:i + 1, :] for i, k in enumerate(col_keys)}
@@ -223,6 +238,34 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
             flag_ref[K:K + 1, :],
             jnp.max(big_row.reshape(1, tile // 128, 128), axis=1))
 
+        # DISTINCT presence: per slot, per 128-value bank, ONE MXU matmul
+        # onehot_g[G, tile] x onehot_v[128, tile]^T -> per-(group, value)
+        # counts summed across tiles (exact in f32: total <= n < 2^24);
+        # the fold reduces presence = counts > 0 to dcount/dsum limbs.
+        row_off = 0
+        for di, (dfn, v_dom) in enumerate(dist_fns):
+            v = _row(dfn(cols), zeros)
+            vt = jnp.trunc(v)
+            okv = (v == vt) & (v >= 0.0) & (v < jnp.float32(v_dom))
+            badv = (mask & jnp.logical_not(okv)).astype(jnp.float32)
+            fr = K + 1 + di
+            flag_ref[fr:fr + 1, :] = jnp.maximum(
+                flag_ref[fr:fr + 1, :],
+                jnp.max(badv.reshape(1, tile // 128, 128), axis=1))
+            ohd = (onehot & okv).astype(jnp.float32)      # [G, tile]
+            vb = jnp.broadcast_to(vt, (128, tile))
+            lane = jax.lax.broadcasted_iota(jnp.float32, (128, tile), 0)
+            for b in range(bank_list[di]):
+                ohv = jnp.where(vb == lane + jnp.float32(b * 128),
+                                jnp.float32(1.0), jnp.float32(0.0))
+                counts = jax.lax.dot_general(
+                    ohd, ohv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                lo = (row_off + b) * G
+                pres_ref[lo:lo + G, :] = pres_ref[lo:lo + G, :] + counts
+            row_off += bank_list[di]
+
     weight_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                                  memory_space=pltpu.VMEM) for w in weights]
     out_specs = [
@@ -236,6 +279,8 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows_flag, 128), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_pres, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((rows_sum, 128), jnp.float32),
@@ -243,6 +288,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
         jax.ShapeDtypeStruct((rows_min, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows_max, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows_flag, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_pres, 128), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -273,16 +319,20 @@ def _two_sum(jnp, a, b, pin):
 
 
 @functools.lru_cache(maxsize=32)
-def _fold_call(rows_sum, rows_min, rows_max, rows_flag):
+def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=()):
     """Second (plain-XLA, pallas-free) jit: fold the 128 lane columns of
     each accumulator down to scalars per group slot. Sums fold through a
     compensation-carrying pairwise tree (f32 pair out; the final f64 fold
-    happens host-side), min/max fold exactly; flags OR-fold. One jit per
-    buffer geometry, one small device→host transfer for everything."""
+    happens host-side), min/max fold exactly; flags OR-fold; presence
+    banks reduce to (dcount, dsum_lo7, dsum_hi) per DISTINCT slot (the
+    int_agg.presence_reduce 7-bit split, lanes = value index). One jit per
+    buffer geometry, one small device→host transfer for everything.
+
+    ``dist_shape``: ((banks, v_dom, G), ...) static per-slot geometry."""
     import jax
     import jax.numpy as jnp
 
-    def fold(sumbuf, compbuf, minbuf, maxbuf, flagbuf):
+    def fold(sumbuf, compbuf, minbuf, maxbuf, flagbuf, presbuf):
         pred = flagbuf[0, 0] > -1.0  # runtime-true: pins the error terms
         # against XLA's algebraic simplifier (see mesh_plan._opaque_pin)
 
@@ -295,19 +345,41 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag):
             t, e = _two_sum(jnp, s[..., :h], s[..., h:], pin)
             s = t
             c = c[..., :h] + c[..., h:] + e
+        dcounts, dlos, dhis = [], [], []
+        row_off = 0
+        for banks, v_dom, G in dist_shape:
+            dc = jnp.zeros((G,), jnp.float32)
+            dl = jnp.zeros((G,), jnp.float32)
+            dh = jnp.zeros((G,), jnp.float32)
+            lane = jnp.arange(128, dtype=jnp.int32)
+            for b in range(banks):
+                lo = (row_off + b) * G
+                pres = (presbuf[lo:lo + G, :] > 0).astype(jnp.float32)
+                val = lane + jnp.int32(b * 128)
+                lo7 = jnp.bitwise_and(val, 0x7F).astype(jnp.float32)
+                hi7 = jnp.right_shift(val, 7).astype(jnp.float32)
+                dc = dc + jnp.sum(pres, axis=1)
+                dl = dl + jnp.sum(pres * lo7[None, :], axis=1)
+                dh = dh + jnp.sum(pres * hi7[None, :], axis=1)
+            row_off += banks
+            dcounts.append(dc)
+            dlos.append(dl)
+            dhis.append(dh)
         return (s[..., 0], c[..., 0], jnp.min(minbuf, axis=1),
-                jnp.max(maxbuf, axis=1), jnp.max(flagbuf, axis=1))
+                jnp.max(maxbuf, axis=1), jnp.max(flagbuf, axis=1),
+                dcounts, dlos, dhis)
 
     return jax.jit(fold)
 
 
 def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
                        where_fn, key_fns, strides, n_groups, sum_fns,
-                       min_fns, max_fns, n, interpret):
+                       min_fns, max_fns, n, interpret, dist_fns=()):
     """Upload (cached), run the kernel jit + fold jit, return host arrays:
 
     dict(count [G], sums [(s, c) f32 pairs per slot], mins [M][G],
-         maxs [X][G], kmins/kmaxs [K][G] f32, fracs [K] bool, bad bool)
+         maxs [X][G], kmins/kmaxs [K][G] f32, fracs [K] bool,
+         dcounts/dlos/dhis [D][G], dbads [D] bool)
     or None on any failure (caller falls back to the XLA program).
     """
     import jax
@@ -317,6 +389,9 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     tile = pick_tile(G)
     n_pad = -(-n // tile) * tile
     S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
+    D = len(dist_fns)
+    dist_shape = tuple(((int(v) + 127) // 128, int(v), G)
+                       for _fn, v in dist_fns)
 
     # stacked feature-major block, cached per (column identities, pad)
     xc_cache = getattr(conn, "_pallas_xc_cache", None)
@@ -359,11 +434,12 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
             col_keys=col_keys, weights=weights, where_fn=where_fn,
             key_fns=key_fns, strides=strides, n_groups=G, sum_fns=sum_fns,
             min_fns=min_fns, max_fns=max_fns, n_valid=n, n_pad=n_pad,
-            tile=tile, interpret=interpret)
+            tile=tile, interpret=interpret, dist_fns=dist_fns)
         if split:
             compiled = kernel
         else:
-            fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1)
+            fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1 + D,
+                               dist_shape)
             compiled = jax.jit(lambda xcx, *ws: fold0(*kernel(xcx, *ws)))
         if len(cache) >= 16:
             cache.pop(next(iter(cache)))
@@ -373,11 +449,13 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     try:
         if split:
             bufs = compiled(xc, *w_dev)
-            fold = _fold_call(rows_sum, rows_min, rows_max, K + 1)
-            s_f, c_f, min_f, max_f, flag_f = jax.device_get(fold(*bufs))
+            fold = _fold_call(rows_sum, rows_min, rows_max, K + 1 + D,
+                              dist_shape)
+            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f = \
+                jax.device_get(fold(*bufs))
         else:
-            s_f, c_f, min_f, max_f, flag_f = jax.device_get(
-                compiled(xc, *w_dev))
+            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f = \
+                jax.device_get(compiled(xc, *w_dev))
     except Exception:
         return None
 
@@ -393,6 +471,10 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         "kmins": [min_f[(M + i) * G:(M + i + 1) * G] for i in range(K)],
         "kmaxs": [max_f[(X + i) * G:(X + i + 1) * G] for i in range(K)],
         "fracs": [bool(flag_f[i] > 0.0) for i in range(K)],
+        "dcounts": [np.asarray(dc_f[i]) for i in range(D)],
+        "dlos": [np.asarray(dl_f[i]) for i in range(D)],
+        "dhis": [np.asarray(dh_f[i]) for i in range(D)],
+        "dbads": [bool(flag_f[K + 1 + i] > 0.0) for i in range(D)],
     }
     return out
 
@@ -497,7 +579,7 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
         args = ([dev(fact_cols[k]) for k in fact_names]
                 + [dev(dim_cols[k]) for k in dim_names]
                 + [jnp.asarray(w) for w in weights])
-        s_f, c_f, min_f, max_f, flag_f = jax.device_get(
+        s_f, c_f, min_f, max_f, flag_f, _dc, _dl, _dh = jax.device_get(
             compiled(jnp.asarray(lookup), *args))
     except Exception:
         return None

@@ -231,9 +231,6 @@ class _PallasLowerer(_Lowerer):
         self.weight_arrays: list = []  # flat [wT, b, ...] np arrays
 
     def _lower_predict(self, expr: A.FuncCall, out_col: int | None = None):
-        import jax
-        import jax.numpy as jnp
-
         if (not expr.args or not isinstance(expr.args[0], A.Literal)
                 or not isinstance(expr.args[0].value, str)):
             raise _Unsupported("infera_predict needs a constant model name")
@@ -241,49 +238,64 @@ class _PallasLowerer(_Lowerer):
         model = MODELS.get(model_name)
         if model is None:
             raise _Unsupported(f"model {model_name} not loaded at plan time")
+        self.models[model_name] = model
+        precision = getattr(model, "precision", "f32") or "f32"
         plan = getattr(model, "mlp_plan", None)
-        if plan is None:
-            raise _Unsupported("pallas plan needs an MLP-shaped model")
-        if getattr(model, "precision", "f32") not in ("f32", None):
-            raise _Unsupported("quantized models stay on the XLA path")
+        if plan is not None:
+            if precision not in ("f32", "bf16"):
+                raise _Unsupported("int8 models stay on the XLA path")
+            return self._lower_mlp(expr, model, plan, out_col,
+                                   bf16=precision == "bf16")
+        from ..onnx.fusion import detect_tree
+
+        tree = detect_tree(model.graph)
+        if tree is not None and not tree[1]:
+            return self._lower_tree(expr, model, tree[0], out_col)
+        raise _Unsupported("pallas plan needs an MLP or tree-forest model")
+
+    def _lower_mlp(self, expr, model, plan, out_col, *, bf16=False):
+        """In-kernel MXU MLP. bf16 mirrors _policy_dot's bf16 policy: both
+        operands cast to bf16, f32 accumulation (DEFAULT precision =
+        single-pass MXU-native rate, ~half the f32 HIGHEST matmul cost)."""
+        import jax
+        import jax.numpy as jnp
+
         params, final_softmax = plan[0], plan[1]
         d_in = params[0][0].shape[0]
         d_out = params[-1][0].shape[1]
-        if out_col is None:
-            if d_out != 1:
-                raise _Unsupported("multi-output model under infera_predict")
-            oc = 0
-        else:
-            if out_col < 0 or out_col >= d_out:
-                raise _Unsupported("list index beyond model output width")
-            oc = out_col
+        oc = self._pick_out_col(out_col, d_out)
         feature_fns = [self.lower(a) for a in expr.args[1:]]
         if len(feature_fns) != d_in:
             raise _Unsupported("feature count mismatch (host path reports it)")
-        self.models[model_name] = model
         base = len(self.weight_arrays)
+        if bf16:
+            import ml_dtypes
+
+            wdt = ml_dtypes.bfloat16
+        else:
+            wdt = np.float32
         for w, b in params:
             self.weight_arrays.append(
-                np.ascontiguousarray(np.asarray(w, np.float32).T))
+                np.ascontiguousarray(np.asarray(w, np.float32).T
+                                     .astype(wdt)))
             self.weight_arrays.append(
                 np.asarray(b, np.float32).reshape(-1, 1))
         n_layers = len(params)
+        prec = (jax.lax.Precision.DEFAULT if bf16
+                else jax.lax.Precision.HIGHEST)
 
         def run(cols):
             wr = cols["__weights__"]
-            zeros = cols["__zeros__"]
-            feats = []
-            for f in feature_fns:
-                v = jnp.asarray(f(cols), jnp.float32)
-                feats.append(v.reshape(1, 1) + zeros if v.ndim == 0 else v)
-            h = jnp.concatenate(feats, axis=0)  # [d_in, tile]
+            h = self._feature_block(cols, feature_fns)
             for li in range(n_layers):
                 w = wr[base + 2 * li]
                 b = wr[base + 2 * li + 1]
+                if bf16:
+                    h = jnp.asarray(h, jnp.bfloat16)
                 h = jax.lax.dot_general(
                     w, h, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) + b
+                    precision=prec) + b
                 if li < n_layers - 1:
                     h = jnp.maximum(h, 0.0)
             if final_softmax:
@@ -292,15 +304,140 @@ class _PallasLowerer(_Lowerer):
 
         return run
 
+    def _lower_tree(self, expr, model, node, out_col):
+        """In-kernel GEMM forest (VERDICT r4 item 1): the strip-packed
+        tables from _PackedTrees.pallas_forest evaluate the whole ensemble
+        as per-chunk [128,128]-class matmuls — the tree-query class
+        (BASELINE config 4) joins the device_plan_pallas tier instead of
+        riding the scatter-prone XLA aggregate tail. Regressors only
+        (classifier argmax/label mapping stays on XLA)."""
+        import jax
+        import jax.numpy as jnp
 
-# aggregate names the Pallas fused plan carries (exact-int/var/median/
-# distinct families stay on the XLA program)
+        from ..onnx import ml_ops as ML
+
+        n_targets = int(node.attr("n_targets", 1))
+        agg = node.attr("aggregate_function", "SUM")
+        if isinstance(agg, bytes):
+            agg = agg.decode()
+        if agg not in ("SUM", "AVERAGE", None):
+            raise _Unsupported(f"aggregate_function {agg}")
+        post = node.attr("post_transform", "NONE")
+        if isinstance(post, bytes):
+            post = post.decode()
+        if post not in (None, "NONE", "LOGISTIC"):
+            raise _Unsupported(f"post_transform {post}")
+        ishape = model.input_shape
+        d_in = ishape[1] if len(ishape) > 1 and ishape[1] > 0 else None
+        if d_in is None:
+            d_in = len(expr.args) - 1
+        packed = ML._cached_pack(node, n_targets, "target")
+        tables = packed.pallas_forest(d_in)
+        if tables is None:
+            raise _Unsupported("forest exceeds the strip-packing limits")
+        n_out = tables["n_out"]
+        oc = self._pick_out_col(out_col, n_out)
+        feature_fns = [self.lower(a) for a in expr.args[1:]]
+        if len(feature_fns) != d_in:
+            raise _Unsupported("feature count mismatch (host path reports it)")
+        nch = tables["n_chunks"]
+        c_idx = tables["c_idx"]
+        strip = tables["strip"]
+        strict = tables["strict"]
+        bvals = node.attr("base_values")
+        # bias/scale must NOT be captured arrays (pallas kernels reject
+        # closure constants): AVERAGE folds into the weight table, the
+        # per-output base value applies as a Python scalar after slicing
+        wT = tables["wT"]
+        bias_oc = float(bvals[oc]) if bvals else 0.0
+        if agg == "AVERAGE":
+            # XLA path divides AFTER the base add (ml_ops._tree_regressor)
+            wT = wT * np.float32(1.0 / packed.n_trees)
+            bias_oc = bias_oc / packed.n_trees
+        base = len(self.weight_arrays)
+        self.weight_arrays.extend(
+            [tables["sel"], tables["th"], tables["C"], tables["D"], wT])
+        hi = jax.lax.Precision.HIGHEST
+        lo = jax.lax.Precision.DEFAULT
+
+        def run(cols):
+            wr = cols["__weights__"]
+            sel_a, th_a, c_a, d_a, wt_a = wr[base:base + 5]
+            h = self._feature_block(cols, feature_fns)
+            acc = None
+            for c in range(nch):
+                selc = sel_a[c * strip:(c + 1) * strip, :]
+                thc = th_a[c * strip:(c + 1) * strip, :]
+                Cc = c_a[c_idx[c] * strip:(c_idx[c] + 1) * strip, :]
+                Dc = d_a[c * strip:(c + 1) * strip, :]
+                Wc = wt_a[c * n_out:(c + 1) * n_out, :]
+                # one-hot select reproduces each tested feature exactly
+                xa = jax.lax.dot_general(
+                    selc, h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi)
+                s = jnp.where(xa < thc if strict else xa <= thc,
+                              jnp.float32(1.0), jnp.float32(0.0))
+                # DEFAULT is exact: s/C are bf16-exact integers and the
+                # score magnitude is bounded by the tree depth (< 2^8) —
+                # the config-4 roofline trick (ml_ops._gemm_eval_tile)
+                score = jax.lax.dot_general(
+                    Cc, s, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=lo)
+                hit = jnp.where(score == Dc, jnp.float32(1.0),
+                                jnp.float32(0.0))
+                contrib = jax.lax.dot_general(
+                    Wc, hit, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi)
+                acc = contrib if acc is None else acc + contrib
+            y = acc[oc:oc + 1, :]
+            if bias_oc:
+                y = y + jnp.float32(bias_oc)
+            if post == "LOGISTIC":
+                y = jax.nn.sigmoid(y)
+            return y
+
+        return run
+
+    @staticmethod
+    def _pick_out_col(out_col, d_out):
+        if out_col is None:
+            if d_out != 1:
+                raise _Unsupported("multi-output model under infera_predict")
+            return 0
+        if out_col < 0 or out_col >= d_out:
+            raise _Unsupported("list index beyond model output width")
+        return out_col
+
+    @staticmethod
+    def _feature_block(cols, feature_fns):
+        import jax.numpy as jnp
+
+        zeros = cols["__zeros__"]
+        feats = []
+        for f in feature_fns:
+            v = jnp.asarray(f(cols), jnp.float32)
+            feats.append(v.reshape(1, 1) + zeros if v.ndim == 0 else v)
+        return jnp.concatenate(feats, axis=0)  # [d_in, tile]
+
+
+# aggregate names the Pallas fused plan carries. Round-5 widening (VERDICT
+# r4 item 2): the variance family, count_if, bool_and/or, product,
+# exact-int64 limb sums (isum/iavg via f32-exact byte rows), and the
+# DISTINCT presence family all lower onto the kernel's [G, 128]
+# lane-accumulator scheme. Median/quantile (sorts), mode/hll (big side
+# tables), arg_min/max and lexicographic int64 min/max (two-level
+# selection) keep the XLA program.
 _PALLAS_OK_AGGS = frozenset(
-    {"key", "count", "count_star", "sum", "avg", "mean", "min", "max"})
+    {"key", "count", "count_star", "sum", "avg", "mean", "min", "max",
+     "var", "cif", "band", "bor", "prod", "isum", "iavg",
+     "dcount", "dsum", "davg"})
+
+# DISTINCT slots: value index rides the kernel lanes, <= 4 banks of 128
+PALLAS_MAX_DIST_DOMAIN = 512
 
 
 def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
-                      items_plan, having_aggs, plan_key):
+                      items_plan, having_aggs, plan_key, dist_domains=None):
     """Lower the fused plan through the Pallas columnar kernel
     (ops/pallas_sql.py). Returns the _assemble_result 5-tuple or None
     (caller falls through to the XLA program — semantics never regress)."""
@@ -321,16 +458,32 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
         return None
     if any(p[0] not in _PALLAS_OK_AGGS for p in agg_plans):
         return None
+    dist_domains = dist_domains or {}
+    from .int_agg import byte_columns
+
     pl_low = _PallasLowerer(table)
+    extra_rows: dict = {}  # synthetic block rows (int64 byte limbs)
+
+    def _byte_keys(col_key):
+        col = table.columns[col_key]
+        bts = byte_columns(col)
+        keys = []
+        for j, b in enumerate(bts):
+            k = f"{col_key}#b{j}"
+            extra_rows[k] = b
+            keys.append(k)
+        return keys
+
     try:
         where_fn = pl_low.lower(sel.where) if sel.where is not None else None
         key_fns = [pl_low.lower(g) for g in sel.group_by]
         sum_fns: list = []
         min_fns: list = []
         max_fns: list = []
+        dist_fns: list = []
         slot_map: list = []  # per agg_plans entry
         nodes = [node for _k, node in items_plan] + list(having_aggs)
-        for (pname, payload), node in zip(agg_plans, nodes):
+        for ai, ((pname, payload), node) in enumerate(zip(agg_plans, nodes)):
             if pname == "key":
                 slot_map.append(("key", payload))
                 continue
@@ -339,10 +492,80 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
                 # counts exactly the selected rows (same as the XLA path)
                 slot_map.append(("count", None))
                 continue
+            if pname in ("isum", "iavg"):
+                # 8-bit limb rows (f32-exact) + a magnitude-estimate row
+                bkeys = _byte_keys(payload)
+                base_i = len(sum_fns)
+                for k in bkeys:
+                    sum_fns.append(lambda cols, k=k: cols[k])
+
+                def est_fn(cols, bk=tuple(bkeys)):
+                    import jax.numpy as jnp
+                    lo_u = (cols[bk[0]] + cols[bk[1]] * 256.0
+                            + cols[bk[2]] * 65536.0
+                            + cols[bk[3]] * 16777216.0)
+                    hi_u = (cols[bk[4]] + cols[bk[5]] * 256.0
+                            + cols[bk[6]] * 65536.0
+                            + cols[bk[7]] * 16777216.0)
+                    hi_s = jnp.where(hi_u >= 2147483648.0,
+                                     hi_u - 4294967296.0, hi_u)
+                    return jnp.abs(hi_s * 4294967296.0 + lo_u)
+
+                sum_fns.append(est_fn)
+                slot_map.append((pname, base_i))
+                continue
+            if pname == "var":
+                vfn0, _dd, _sq, shift = payload
+                arg_fn = pl_low.lower(node.args[0])
+                sh = float(shift)
+                base_i = len(sum_fns)
+                sum_fns.append(lambda cols, f=arg_fn, s=sh: f(cols) - s)
+
+                def sq_fn(cols, f=arg_fn, s=sh):
+                    v = f(cols) - s
+                    return v * v
+
+                sum_fns.append(sq_fn)
+                slot_map.append(("var", base_i))
+                continue
+            if pname in ("dcount", "dsum", "davg"):
+                v_dom = dist_domains.get(ai)
+                if v_dom is None or v_dom > PALLAS_MAX_DIST_DOMAIN:
+                    return None
+                arg_fn = pl_low.lower(node.args[0])
+                dist_fns.append((arg_fn, int(v_dom)))
+                slot_map.append((pname, len(dist_fns) - 1))
+                continue
             arg_fn = pl_low.lower(node.args[0])
             if pname in ("sum", "avg", "mean"):
                 sum_fns.append(arg_fn)
                 slot_map.append((pname, len(sum_fns) - 1))
+            elif pname == "cif":
+                sum_fns.append(lambda cols, f=arg_fn: _bool_row(f(cols)))
+                slot_map.append(("cif", len(sum_fns) - 1))
+            elif pname == "prod":
+                base_i = len(sum_fns)
+                sum_fns.append(
+                    lambda cols, f=arg_fn: _bool_row(f(cols) < 0.0))
+                sum_fns.append(
+                    lambda cols, f=arg_fn: _bool_row(f(cols) == 0.0))
+
+                def log_fn(cols, f=arg_fn):
+                    import jax.numpy as jnp
+                    v = jnp.asarray(f(cols), jnp.float32)
+                    safe = jnp.where(v == 0.0, jnp.float32(1.0), v)
+                    return jnp.where(v != 0.0,
+                                     jnp.log2(jnp.abs(safe)),
+                                     jnp.float32(0.0))
+
+                sum_fns.append(log_fn)
+                slot_map.append(("prod", base_i))
+            elif pname == "band":
+                min_fns.append(lambda cols, f=arg_fn: _bool_row(f(cols)))
+                slot_map.append(("band", len(min_fns) - 1))
+            elif pname == "bor":
+                max_fns.append(lambda cols, f=arg_fn: _bool_row(f(cols)))
+                slot_map.append(("bor", len(max_fns) - 1))
             elif pname == "min":
                 min_fns.append(arg_fn)
                 slot_map.append(("min", len(min_fns) - 1))
@@ -351,8 +574,8 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
                 slot_map.append(("max", len(max_fns) - 1))
     except _Unsupported:
         return None
-    if not pl_low.used_columns or \
-            len(pl_low.used_columns) > PS.PALLAS_MAX_COLS:
+    if not (pl_low.used_columns or extra_rows) or \
+            len(pl_low.used_columns) + len(extra_rows) > PS.PALLAS_MAX_COLS:
         return None
     if sum(w.nbytes for w in pl_low.weight_arrays) > \
             PS.PALLAS_MAX_WEIGHT_BYTES:
@@ -368,29 +591,58 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
                 c._int_range = rng
             if rng[0] < -(1 << 24) or rng[1] > (1 << 24):
                 return None
-    col_keys = sorted(pl_low.used_columns)
-    col_arrays = [pl_low.used_columns[k].data for k in col_keys]
+    col_keys = sorted(pl_low.used_columns) + sorted(extra_rows)
+    col_arrays = [pl_low.used_columns[k].data
+                  for k in sorted(pl_low.used_columns)] \
+        + [extra_rows[k] for k in sorted(extra_rows)]
     res = PS.execute_fused_plan(
         conn, plan_key=plan_key, col_arrays=col_arrays, col_keys=col_keys,
         weights=pl_low.weight_arrays, where_fn=where_fn, key_fns=key_fns,
         strides=strides, n_groups=n_groups, sum_fns=sum_fns,
-        min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret)
+        min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret,
+        dist_fns=dist_fns)
     if res is None:
         return None
+
+    def fold64(i):
+        s, c = res["sums"][i]
+        return np.asarray(s, np.float64) + np.asarray(c, np.float64)
+
     results: list = []
     for spec, si in slot_map:
         if spec == "key":
             results.append(np.asarray(res["kmaxs"][si]))
         elif spec == "count":
             results.append(res["count"])
-        elif spec in ("sum", "avg", "mean"):
+        elif spec in ("sum", "avg", "mean", "cif"):
             results.append(res["sums"][si])  # (sum, comp) f32 pair
-        elif spec == "min":
+        elif spec == "var":
+            results.append((fold64(si), fold64(si + 1)))
+        elif spec in ("isum", "iavg"):
+            limbs = np.stack(
+                [np.rint(fold64(si + j)).astype(np.int64)
+                 for j in range(8)], axis=1)
+            results.append((limbs, fold64(si + 8)))
+        elif spec == "prod":
+            s, c = res["sums"][si + 2]
+            results.append((fold64(si), fold64(si + 1), s, c))
+        elif spec in ("min", "band"):
             results.append(np.asarray(res["mins"][si]))
-        else:
+        elif spec in ("max", "bor"):
             results.append(np.asarray(res["maxs"][si]))
+        elif spec == "dcount":
+            results.append((res["dcounts"][si], res["dbads"][si]))
+        else:  # dsum / davg
+            results.append((res["dcounts"][si], res["dlos"][si],
+                            res["dhis"][si], res["dbads"][si]))
     return (results, res["count"], res["kmins"], res["kmaxs"],
             res["fracs"])
+
+
+def _bool_row(v):
+    import jax.numpy as jnp
+
+    return jnp.asarray(v, bool).astype(jnp.float32)
 
 
 def _having_supported(expr: A.Expr) -> bool:
@@ -1219,7 +1471,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     if mesh is None:
         pallas_out = _try_pallas_fused(conn, sel, table, n, n_groups,
                                        strides, agg_plans, items_plan,
-                                       having_aggs, plan_key)
+                                       having_aggs, plan_key,
+                                       dist_domains=dist_domains)
         if pallas_out is not None:
             _phases["pallas_exec_ms"] = round(
                 (_time.perf_counter() - _t0) * 1e3, 3)

@@ -33,7 +33,9 @@ def _host_rows(conn, q, monkeypatch):
 
 def _check(conn, q, monkeypatch, expect_path, rel=1e-6):
     rows = conn.execute(q).rows
-    assert conn._exec_path == expect_path
+    # knob-aware: under INFERA_PALLAS_SQL=1 the round-5 widened kernel
+    # carries count_if/bool/product slots → path gains the _pallas suffix
+    assert conn._exec_path.startswith(expect_path)
     hrows = _host_rows(conn, q, monkeypatch)
     assert len(rows) == len(hrows)
     for a, b in zip(rows, hrows):
@@ -137,7 +139,7 @@ def test_product(conn, monkeypatch):
               f"case when x % 8 = 0 then 0.0 else "
               f"(x % 5)::float - 2.0 end as v from range({N}) r(x)")
     rows = c.execute("select g, product(v) from pz group by g order by g").rows
-    assert c._exec_path == path
+    assert c._exec_path.startswith(path)
     for _g, p in rows:
         assert p == 0.0  # every group contains a zero
 

@@ -74,7 +74,7 @@ def test_integer_sum_exact(conn_big):
     # integer sums must be exact — since round 3 they fuse on device via
     # limb sums (sql/int_agg.py) instead of falling back to the host
     rows = conn.execute("select sum(g) from big").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     g, *_ = _host_frame(n)
     assert rows[0][0] == int(g.sum())
 
@@ -356,7 +356,7 @@ def test_fused_int_sum_exact_single_device(conn_big):
     rows = conn.execute(
         "select g, sum(v), avg(v), min(v), max(v), sum(nv), max(nv) "
         "from widesd group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     g = np.arange(n) % 3
     for key, sv, av, mn, mx, snv, mxnv in rows:
         idx = np.flatnonzero(g == key)
@@ -382,7 +382,7 @@ def test_fused_stddev_variance_single_device(conn_big):
     rows = conn.execute(
         "select g, stddev(f1), var_pop(f2), stddev_pop(f3) "
         "from big group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     g, f1, f2, f3 = _host_frame(n)
     for key, sd, vp, sp in rows:
         m = g == key
@@ -410,7 +410,7 @@ def test_fused_distinct_aggregates_single_device(conn_big):
     rows = conn.execute(
         "select g, count(distinct v), sum(distinct v), avg(distinct v) "
         "from ddsd group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     x = np.arange(n, dtype=np.int64)
     g = x % 5
     v = (x * 13) % 41
@@ -430,7 +430,7 @@ def test_fused_distinct_matches_host_path(conn_big):
     dev = conn.execute(
         "select g, count(distinct v), sum(distinct v) from dd_dev "
         "group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     host = conn.execute(
         "select g, count(distinct v), sum(distinct v) from dd_host "
         "group by g order by g").rows
@@ -461,7 +461,7 @@ def test_fused_median_single_device(conn_big):
     rows = conn.execute(
         "select g, median(f1), median(g) from big where f2 > 1.0 "
         "group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     g, f1, f2, f3 = _host_frame(n)
     sel = f2 > 1.0
     assert len(rows) == 7
@@ -477,7 +477,7 @@ def test_fused_median_matches_host(conn_big):
                  f"((x * 31) % 1000)::float / 8.0 as v from range({n}) r(x)")
     dev = conn.execute(
         "select g, median(v) from mt group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     conn.execute("create table mt_small as select * from mt limit 999")
     host = conn.execute(
         "select g, median(v) from mt_small group by g order by g").rows
@@ -498,7 +498,7 @@ def test_fused_mode_single_device(conn_big):
                  f"else x % 23 end as v from range({n}) r(x)")
     rows = conn.execute(
         "select g, mode(v) from mo group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     x = np.arange(n)
     g = x % 4
     v = np.where(x % 10 < 4, 7, np.where(x % 10 < 8, 3, x % 23))
@@ -626,7 +626,7 @@ def test_fused_quantile(conn_big, monkeypatch):
     rows = conn.execute(
         "select g, quantile_cont(f1, 0.25) qc, quantile_disc(f1, 0.9) qd, "
         "median(f1) md from big group by g order by g").rows
-    assert conn._exec_path == "device_plan"
+    assert conn._exec_path.startswith("device_plan")
     x = np.arange(n)
     g = x % 7
     f1 = (x % 100).astype(np.float64) / 10.0

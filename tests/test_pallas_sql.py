@@ -95,18 +95,135 @@ def test_pallas_multi_list_extract(pconn, tmp_path, monkeypatch):
     _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-5)
 
 
-def test_pallas_ineligible_falls_back(pconn, monkeypatch):
-    """Exact-int sums, var/median families, and wide-int keys stay off the
-    kernel — answered identically by the XLA program or host."""
+def test_pallas_gbt_forest_in_kernel(pconn, tmp_path, monkeypatch):
+    """VERDICT r4 item 1: a config-4-shaped GBT query (tree predict +
+    filter + group agg) runs the strip-packed in-kernel GEMM forest
+    (path=device_plan_pallas) with results exactly matching the XLA/host
+    tiers."""
     conn, n = pconn
-    # integer SUM → isum plan (exact int64) → not pallas
-    rows = conn.execute("select g, sum(h) from big group by g order by g").rows
+    from infera_tpu.onnx.builder import gbt_regressor_model
+
+    p = tmp_path / "gbt.onnx"
+    p.write_bytes(gbt_regressor_model(
+        n_features=4, n_trees=12, depth=4, seed=7).serialize())
+    it.load_model("gbt", str(p))
+    q = ("select g, count(*) c, avg(infera_predict('gbt', f1, f2, f3, f4)) p,"
+         " max(infera_predict('gbt', f1, f2, f3, f4)) mx from big "
+         "where f1 > 1.0 group by g order by g")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    assert len(rows) == 64
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-5)
+
+
+def test_pallas_gbt_where_filter_on_prediction(pconn, tmp_path, monkeypatch):
+    """The tree forest also lowers inside the WHERE predicate (prediction
+    thresholds — the benchmark's filter-on-score shape)."""
+    conn, n = pconn
+    from infera_tpu.onnx.builder import gbt_regressor_model
+
+    p = tmp_path / "gbtw.onnx"
+    p.write_bytes(gbt_regressor_model(
+        n_features=4, n_trees=6, depth=3, seed=11).serialize())
+    it.load_model("gbtw", str(p))
+    q = ("select count(*), sum(f1) from big "
+         "where infera_predict('gbtw', f1, f2, f3, f4) > 0.0")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-5)
+
+
+def test_pallas_bf16_mlp_in_kernel(pconn, tmp_path, monkeypatch):
+    """bf16-precision MLPs lower in-kernel with _policy_dot's bf16
+    semantics (bf16 operands, f32 accumulation) instead of forcing XLA."""
+    conn, n = pconn
+    from infera_tpu.onnx.builder import mlp_model
+
+    p = tmp_path / "mb.onnx"
+    p.write_bytes(mlp_model(in_dim=4, hidden=(32,), out_dim=1).serialize())
+    it.load_model("mb", str(p), precision="bf16")
+    q = ("select g, avg(infera_predict('mb', f1, f2, f3, f4)) p from big "
+         "group by g order by g")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    # host reference runs the same bf16 policy through the ONNX executor
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-5)
+
+
+def test_pallas_int8_mlp_stays_on_xla(pconn, tmp_path, monkeypatch):
+    conn, n = pconn
+    from infera_tpu.onnx.builder import mlp_model
+
+    p = tmp_path / "mi.onnx"
+    p.write_bytes(mlp_model(in_dim=4, hidden=(32,), out_dim=1).serialize())
+    it.load_model("mi", str(p), precision="int8")
+    q = ("select g, avg(infera_predict('mi', f1, f2, f3, f4)) p from big "
+         "group by g order by g")
+    conn.execute(q)
     assert conn._exec_path == "device_plan"
+
+
+def test_pallas_widened_aggregate_tail(pconn, monkeypatch):
+    """Round-5 widening (VERDICT r4 item 2): exact-int64 limb sums, the
+    variance family, count_if/bool_*/product, and DISTINCT presence all
+    run IN the kernel now, host-exact."""
+    conn, n = pconn
+    # integer SUM → byte-limb rows in the kernel, exact int64
+    rows = conn.execute("select g, sum(h) from big group by g order by g").rows
+    assert conn._exec_path == "device_plan_pallas"
     x = np.arange(n)
     for key, s in rows:
         assert s == int((x % 5)[x % 64 == key].sum())
-    # stddev → var slots → not pallas
-    conn.execute("select g, stddev(f1) from big group by g")
+    q1 = ("select g, stddev(f1) sd, var_pop(f2) vp, count_if(f1 > 4.0) ci, "
+          "bool_and(f1 >= 0.0) ba, bool_or(f2 > 9.0) bo, "
+          "product(1.0 + f3 / 1000.0) pr, avg(h) ah "
+          "from big group by g order by g")
+    rows1 = conn.execute(q1).rows
+    assert conn._exec_path == "device_plan_pallas"
+    # DISTINCT presence family (run all device queries BEFORE _host_rows —
+    # it monkeypatches the device path away for the rest of the test)
+    q2 = ("select g, count(distinct h) cd, sum(distinct h) sd, "
+          "avg(distinct h) ad from big group by g order by g")
+    rows2 = conn.execute(q2).rows
+    assert conn._exec_path == "device_plan_pallas"
+    _assert_rows_close(rows1, _host_rows(conn, q1, monkeypatch), rel=1e-3)
+    _assert_rows_close(rows2, _host_rows(conn, q2, monkeypatch))
+
+
+def test_pallas_int_sum_overflow_and_bigvals(monkeypatch, model_dir,
+                                             clean_registry):
+    """Byte-limb kernel sums stay exact for values far beyond 2^24 and
+    reproduce the host's SUM(BIGINT) overflow error."""
+    monkeypatch.setenv("INFERA_PALLAS_SQL", "1")
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    big = (1 << 44) + 7  # per-group totals ~2^57: exact past f64's 2^53
+    conn.execute(f"create table bi as select x % 4 as g, "
+                 f"{big} + x as v from range({n}) r(x)")
+    rows = conn.execute("select g, sum(v) from bi group by g order by g").rows
+    assert conn._exec_path == "device_plan_pallas"
+    for key, s in rows:
+        want = sum(big + i for i in range(n) if i % 4 == key)
+        assert s == want
+    # genuine int64 overflow raises the host's exact error (parity)
+    from infera_tpu.errors import SqlError
+
+    conn.execute(f"create table ov as select 1 as g, "
+                 f"{(1 << 53) + 1} as v from range({n}) r(x)")
+    with pytest.raises(SqlError, match="overflow in SUM"):
+        conn.execute("select g, sum(v) from ov group by g")
+
+
+def test_pallas_ineligible_falls_back(pconn, monkeypatch):
+    """Sort-backed (median/quantile) and two-level-selection (arg_min,
+    int64 min) families stay off the kernel — answered identically by the
+    XLA program or host."""
+    conn, n = pconn
+    conn.execute("select g, median(f1) from big group by g")
+    assert conn._exec_path == "device_plan"
+    conn.execute("select g, min(h) from big group by g")  # imin (lex words)
+    assert conn._exec_path == "device_plan"
+    conn.execute("select g, arg_min(h, f1) from big group by g")
     assert conn._exec_path == "device_plan"
 
 

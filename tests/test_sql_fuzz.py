@@ -322,6 +322,77 @@ def test_differential_device_vs_host_fuzz(monkeypatch):
                         assert x == y, (q, mode, label, x, y)
 
 
+def test_differential_predict_tiers_fuzz(monkeypatch, tmp_path,
+                                         clean_registry):
+    """Differential fuzz over MODEL-bearing aggregates (round 5): random
+    queries mixing GBT-forest and MLP predictions agree across host, XLA
+    device plan, and the forced pallas plan — the in-kernel GEMM forest
+    answers exactly like the ONNX executor."""
+    import os
+
+    import infera_tpu as it
+    from infera_tpu.onnx.builder import gbt_regressor_model, mlp_model
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    rng = np.random.default_rng(19)
+    conn = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    conn.execute(
+        f"create table pt as select x % 5 as g, (x % 89)::float / 8.0 as a, "
+        f"((x * 7) % 67)::float / 6.0 as b, ((x * 3) % 43)::float / 4.0 as c "
+        f"from range({n}) r(x)")
+    p1 = tmp_path / "fg.onnx"
+    p1.write_bytes(gbt_regressor_model(
+        n_features=3, n_trees=9, depth=4, seed=23).serialize())
+    it.load_model("fg", str(p1))
+    p2 = tmp_path / "fm.onnx"
+    p2.write_bytes(mlp_model(in_dim=3, hidden=(16,), out_dim=1).serialize())
+    it.load_model("fm", str(p2))
+    host = Connection()
+    host.catalog = conn.catalog
+
+    preds = ["infera_predict('fg', a, b, c)", "infera_predict('fm', a, b, c)"]
+    agg_pool = [f"{f}({p})" for f in ("sum", "avg", "min", "max")
+                for p in preds] + ["count(*)"]
+    wheres = ["", " where a > 2.0",
+              f" where {preds[0]} > 0.0", f" where {preds[1]} < 50.0"]
+
+    import infera_tpu.sql.device_plan as dp
+
+    orig = dp.try_execute_on_device
+    for trial in range(10):
+        k = int(rng.integers(1, 4))
+        aggs = list(rng.choice(agg_pool, size=k, replace=False))
+        grouped = bool(rng.integers(0, 2))
+        sel = ", ".join((["g"] if grouped else []) + aggs)
+        q = (f"select {sel} from pt{rng.choice(wheres)}"
+             + (" group by g order by g" if grouped else ""))
+        outs = {}
+        for mode in ("auto", "1", "host"):
+            if mode == "host":
+                monkeypatch.setattr(dp, "try_execute_on_device",
+                                    lambda *a, **kw: None)
+            else:
+                monkeypatch.setattr(dp, "try_execute_on_device", orig)
+                os.environ["INFERA_PALLAS_SQL"] = \
+                    "1" if mode == "1" else "0"
+            try:
+                outs[mode] = (host if mode == "host" else conn).execute(q).rows
+            finally:
+                os.environ.pop("INFERA_PALLAS_SQL", None)
+        base = outs["host"]
+        for mode in ("auto", "1"):
+            got = outs[mode]
+            assert len(got) == len(base), q
+            for a, b in zip(got, base):
+                for x, y in zip(a, b):
+                    if isinstance(y, float):
+                        assert x == pytest.approx(y, rel=1e-5, abs=1e-6), \
+                            (q, mode, x, y)
+                    else:
+                        assert x == y, (q, mode, x, y)
+
+
 def test_differential_join_tiers_fuzz(monkeypatch):
     """Differential fuzz over the JOIN tiers: random fact→dim INNER join
     aggregates agree across the host join, the XLA join plan, and the
