@@ -42,6 +42,17 @@ def _equi_keys(on: A.Expr, left_names: set, right_names: set) -> list | None:
             def belongs(name, names):
                 return name in names or _bare(name) in {_bare(n) for n in names}
 
+            # exact qualified membership decides first: the bare-name
+            # fallback alone would misassign sides whenever the key's bare
+            # name exists on BOTH tables (e.g. `odim RIGHT JOIN ofact ON
+            # ofact.k = odim.k` bound ofact.k to the left scope — round-5
+            # fix, found extending the pallas join tier)
+            if l in left_names and r in right_names:
+                pairs.append((e.left, e.right))
+                return True
+            if r in left_names and l in right_names:
+                pairs.append((e.right, e.left))
+                return True
             if belongs(l, left_names) and belongs(r, right_names):
                 pairs.append((e.left, e.right))
                 return True

@@ -374,7 +374,8 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=()):
 
 def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
                        where_fn, key_fns, strides, n_groups, sum_fns,
-                       min_fns, max_fns, n, interpret, dist_fns=()):
+                       min_fns, max_fns, n, interpret, dist_fns=(),
+                       xc_dev=None):
     """Upload (cached), run the kernel jit + fold jit, return host arrays:
 
     dict(count [G], sums [(s, c) f32 pairs per slot], mins [M][G],
@@ -387,31 +388,37 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
 
     G = int(n_groups)
     tile = pick_tile(G)
-    n_pad = -(-n // tile) * tile
     S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
     D = len(dist_fns)
     dist_shape = tuple(((int(v) + 127) // 128, int(v), G)
                        for _fn, v in dist_fns)
 
-    # stacked feature-major block, cached per (column identities, pad)
-    xc_cache = getattr(conn, "_pallas_xc_cache", None)
-    if xc_cache is None:
-        xc_cache = {}
-        conn._pallas_xc_cache = xc_cache
-    xc_key = (tuple(id(a) for a in col_arrays), n_pad)
-    cached_xc = xc_cache.get(xc_key)
-    if cached_xc is None:
-        host = np.zeros((len(col_arrays), n_pad), np.float32)
-        for i, a in enumerate(col_arrays):
-            host[i, :n] = np.asarray(a, np.float32)
-        xc = jnp.asarray(host)
-        if len(xc_cache) >= 8:
-            xc_cache.pop(next(iter(xc_cache)))
-        # the VALUE pins the source arrays: id()-keyed entries would
-        # otherwise serve a stale block after allocator id reuse
-        xc_cache[xc_key] = (tuple(col_arrays), xc)
+    if xc_dev is not None:
+        # per-query view of the shared per-connection table block
+        # (sql/device_plan.get_table_block) — zero host transfer
+        xc = xc_dev
+        n_pad = int(xc.shape[1])
     else:
-        xc = cached_xc[1]
+        n_pad = -(-n // tile) * tile
+        # stacked feature-major block, cached per (column identities, pad)
+        xc_cache = getattr(conn, "_pallas_xc_cache", None)
+        if xc_cache is None:
+            xc_cache = {}
+            conn._pallas_xc_cache = xc_cache
+        xc_key = (tuple(id(a) for a in col_arrays), n_pad)
+        cached_xc = xc_cache.get(xc_key)
+        if cached_xc is None:
+            host = np.zeros((len(col_arrays), n_pad), np.float32)
+            for i, a in enumerate(col_arrays):
+                host[i, :n] = np.asarray(a, np.float32)
+            xc = jnp.asarray(host)
+            if len(xc_cache) >= 8:
+                xc_cache.pop(next(iter(xc_cache)))
+            # the VALUE pins the source arrays: id()-keyed entries would
+            # otherwise serve a stale block after allocator id reuse
+            xc_cache[xc_key] = (tuple(col_arrays), xc)
+        else:
+            xc = cached_xc[1]
 
     cache = getattr(conn, "_device_plan_cache", None)
     if cache is None:
@@ -427,7 +434,7 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     rows_sum = (1 + S) * G
     rows_min = max((M + K) * G, 8)
     rows_max = max((X + K) * G, 8)
-    full_key = ("pallas", plan_key, tile, split)
+    full_key = ("pallas", plan_key, tile, split, n_pad)
     compiled = cache.get(full_key)
     if compiled is None:
         kernel = build_fused_plan_call(
@@ -482,7 +489,8 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
 def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
                             dim_cols, lookup, fact_key_name, kmax_dim,
                             weights, where_fn, key_fns, strides, n_groups,
-                            sum_fns, min_fns, max_fns, n, interpret):
+                            sum_fns, min_fns, max_fns, n, interpret,
+                            fact_block=None):
     """Pallas lowering for the fact→dimension join plans (BASELINE config
     3): ONE composed jit runs the XLA join prologue (dense key lookup +
     dim-column gathers), stacks the feature-major block ON DEVICE, and
@@ -568,16 +576,13 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
             cache.pop(next(iter(cache)))
         cache[full_key] = compiled
 
-    def dev(col):
-        arr = getattr(col, "_device_array", None)
-        if arr is None:
-            arr = jnp.asarray(col.data)
-            col._device_array = arr
-        return arr
+    from ..sql.device_plan import device_column_array
 
     try:
-        args = ([dev(fact_cols[k]) for k in fact_names]
-                + [dev(dim_cols[k]) for k in dim_names]
+        args = ([device_column_array(fact_cols[k], key=k,
+                                     block=fact_block, n=n)
+                 for k in fact_names]
+                + [device_column_array(dim_cols[k]) for k in dim_names]
                 + [jnp.asarray(w) for w in weights])
         s_f, c_f, min_f, max_f, flag_f, _dc, _dl, _dh = jax.device_get(
             compiled(jnp.asarray(lookup), *args))

@@ -42,13 +42,17 @@ def _key_levels(key: np.ndarray) -> list:
 
 
 def argsort_device(keys: list, ascending: list, nulls_first: list,
-                   valid_masks: list) -> np.ndarray:
+                   valid_masks: list, head: int | None = None) -> np.ndarray:
     """Composite argsort of numeric key columns on device.
 
     Each key expands to one or more exact f32 levels (_key_levels) and the
     composite sorts via repeated stable argsort, least-significant level
     first (direction and NULL sentinels applied to every level of a key, so
-    lexicographic order over the levels matches the key's SQL order)."""
+    lexicographic order over the levels matches the key's SQL order).
+
+    ``head``: ORDER BY ... LIMIT k reads back only the first k indices —
+    on the tunneled platform the [n] permutation readback (not the sort)
+    dominates top-k latency (VERDICT r4 item 4)."""
     n = len(keys[0])
     order = jnp.arange(n)
     levels = []
@@ -65,15 +69,21 @@ def argsort_device(keys: list, ascending: list, nulls_first: list,
         permuted = vals[order]
         idx = jnp.argsort(permuted, stable=True)
         order = order[idx]
+    if head is not None and head < n:
+        order = order[:head]
     return np.asarray(order, np.int64)
 
 
 def sort_rows(keys: list, ascending: list, nulls_first: list,
-              valid_masks: list, n_rows: int) -> np.ndarray:
-    """Dispatch between host lexsort and device sort."""
+              valid_masks: list, n_rows: int,
+              head: int | None = None) -> np.ndarray:
+    """Dispatch between host lexsort and device sort. ``head`` truncates
+    the returned permutation (ORDER BY ... LIMIT) so callers gather only
+    the surviving rows."""
     numeric = all(k.dtype != object for k in keys)
     if numeric and n_rows >= DEVICE_SORT_THRESHOLD:
-        return argsort_device(keys, ascending, nulls_first, valid_masks)
+        return argsort_device(keys, ascending, nulls_first, valid_masks,
+                              head=head)
     encoded = []
     for key, asc, nf, valid in zip(keys, ascending, nulls_first, valid_masks):
         if key.dtype == object:
@@ -87,4 +97,5 @@ def sort_rows(keys: list, ascending: list, nulls_first: list,
         if valid is not None:
             vals = np.where(valid, vals, sentinel)
         encoded.append(vals)
-    return np.lexsort(list(reversed(encoded)))
+    order = np.lexsort(list(reversed(encoded)))
+    return order[:head] if head is not None else order

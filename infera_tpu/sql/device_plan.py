@@ -64,6 +64,127 @@ class _Unsupported(Exception):
     pass
 
 
+# --- shared device-resident table block (VERDICT r4 item 3b) --------------
+# ONE stacked feature-major [C, n_pad] f32 block per table is THE canonical
+# device representation all single-device tiers key off: the pallas kernel
+# reads it directly (or row-gathers a per-query subset on device), and
+# float columns' per-column `_device_array` caches become zero-upload
+# device slices of it — killing the 390-425 ms duplicate-upload phase the
+# round-4 session measured when the XLA and pallas tiers each uploaded
+# their own copy of the same table.
+
+BLOCK_PAD = 4096  # LCM of the pallas tile sizes (2048/4096)
+
+
+def _block_eligible(col) -> bool:
+    d = col.data
+    if getattr(col, "validity", None) is not None:
+        return False
+    if d.dtype.kind == "f":
+        return True
+    if d.dtype.kind in "iu":
+        if not d.size:
+            return True
+        rng = getattr(col, "_int_range", None)
+        if rng is None:
+            rng = (int(d.min()), int(d.max()))
+            col._int_range = rng
+        return rng[0] >= -(1 << 24) and rng[1] <= (1 << 24)
+    return False
+
+
+def get_table_block(conn, table):
+    """(xc [C, n_pad] f32 device array, {column key: row}, n_pad) over the
+    table's block-eligible numeric columns, cached per connection (source
+    arrays value-pinned against id reuse). None when nothing is eligible.
+    Aliased keys (\"t.f1\" and \"f1\" sharing one Column) map to one row."""
+    n = table.num_rows
+    by_id: dict = {}
+    row_map: dict = {}
+    for k, c in table.columns.items():
+        if not _block_eligible(c):
+            continue
+        i = by_id.get(id(c.data))
+        if i is None:
+            i = len(by_id)
+            by_id[id(c.data)] = i
+        row_map[k] = i
+    if not by_id:
+        return None
+    arrs = [None] * len(by_id)
+    pin = [None] * len(by_id)
+    for k, i in row_map.items():
+        arrs[i] = table.columns[k].data
+        pin[i] = table.columns[k].data
+    n_pad = -(-max(n, 1) // BLOCK_PAD) * BLOCK_PAD
+    bkey = (tuple(id(a) for a in arrs), n_pad)
+    cache = getattr(conn, "_table_block_cache", None)
+    if cache is None:
+        cache = {}
+        conn._table_block_cache = cache
+    ent = cache.get(bkey)
+    if ent is None:
+        import jax.numpy as jnp
+
+        host = np.zeros((len(arrs), n_pad), np.float32)
+        for i, a in enumerate(arrs):
+            host[i, :n] = np.asarray(a, np.float32)
+        xc = jnp.asarray(host)
+        if len(cache) >= 4:
+            cache.pop(next(iter(cache)))
+        ent = (tuple(pin), xc)  # the VALUE pins the source arrays
+        cache[bkey] = ent
+    return ent[1], row_map, n_pad
+
+
+def _block_view(conn, xc_full, idxs: tuple):
+    """[len(idxs), n_pad] device view of the table block in kernel row
+    order: the block itself when idxs is the identity, else a cached
+    device-side row gather (HBM-to-HBM, no host transfer)."""
+    if idxs == tuple(range(int(xc_full.shape[0]))):
+        return xc_full
+    import jax
+    import jax.numpy as jnp
+
+    cache = getattr(conn, "_block_view_cache", None)
+    if cache is None:
+        cache = {}
+        conn._block_view_cache = cache
+    key = (id(xc_full), idxs)
+    ent = cache.get(key)
+    if ent is None:
+        view = jax.jit(lambda b: b[jnp.asarray(idxs, jnp.int32), :])(
+            xc_full)
+        if len(cache) >= 16:
+            cache.pop(next(iter(cache)))
+        ent = (xc_full, view)  # the VALUE pins the block against id reuse
+        cache[key] = ent
+    return ent[1]
+
+
+def device_column_array(col, key=None, block=None, n=None):
+    """THE per-column device array, cached on the Column. Float columns
+    resolve to device slices of the shared table block when one is passed
+    (device-to-device, no host transfer); integer columns keep raw int32
+    uploads — downstream bit-level consumers (HLL hashing, limb words)
+    need exact integer dtypes."""
+    dev = getattr(col, "_device_array", None)
+    if dev is not None:
+        return dev
+    import jax.numpy as jnp
+
+    if block is not None and col.data.dtype.kind == "f":
+        xc, row_map, _pad = block
+        i = row_map.get(key)
+        if i is not None:
+            dev = xc[i, :n]
+            col._device_array = dev
+            return dev
+    dev = jnp.asarray(col.data)
+    col._device_array = dev
+    return dev
+
+
 class _Lowerer:
     """AST → jnp closure over a dict of device columns."""
 
@@ -595,12 +716,23 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
     col_arrays = [pl_low.used_columns[k].data
                   for k in sorted(pl_low.used_columns)] \
         + [extra_rows[k] for k in sorted(extra_rows)]
+    # per-query view of the shared table block (device row-gather, or the
+    # block itself when the query reads every block column) — the upload
+    # happened once for ALL tiers (VERDICT r4 item 3b)
+    xc_dev = None
+    if not extra_rows:
+        blk = get_table_block(conn, table)
+        if blk is not None:
+            xc_full, rmap, _bpad = blk
+            if all(k in rmap for k in col_keys):
+                idxs = tuple(rmap[k] for k in col_keys)
+                xc_dev = _block_view(conn, xc_full, idxs)
     res = PS.execute_fused_plan(
         conn, plan_key=plan_key, col_arrays=col_arrays, col_keys=col_keys,
         weights=pl_low.weight_arrays, where_fn=where_fn, key_fns=key_fns,
         strides=strides, n_groups=n_groups, sum_fns=sum_fns,
         min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret,
-        dist_fns=dist_fns)
+        dist_fns=dist_fns, xc_dev=xc_dev)
     if res is None:
         return None
 
@@ -1331,13 +1463,10 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
     # used for the adaptive group-key radices and DISTINCT value domains
     # (the column uploads below double as the execution uploads — cached on
     # the Column objects — so probe time includes first-touch upload)
+    block = get_table_block(conn, table)
     probe_cols = {}
     for k, c in lowerer.used_columns.items():
-        dev = getattr(c, "_device_array", None)
-        if dev is None:
-            dev = jnp.asarray(c.data)
-            c._device_array = dev
-        probe_cols[k] = dev
+        probe_cols[k] = device_column_array(c, key=k, block=block, n=n)
     kmax_cache = getattr(conn, "_device_plan_kmax_cache", None)
     if kmax_cache is None:
         kmax_cache = {}

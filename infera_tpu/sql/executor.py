@@ -533,22 +533,38 @@ class Connection:
             if not op.all:
                 out = _distinct(out)
         else:
-            lrows = {left.row(i) for i in range(left.num_rows)}
-            rrows = {right.row(i) for i in range(right.num_rows)}
-            if op.kind == "EXCEPT":
-                keep = lrows - rrows
-            else:  # INTERSECT
-                keep = lrows & rrows
-            seen = set()
-            idx = []
-            for i in range(left.num_rows):
-                r = left.row(i)
-                if r in keep and r not in seen:
-                    seen.add(r)
-                    idx.append(i)
-            out = left.take(np.asarray(idx, dtype=np.int64))
+            out = None
+            if left.num_rows + right.num_rows >= _ROWCODE_MIN_ROWS:
+                # vectorized row-code set ops (VERDICT r4 item 4): one
+                # np.unique over both sides' code matrices replaces the
+                # per-row tuple loop (~2 s/M rows before)
+                rc = _row_codes([left, right])
+                if rc is not None:
+                    ids, (nl, _nr) = rc
+                    lids, rids = ids[:nl], ids[nl:]
+                    _, first = np.unique(lids, return_index=True)
+                    first = np.sort(first)
+                    in_right = np.isin(lids[first], rids)
+                    keep_m = ~in_right if op.kind == "EXCEPT" else in_right
+                    out = left.take(first[keep_m].astype(np.int64))
+            if out is None:
+                lrows = {left.row(i) for i in range(left.num_rows)}
+                rrows = {right.row(i) for i in range(right.num_rows)}
+                if op.kind == "EXCEPT":
+                    keep = lrows - rrows
+                else:  # INTERSECT
+                    keep = lrows & rrows
+                seen = set()
+                idx = []
+                for i in range(left.num_rows):
+                    r = left.row(i)
+                    if r in keep and r not in seen:
+                        seen.add(r)
+                        idx.append(i)
+                out = left.take(np.asarray(idx, dtype=np.int64))
         if op.order_by:
-            out = self._order_by(out, op.order_by, Scope(out))
+            out = self._order_by(out, op.order_by, Scope(out),
+                                 head=op.limit)
         if op.limit is not None:
             out = out.slice(0, op.limit)
         return out
@@ -573,7 +589,9 @@ class Connection:
             if fused is not None:
                 try:
                     if sel.order_by:
-                        fused = self._order_by(fused, sel.order_by, Scope(fused))
+                        fused = self._order_by(
+                            fused, sel.order_by, Scope(fused),
+                            head=_head_rows(sel))
                 except SqlError:
                     fused = None  # ORDER BY outside the output → host path
                     self._exec_path = "host"
@@ -625,7 +643,9 @@ class Connection:
             if fused is not None:
                 try:
                     if sel.order_by:
-                        fused = self._order_by(fused, sel.order_by, Scope(fused))
+                        fused = self._order_by(
+                            fused, sel.order_by, Scope(fused),
+                            head=_head_rows(sel))
                 except SqlError:
                     fused = None  # ORDER BY outside the output → host path
                     self._exec_path = "host"
@@ -656,7 +676,9 @@ class Connection:
 
         # 4. ORDER BY
         if sel.order_by:
-            out = self._order_by(out, sel.order_by, scope if not has_agg else Scope(out))
+            out = self._order_by(
+                out, sel.order_by, scope if not has_agg else Scope(out),
+                head=_head_rows(sel))
 
         # 5. LIMIT / OFFSET
         if sel.offset is not None or sel.limit is not None:
@@ -773,7 +795,12 @@ class Connection:
 
         return group_aggregate(sel, scope, self._eval, Scope)
 
-    def _order_by(self, out: Table, order_by: list, scope: Scope) -> Table:
+    def _order_by(self, out: Table, order_by: list, scope: Scope,
+                  head: int | None = None) -> Table:
+        """``head``: ORDER BY ... LIMIT k only needs the first
+        offset+limit rows — the permutation truncates BEFORE the row
+        gather, so a 1M-row top-10 gathers 10 rows instead of
+        materializing the whole permuted table (VERDICT r4 item 4)."""
         from ..ops.sort import sort_rows
 
         out_scope = Scope(out)
@@ -789,7 +816,7 @@ class Connection:
             nf.append(item.nulls_first if item.nulls_first is not None
                       else not item.ascending)
             valids.append(col.validity)
-        idx = sort_rows(keys, asc, nf, valids, out.num_rows)
+        idx = sort_rows(keys, asc, nf, valids, out.num_rows, head=head)
         return out.take(idx)
 
     # -- expression evaluation -------------------------------------------
@@ -1303,7 +1330,126 @@ def _qualify(table: Table, alias: str) -> Table:
     return Table(cols)
 
 
+def _head_rows(sel) -> int | None:
+    """offset+limit when a LIMIT bounds the output, else None — the sort
+    permutation can truncate to this many rows before the gather."""
+    if getattr(sel, "limit", None) is None:
+        return None
+    return (sel.offset or 0) + sel.limit
+
+
+# row-count above which DISTINCT / set ops take the vectorized row-code
+# path (below it the tuple loop's constant factor wins)
+_ROWCODE_MIN_ROWS = 2048
+
+
+def _row_codes(tables: list):
+    """int64 row ids over the concatenated rows of column-aligned tables:
+    equal rows (SQL semantics — NULLs equal, numerics by value) get equal
+    ids, fully vectorized (VERDICT r4 item 4).
+
+    Per column: integer values code directly (offset from min), floats
+    bitcast to int64 after -0.0 normalization (equality-exact, zero
+    sorts), strings/objects fall back to one np.unique; columns with NULLs
+    add a validity matrix column (NULLs equal each other, never a value).
+    When every column's code range is known and their product fits int64,
+    the columns mixed-radix-pack into ONE id per row with no sort at all;
+    otherwise one np.unique(axis=0) over the code matrix assigns ids.
+    Returns (row_ids, row_counts) or None when a column mix defeats the
+    encoding (caller keeps the tuple loop)."""
+    counts = [t.num_rows for t in tables]
+    n = sum(counts)
+    col_lists = [list(t.columns.values()) for t in tables]
+    ncols = len(col_lists[0])
+    if n == 0 or ncols == 0:
+        return np.zeros(n, np.int64), counts
+    mat_cols: list = []
+    ranges: list = []  # per mat col: exclusive code range or None
+    for j in range(ncols):
+        arrs = [np.asarray(cl[j].data) for cl in col_lists]
+        kinds = {a.dtype.kind for a in arrs}
+        valid = np.concatenate([cl[j].valid_mask() for cl in col_lists])
+        all_valid = bool(valid.all())
+        try:
+            if kinds <= set("iub"):
+                vals = np.concatenate([a.astype(np.int64) for a in arrs])
+                vmin = int(vals.min())
+                code = vals - vmin
+                rng = int(vals.max()) - vmin + 1
+            elif kinds <= set("f"):
+                vals = np.concatenate(
+                    [a.astype(np.float64) for a in arrs]) + 0.0
+                code = vals.view(np.int64)
+                rng = None  # bitcast codes span int64
+            elif kinds <= set("fiub"):
+                # mixed int/float: value equality via f64 — exact only
+                # while the ints fit f64's 2^53 integer range
+                ints = np.concatenate(
+                    [a.astype(np.int64) for a in arrs
+                     if a.dtype.kind in "iub"] or [np.zeros(0, np.int64)])
+                if ints.size and (np.abs(ints) > (1 << 53)).any():
+                    return None
+                vals = np.concatenate(
+                    [a.astype(np.float64) for a in arrs]) + 0.0
+                code = vals.view(np.int64)
+                rng = None
+            else:
+                vals = np.concatenate([a for a in arrs])
+                _, inv = np.unique(vals, return_inverse=True)
+                code = inv.astype(np.int64)
+                rng = int(code.max()) + 1 if n else 1
+        except (TypeError, ValueError):
+            return None
+        if not all_valid:
+            code = np.where(valid, code, 0)
+            mat_cols.append(valid.astype(np.int64))
+            ranges.append(2)
+        mat_cols.append(code)
+        ranges.append(rng)
+    if len(mat_cols) == 1:
+        return mat_cols[0], counts
+    if all(r is not None for r in ranges):
+        prod = 1
+        for r in ranges:
+            prod *= max(r, 1)
+        if prod < (1 << 62):
+            packed = np.zeros(n, np.int64)
+            stride = 1
+            for code, r in zip(reversed(mat_cols), reversed(ranges)):
+                packed += code * stride
+                stride *= max(r, 1)
+            return packed, counts
+    # mix the code columns into one 64-bit id and VERIFY exactness: equal
+    # rows hash equal by construction, and any unequal rows sharing a hash
+    # are caught by comparing every row to its hash-group representative
+    # (then the slow void-record unique decides). One uint64 sort instead
+    # of the [n, C] void-dtype argsorts np.unique(axis=0) pays.
+    h = np.zeros(n, np.uint64)
+    for code in mat_cols:
+        h = (h ^ code.view(np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+    _, first, row_inv = np.unique(h, return_index=True,
+                                  return_inverse=True)
+    rep = first[row_inv]
+    exact = True
+    for code in mat_cols:
+        if not np.array_equal(code, code[rep]):
+            exact = False
+            break
+    if exact:
+        return row_inv.astype(np.int64), counts
+    _, row_inv = np.unique(np.column_stack(mat_cols), axis=0,
+                           return_inverse=True)
+    return row_inv.astype(np.int64), counts
+
+
 def _distinct(table: Table) -> Table:
+    if table.num_rows >= _ROWCODE_MIN_ROWS:
+        rc = _row_codes([table])
+        if rc is not None:
+            ids, _ = rc
+            _, first = np.unique(ids, return_index=True)
+            return table.take(np.sort(first).astype(np.int64))
     seen = set()
     keep = []
     for i in range(table.num_rows):

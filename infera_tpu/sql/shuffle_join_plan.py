@@ -60,6 +60,19 @@ def _split_conjuncts(expr):
     return [expr]
 
 
+def _product_factors(expr):
+    if isinstance(expr, A.Binary) and expr.op == "*":
+        return _product_factors(expr.left) + _product_factors(expr.right)
+    return [expr]
+
+
+def _product_chain(factors):
+    out = factors[0]
+    for f in factors[1:]:
+        out = A.Binary("*", out, f)
+    return out
+
+
 def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
     """Compile + run a big×big join-aggregate; Table or None."""
     import time as _time
@@ -223,7 +236,24 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                         raise _Unsupported(name)
                     agg_specs.append(("count_star", None, None))
                     continue
-                side = side_of_expr(node.args[0])
+                try:
+                    side = side_of_expr(node.args[0])
+                except _Unsupported:
+                    # mixed-side PRODUCT sums decompose through the per-key
+                    # B partials (VERDICT r4 item 6):
+                    #   sum(f(a)*g(b)) = SUM_a f(a) * sumB_g[k(a)]
+                    if name not in ("sum", "avg", "mean"):
+                        raise
+                    fs = _product_factors(node.args[0])
+                    fsides = [side_of_expr(f) for f in fs]  # single-sided
+                    a_fs = [f for f, s2 in zip(fs, fsides) if s2 == "a"]
+                    b_fs = [f for f, s2 in zip(fs, fsides) if s2 != "a"]
+                    if not a_fs or not b_fs:
+                        raise
+                    agg_specs.append((f"ab{name}", "ab",
+                                      (_product_chain(a_fs),
+                                       _product_chain(b_fs))))
+                    continue
                 if name == "count":
                     # count(expr) == count(*) ONLY when the argument can
                     # never be NULL — the lowering phase verifies that by
@@ -297,6 +327,7 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
         b_sum_fns: list = []
         b_min_fns: list = []
         b_max_fns: list = []
+        b_csum_fns: list = []  # compensated per-key sums for ab products
         agg_plans = []  # (pname, payload) for the result assembly
         for pname, side, arg in agg_specs:
             if pname == "key":
@@ -311,6 +342,15 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                 # count is the pair count
                 (a_low if side == "a" else b_low).lower(arg)
                 agg_plans.append(("count_star", None))
+                continue
+            if pname in ("absum", "abavg", "abmean"):
+                a_expr, b_expr = arg
+                if not _float_only(a_low, at, a_expr) or \
+                        not _float_only(b_low, bt, b_expr):
+                    return None
+                a_fn = a_low.lower(a_expr)
+                b_csum_fns.append(b_low.lower(b_expr))
+                agg_plans.append((pname, (a_fn, len(b_csum_fns) - 1)))
                 continue
             low = a_low if side == "a" else b_low
             tbl = at if side == "a" else bt
@@ -368,7 +408,8 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
         out = _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk,
                             a_where_fn, b_where_fn, key_fns, strides,
                             n_groups, agg_plans, b_sum_fns, b_min_fns,
-                            b_max_fns, items_plan, key_keys, _phases)
+                            b_max_fns, items_plan, key_keys, _phases,
+                            b_csum_fns=b_csum_fns)
         if out is not None:
             conn._mesh_plan_used = True
             conn._last_phases = _phases
@@ -381,6 +422,7 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
     # --- B pre-pass: sort + segmented per-key reduce ----------------------
     b_cols_used = sorted(b_low.used_columns)
     SB, MB, XB = len(b_sum_fns), len(b_min_fns), len(b_max_fns)
+    CB = len(b_csum_fns)
 
     def b_prepass(kb, *arrs):
         cols = dict(zip(b_cols_used, arrs))
@@ -419,6 +461,20 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
             outs.append(jax.ops.segment_max(
                 jnp.where(wb > 0, v, -jnp.inf), uidx, num_segments=nb,
                 indices_are_sorted=True))
+        if b_csum_fns:
+            # compensated per-key sums: a plain f32 sumB's rounding gets
+            # MULTIPLIED by every joining A row in the ab product slots
+            # (measured 2e-5 rel on the skewed test) — carry (s, c) pairs
+            from .mesh_plan import _compensated_segment_sum
+
+            cntf = jax.ops.segment_sum(wb, uidx, num_segments=nb,
+                                       indices_are_sorted=True)
+            for fn in b_csum_fns:
+                v = jnp.asarray(fn(cols), jnp.float32)[order]
+                s_, c_ = _compensated_segment_sum(
+                    jax, jnp, v, wb, uidx, nb, cntf)
+                outs.append(s_)
+                outs.append(c_)
         return tuple(outs)
 
     cache = getattr(conn, "_device_plan_cache", None)
@@ -453,8 +509,8 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
     a_key_host = np.asarray(ak.data, np.int64).astype(np.int32)
 
     def a_step(valid, ka, uk, cnt, *rest):
-        b_slots = rest[:SB + MB + XB]
-        cols = dict(zip(a_cols_used, rest[SB + MB + XB:]))
+        b_slots = rest[:SB + MB + XB + 2 * CB]
+        cols = dict(zip(a_cols_used, rest[SB + MB + XB + 2 * CB:]))
         mask = valid
         if a_where_fn is not None:
             mask = mask & jnp.asarray(a_where_fn(cols), bool)
@@ -540,6 +596,42 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
                 outs.append(sums[sum_refs[ai]])
             elif pname in ("aavg", "amean", "bavg", "bmean"):
                 outs.append(sums[sum_refs[ai]])  # divisor = limb count
+            elif pname in ("absum", "abavg", "abmean"):
+                # compensated (s, c) pair: the product row's accumulation
+                # magnitude (A rows x per-key B sums) swamps a plain f32
+                # sum; the Dekker two_prod keeps the per-row product exact
+                # and the shifted Kahan pass keeps the grouped sum at
+                # ~f64 fold accuracy (mesh comp_sum discipline)
+                from .mesh_plan import (_compensated_finish,
+                                        _compensated_shift, _kahan_chunked,
+                                        _opaque_pin, _two_prod)
+
+                a_fn, ci = payload
+                base_c = SB + MB + XB
+                av = jnp.asarray(a_fn(cols), jnp.float32)
+                bv = jnp.where(matched,
+                               b_slots[base_c + 2 * ci][idx], 0.0)
+                bvc = jnp.where(matched,
+                                b_slots[base_c + 2 * ci + 1][idx], 0.0)
+                mrow = matched.astype(jnp.float32)
+                mcnt = segsum(mrow)  # rows contributing, NOT pair count
+                pin = _opaque_pin(jnp, sums[0][0] >= 0.0)
+                prod, perr = _two_prod(jnp, av, bv, pin)
+                # FINE-chunked Kahan (mesh comp_sum discipline): gathered
+                # per-key B sums are bimodal and LARGE, so a single-pass
+                # residual sum still wanders at hot-key magnitude
+                # (measured 1.7e5 abs on the skewed test); the scan keeps
+                # cross-chunk accumulation error-free
+                shift = _compensated_shift(jnp, jax, prod, mrow, keys,
+                                           n_groups)
+                resid = (prod - shift[keys]) * mrow
+                rs, rc = _kahan_chunked(jax, jnp, resid, keys, n_groups,
+                                        pin, chunk=1024, max_chunks=1024)
+                s_, c_ = _compensated_finish(jnp, shift, rs, mcnt, pin)
+                # exact-product tails + the B-side compensation carried
+                # through the gather (av*c is residual-scale in f32)
+                c_ = c_ + rc + segsum((perr + av * bvc) * mrow)
+                outs.append((s_, c_))
             elif pname == "amin":
                 outs.append(segmin(jnp.asarray(payload(cols), jnp.float32),
                                    live))
@@ -589,7 +681,10 @@ def try_execute_shuffle_join(conn, sel: A.Select, analyze_only: bool = False):
     def fold(res):
         nonlocal acc_outs, acc_climbs
         outs, climbs, kmins, kmaxs = jax.device_get(res)
-        conv = [None if o is None else np.asarray(o, np.float64)
+        conv = [None if o is None
+                else (np.asarray(o[0], np.float64)
+                      + np.asarray(o[1], np.float64))
+                if isinstance(o, tuple) else np.asarray(o, np.float64)
                 for o in outs]
         climbs = [np.asarray(c, np.int64) for c in climbs]
         if acc_outs is None:
@@ -681,7 +776,7 @@ def _assemble(sel, items_plan, agg_plans, acc_outs, count64, acc_kmin,
         # zero-pair groups render NULL (the global group is always live):
         # sums/avgs/mins would otherwise leak 0.0 / +-inf identities
         c64 = count64[live]
-        if pname in ("aavg", "amean", "bavg", "bmean"):
+        if pname in ("aavg", "amean", "bavg", "bmean", "abavg", "abmean"):
             c = c64.astype(np.float64)
             vals = res[live] / np.where(c == 0, 1.0, c)
         else:
@@ -695,7 +790,7 @@ def _assemble(sel, items_plan, agg_plans, acc_outs, count64, acc_kmin,
 def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
                   b_where_fn, key_fns, strides, n_groups, agg_plans,
                   b_sum_fns, b_min_fns, b_max_fns, items_plan, key_keys,
-                  _phases):
+                  _phases, b_csum_fns=()):
     """Mesh variant: hash-exchange both sides by join key over the dp axis
     (parallel/shuffle.py), per-device pre-aggregated join, psum/pmin/pmax
     merge of the [G] group partials. B is LOCALLY pre-reduced to (key,
@@ -720,6 +815,7 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
     lb = -(-nb // ndev)
     na_pad, nb_pad = la * ndev, lb * ndev
     SB, MB, XB = len(b_sum_fns), len(b_min_fns), len(b_max_fns)
+    CB = len(b_csum_fns)
     G = int(n_groups)
     a_cols_used = sorted(a_low.used_columns)
     b_cols_used = sorted(b_low.used_columns)
@@ -762,6 +858,17 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
             payload.append(jax.ops.segment_max(
                 jnp.where(wb > 0, v, -jnp.inf), uidx, num_segments=lb,
                 indices_are_sorted=True))
+        if b_csum_fns:
+            from .mesh_plan import _compensated_segment_sum
+
+            cntf_l = jax.ops.segment_sum(wb, uidx, num_segments=lb,
+                                         indices_are_sorted=True)
+            for fn in b_csum_fns:
+                v = jnp.asarray(fn(bcols), jnp.float32)[order]
+                s_l, c_l = _compensated_segment_sum(
+                    jax, jnp, v, wb, uidx, lb, cntf_l)
+                payload.append(s_l)
+                payload.append(c_l)
         b_live = alive & (payload[1] > 0) & (uk_l != INT32_MAX)
         owner = jnp.where(b_live, jnp.mod(uk_l, ndev), 0).astype(jnp.int32)
         packed, send_valid = _pack_buckets(
@@ -806,6 +913,12 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
             b_slots.append(jax.ops.segment_max(
                 jnp.where(ok2, v, -jnp.inf), uidx2, num_segments=nm,
                 indices_are_sorted=True))
+        for ci in range(2 * CB):
+            # per-source (s, c) parts both sum-merge; the represented
+            # per-key value stays s + c
+            b_slots.append(jax.ops.segment_sum(
+                recv[2 + SB + MB + XB + ci][order2] * okf, uidx2,
+                num_segments=nm, indices_are_sorted=True))
 
         # --- A: exchange raw rows by key hash, then the join gather -------
         ka_i = jnp.asarray(ka, jnp.int32)
@@ -820,6 +933,9 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
         for ai, (pname, payload_) in enumerate(agg_plans):
             if pname in ("asum", "aavg", "amean", "amin", "amax"):
                 a_vals.append((ai, jnp.asarray(payload_(acols),
+                                               jnp.float32)))
+            elif pname in ("absum", "abavg", "abmean"):
+                a_vals.append((ai, jnp.asarray(payload_[0](acols),
                                                jnp.float32)))
         a_payload.extend(v for _ai, v in a_vals)
         packed_a, send_valid_a = _pack_buckets(
@@ -910,6 +1026,20 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
                 v = b_slots[payload_]
                 outs.append(comp_sum(jnp.where(matched, v[idx], 0.0),
                                      matched))
+            elif pname in ("absum", "abavg", "abmean"):
+                # sum over pairs f(a)g(b) = SUM_a f(a)*sumB_g[k(a)]; the
+                # f32 product splits error-free through comp_sum's
+                # two_prod weight path, and the B-side compensation rides
+                # a second comp_sum (the tuples concatenate; the host
+                # folds all four gathered parts in f64)
+                base_c = SB + MB + XB
+                vs = b_slots[base_c + 2 * payload_[1]]
+                vc = b_slots[base_c + 2 * payload_[1] + 1]
+                p1 = comp_sum(aval_map[ai], matched,
+                              weight=jnp.where(matched, vs[idx], 0.0))
+                p2 = comp_sum(aval_map[ai], matched,
+                              weight=jnp.where(matched, vc[idx], 0.0))
+                outs.append(p1 + p2)
             elif pname == "amin":
                 outs.append(jax.lax.pmin(jax.ops.segment_min(
                     jnp.where(live, aval_map[ai], jnp.inf), keys,
@@ -985,9 +1115,9 @@ def _execute_mesh(conn, mesh, sel, at, a_low, ak, bt, b_low, bk, a_where_fn,
     for o in outs:
         if o is None:
             conv.append(None)
-        elif isinstance(o, tuple):  # compensated (s, c) per-device pairs
-            conv.append((np.asarray(o[0], np.float64)
-                         + np.asarray(o[1], np.float64)).sum(axis=0))
+        elif isinstance(o, tuple):  # compensated per-device part tuples
+            conv.append(sum(np.asarray(t, np.float64)
+                            for t in o).sum(axis=0))
         else:
             conv.append(np.asarray(o, np.float64))
     count64 = sum(np.asarray(c, np.int64) << (8 * jj)

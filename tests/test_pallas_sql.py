@@ -245,6 +245,50 @@ def test_pallas_wide_int_column_guard(model_dir, clean_registry,
     assert len(rows) == 3
 
 
+def test_shared_table_block_across_tiers(pconn):
+    """VERDICT r4 item 3b: one stacked [C, n_pad] device block per table is
+    the canonical upload all tiers key off — repeated calls return the SAME
+    device array, per-query kernel views alias it when the query reads
+    every block column, and float columns' per-column device arrays are
+    slices of it (no duplicate host transfer)."""
+    import jax.numpy as jnp
+
+    from infera_tpu.sql.device_plan import (_block_view, device_column_array,
+                                            get_table_block)
+
+    conn, n = pconn
+    table = conn.catalog.get("big")
+    b1 = get_table_block(conn, table)
+    b2 = get_table_block(conn, table)
+    assert b1 is not None and b1[0] is b2[0]  # cached device block
+    xc, rmap, n_pad = b1
+    assert n_pad % 4096 == 0 and xc.shape[1] == n_pad
+    # identity view for the full ordered column set
+    idxs = tuple(range(int(xc.shape[0])))
+    assert _block_view(conn, xc, idxs) is xc
+    # float per-column arrays slice the block (values exact)
+    key = next(k for k in rmap if k.endswith("f1"))
+    col = table.columns[key]
+    col._device_array = None
+    dev = device_column_array(col, key=key, block=b1, n=n)
+    assert dev.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(dev),
+                                  np.asarray(col.data, np.float32))
+    # both tiers answer identically on top of the shared block
+    q = "select g, count(*), sum(f1) from big group by g order by g"
+    rows_k = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    import os
+
+    os.environ["INFERA_PALLAS_SQL"] = "0"
+    try:
+        rows_x = conn.execute(q).rows
+        assert conn._exec_path == "device_plan"
+    finally:
+        os.environ["INFERA_PALLAS_SQL"] = "1"
+    _assert_rows_close(rows_k, rows_x)
+
+
 def test_pallas_knob_off(pconn):
     conn, n = pconn
     import os
@@ -304,17 +348,67 @@ def test_pallas_inner_join_parity(pconn, monkeypatch, tmp_path):
         _assert_rows_close(rows, hrows, rel=1e-5)
 
 
-def test_pallas_outer_join_stays_on_xla(pconn, monkeypatch):
-    """LEFT joins keep the XLA outer program (matched-validity masking is
-    not in the kernel); answers unchanged."""
+def test_pallas_outer_join_in_kernel(pconn, monkeypatch):
+    """Round 5 (VERDICT r4 item 3a): LEFT/RIGHT joins ride the kernel with
+    matched-validity summand masking — counts, sums, avgs, and min/max
+    over dim columns agree with the host join exactly."""
     conn, n = pconn
-    conn.execute(f"create table ofact as select x % 150 as k, "
+    conn.execute(f"create table ofact as select x % 150 as k, x % 6 as og, "
                  f"(x % 40)::float as v from range({n}) r(x)")
     conn.execute("create table odim as select x as k, (x * 2)::float as w "
                  "from range(100) r(x)")
-    rows = conn.execute(
-        "select count(*), count(w) from ofact left join odim "
-        "on ofact.k = odim.k").rows
-    assert conn._exec_path == "device_join_plan"
+    import infera_tpu.sql.device_join_plan as djp
+
+    qs = [
+        ("select count(*), count(w) from ofact left join odim "
+         "on ofact.k = odim.k"),
+        ("select og, count(*) c, sum(w) sw, avg(w) aw, sum(v) sv from "
+         "ofact left join odim on ofact.k = odim.k group by og order by og"),
+        ("select og, min(w), max(w), max(v) from ofact left join odim "
+         "on ofact.k = odim.k group by og order by og"),
+        ("select og, count(*), sum(w) from odim right join ofact "
+         "on odim.k = ofact.k group by og order by og"),
+        ("select og, count(*), sum(w), min(w) from ofact left join odim "
+         "on ofact.k = odim.k where v > 3.0 group by og order by og"),
+    ]
+    for q in qs:
+        rows = conn.execute(q).rows
+        assert conn._exec_path == "device_join_plan_pallas", q
+        host = Connection()
+        host.catalog = conn.catalog
+        with monkeypatch.context() as m:
+            m.setattr(djp, "try_execute_join_on_device",
+                      lambda *a, **k: None)
+            hrows = host.execute(q).rows
+        _assert_rows_close(rows, hrows, rel=1e-5)
     x = np.arange(n)
+    rows = conn.execute("select count(*), count(w) from ofact left join "
+                        "odim on ofact.k = odim.k").rows
     assert rows[0] == (n, int((x % 150 < 100).sum()))
+
+
+def test_pallas_full_join_phantom_combine(pconn, monkeypatch):
+    """FULL joins: kernel LEFT pass + host phantom rows for unmatched dim
+    keys — identical to the host join."""
+    conn, n = pconn
+    conn.execute(f"create table ffact as select x % 80 as k, "
+                 f"(x % 30)::float as v from range({n}) r(x)")
+    conn.execute("create table fdim as select x as k, (x * 3)::float as w "
+                 "from range(120) r(x)")  # keys 80..119 unmatched -> phantom
+    import infera_tpu.sql.device_join_plan as djp
+
+    for q in [
+        ("select count(*) c, sum(v) sv, count(w) cw from ffact full join "
+         "fdim on ffact.k = fdim.k"),
+        ("select ffact.k fk, count(*) c, sum(w) sw from ffact full join "
+         "fdim on ffact.k = fdim.k group by ffact.k order by fk"),
+    ]:
+        rows = conn.execute(q).rows
+        assert conn._exec_path == "device_join_plan_pallas", q
+        host = Connection()
+        host.catalog = conn.catalog
+        with monkeypatch.context() as m:
+            m.setattr(djp, "try_execute_join_on_device",
+                      lambda *a, **k: None)
+            hrows = host.execute(q).rows
+        _assert_rows_close(rows, hrows, rel=1e-5)

@@ -138,6 +138,42 @@ def test_shuffle_join_mesh():
         assert mnw == pytest.approx(mnk[ka[live]].min())
 
 
+@pytest.mark.parametrize("meshed", [False, True])
+def test_shuffle_join_mixed_side_product(meshed):
+    """Round 5 (VERDICT r4 item 6): sum(f(a)*g(b)) decomposes through the
+    per-key B partials — SUM_a f(a)*sumB_g[k(a)] — instead of declining to
+    the host join. Exact vs the numpy pair oracle, both tiers."""
+    conn = Connection()
+    if meshed:
+        conn.set_mesh(8)
+    _mk(conn, skewed=True)
+    ka, kb, g, v, w = _oracle(skewed=True)
+    cnt, sw, _mn, _mx = _b_per_key(kb, w)
+    want_path = "shuffle_join_mesh" if meshed else "shuffle_join"
+
+    rows = conn.execute(
+        "select sum(v * w), avg(v * w), count(*) from fa "
+        "join fb on fa.k = fb.k").rows
+    assert conn._exec_path == want_path
+    pair_sum = float((v * sw[ka]).sum())
+    pair_cnt = int(cnt[ka].sum())
+    assert rows[0][2] == pair_cnt
+    # f32 value/product pipeline: suite-standard 1e-6 relative bar
+    assert rows[0][0] == pytest.approx(pair_sum, rel=1e-6)
+    assert rows[0][1] == pytest.approx(pair_sum / pair_cnt, rel=1e-6)
+
+    rows = conn.execute(
+        "select g, sum(v * 2.0 * w) s, sum(v) sv from fa join fb "
+        "on fa.k = fb.k group by g order by g").rows
+    assert conn._exec_path == want_path
+    for kg, s, sv in rows:
+        m = g == kg
+        assert s == pytest.approx(float((2.0 * v[m] * sw[ka[m]]).sum()),
+                                  rel=1e-6)
+        assert sv == pytest.approx(float((v[m] * cnt[ka[m]]).sum()),
+                                   rel=1e-6)
+
+
 def test_shuffle_join_ineligible_shapes():
     """Non-equi, DISTINCT, mixed-side WHERE, or small inputs stay on the
     host path with identical semantics."""
