@@ -64,6 +64,28 @@ class _Unsupported(Exception):
     pass
 
 
+def _contains_int_window(e) -> bool:
+    """True when the expression contains an integer-valued window
+    (ranking / count) — their consuming SUM/MIN/MAX render BIGINT on the
+    host, which the f32 fused carrier would demote to DOUBLE."""
+    import dataclasses
+
+    if isinstance(e, A.WindowFunc) and e.name.lower() in (
+            "row_number", "rank", "dense_rank", "ntile", "count"):
+        return True
+    if not dataclasses.is_dataclass(e):
+        return False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr) and _contains_int_window(v):
+            return True
+        if isinstance(v, list) and any(
+                isinstance(x, A.Expr) and _contains_int_window(x)
+                for x in v):
+            return True
+    return False
+
+
 # --- shared device-resident table block (VERDICT r4 item 3b) --------------
 # ONE stacked feature-major [C, n_pad] f32 block per table is THE canonical
 # device representation all single-device tiers key off: the pallas kernel
@@ -192,6 +214,7 @@ class _Lowerer:
         self.table = table
         self.used_columns: dict = {}
         self.models: dict = {}
+        self.has_window = False  # windows need the un-sharded global sort
 
     def _column(self, name: str, qualifier):
         key = f"{qualifier}.{name}" if qualifier else name
@@ -289,7 +312,168 @@ class _Lowerer:
                 }[name]
                 return lambda cols: fn(jnp.asarray(inner(cols), jnp.float32))
             raise _Unsupported(f"function {name}")
+        if isinstance(expr, A.WindowFunc):
+            return self._lower_window(expr)
         raise _Unsupported(type(expr).__name__)
+
+    # window names the fused plan computes in-program (VERDICT r4 item 7)
+    _WIN_OK = frozenset({"row_number", "rank", "dense_rank", "count",
+                         "sum", "avg", "mean", "min", "max"})
+
+    def _lower_window(self, wf: A.WindowFunc):
+        """Device window closure: ONE lax.sort by (partition, order, rowid)
+        then segmented scans — ranking arithmetic, double-single
+        (two-f32-limb, ~2^-48 rel) running sums, and flagged associative
+        min/max scans — gathered at the frame-end position and scattered
+        back to row order. Covers the default RANGE frame (peers), ROWS
+        UNBOUNDED..CURRENT, and whole-partition frames; everything else
+        raises (host path keeps full frames)."""
+        import functools as _ft
+
+        import jax
+        import jax.numpy as jnp
+
+        name = wf.name.lower()
+        if name not in self._WIN_OK:
+            raise _Unsupported(f"window {name}")
+        self.has_window = True
+        frame = wf.frame
+        if not wf.order_by:
+            fkind = "whole"
+        elif frame is None:
+            fkind = "default"
+        else:
+            unit, start, end = frame
+            if start == "unbounded_preceding" and end == "current":
+                fkind = "default" if unit == "range" else "rows_cur"
+            elif (start == "unbounded_preceding"
+                    and end == "unbounded_following"):
+                fkind = "whole"
+            else:
+                raise _Unsupported("window frame")
+        if name in ("row_number", "rank", "dense_rank"):
+            arg_fn = None
+        elif not wf.args:
+            if name != "count":
+                raise _Unsupported(f"window {name} without argument")
+            arg_fn = None
+        else:
+            # f32 carrier: float-typed arguments only (integer window
+            # sums would silently drop BIGINT exactness — host path)
+            self._require_float_refs(wf.args[0])
+            arg_fn = self.lower(wf.args[0])
+        for e in wf.partition_by:
+            self._require_f32_exact_refs(e)
+        for oi in wf.order_by:
+            self._require_f32_exact_refs(oi.expr)
+        part_fns = [self.lower(e) for e in wf.partition_by]
+        ord_specs = [(self.lower(oi.expr), oi.ascending)
+                     for oi in wf.order_by]
+
+        def run(cols):
+            parts = [jnp.asarray(f(cols), jnp.float32) for f in part_fns]
+            orders = []
+            for f, asc in ord_specs:
+                v = jnp.asarray(f(cols), jnp.float32)
+                orders.append(v if asc else -v)
+            av = (None if arg_fn is None
+                  else jnp.asarray(arg_fn(cols), jnp.float32))
+            n = None
+            for v in parts + orders + ([] if av is None else [av]):
+                if getattr(v, "ndim", 0) >= 1:
+                    n = v.shape[-1] if v.ndim > 1 else v.shape[0]
+                    break
+            if n is None:
+                raise _Unsupported("window over constants")
+
+            def full(v):
+                v = jnp.asarray(v, jnp.float32).reshape(-1)
+                return (jnp.broadcast_to(v, (n,)) if v.shape[0] == 1
+                        and n != 1 else v)
+
+            parts = [full(v) for v in parts]
+            orders = [full(v) for v in orders]
+            rowid = jnp.arange(n, dtype=jnp.int32)
+            ops_ = tuple(parts) + tuple(orders) + (rowid,)
+            if av is not None:
+                ops_ = ops_ + (full(av),)
+            srt = jax.lax.sort(ops_, num_keys=len(parts) + len(orders) + 1)
+            np_, no_ = len(parts), len(orders)
+            p_s, o_s = srt[:np_], srt[np_:np_ + no_]
+            r_s = srt[np_ + no_]
+            v_s = srt[-1] if av is not None else None
+            idx = jnp.arange(n, dtype=jnp.int32)
+            one = jnp.ones(1, bool)
+            if p_s:
+                chg = _ft.reduce(jnp.logical_or,
+                                 [p[1:] != p[:-1] for p in p_s])
+                gchg = jnp.concatenate([one, chg])
+            else:
+                gchg = idx == 0
+            if o_s:
+                och = _ft.reduce(jnp.logical_or,
+                                 [o[1:] != o[:-1] for o in o_s])
+                kchg = gchg | jnp.concatenate([one, och])
+            else:
+                kchg = gchg  # no ORDER BY: whole partition is one peer set
+            pstart = jax.lax.cummax(jnp.where(gchg, idx, 0))
+            peer_lo = jax.lax.cummax(jnp.where(kchg, idx, 0))
+            nxt = jnp.where(jnp.concatenate([kchg[1:], one]), idx, n - 1)
+            peer_hi = jax.lax.cummin(nxt[::-1])[::-1]
+            pnxt = jnp.where(jnp.concatenate([gchg[1:], one]), idx, n - 1)
+            pend = jax.lax.cummin(pnxt[::-1])[::-1]  # last row of partition
+            hi_pos = {"whole": pend, "default": peer_hi,
+                      "rows_cur": idx}[fkind]
+            if name == "row_number":
+                out_s = (idx - pstart + 1).astype(jnp.float32)
+            elif name == "rank":
+                out_s = (peer_lo - pstart + 1).astype(jnp.float32)
+            elif name == "dense_rank":
+                kc = jnp.cumsum(kchg.astype(jnp.int32))
+                out_s = (kc - kc[pstart] + 1).astype(jnp.float32)
+            elif name == "count" and v_s is None:
+                out_s = (hi_pos - pstart + 1).astype(jnp.float32)
+            elif name in ("min", "max"):
+                scan = _seg_scan_extreme(jax, jnp, v_s, gchg,
+                                         name == "min")
+                out_s = scan[hi_pos]
+            else:
+                s_hi, s_lo = _seg_scan_sum_ds(jax, jnp, v_s, gchg)
+                run_sum = s_hi[hi_pos] + s_lo[hi_pos]
+                if name == "count":
+                    out_s = (hi_pos - pstart + 1).astype(jnp.float32)
+                elif name == "sum":
+                    out_s = run_sum
+                else:  # avg / mean
+                    cntf = (hi_pos - pstart + 1).astype(jnp.float32)
+                    out_s = run_sum / cntf
+            return jnp.zeros(n, jnp.float32).at[r_s].set(out_s)
+
+        return run
+
+    def _require_float_refs(self, e):
+        refs: list = []
+        _find_column_refs(e, refs)
+        for r in refs:
+            key = self._column(r.name, r.table)
+            t = self.table.columns[key].sql_type
+            if not (t.is_float or t.name == "DECIMAL"):
+                raise _Unsupported("integer window argument (host path)")
+
+    def _require_f32_exact_refs(self, e):
+        refs: list = []
+        _find_column_refs(e, refs)
+        for r in refs:
+            key = self._column(r.name, r.table)
+            col = self.table.columns[key]
+            d = col.data
+            if d.dtype.kind in "iu" and d.size:
+                rng = getattr(col, "_int_range", None)
+                if rng is None:
+                    rng = (int(d.min()), int(d.max()))
+                    col._int_range = rng
+                if rng[0] < -(1 << 24) or rng[1] > (1 << 24):
+                    raise _Unsupported("window key beyond f32 exactness")
 
     def _lower_predict(self, expr: A.FuncCall, out_col: int | None = None):
         """Lower infera_predict (out_col None → requires a 1-col output) or
@@ -338,6 +522,44 @@ class _Lowerer:
         return run
 
 
+def _seg_scan_sum_ds(jax, jnp, v, flag):
+    """Segmented inclusive prefix sum as a double-single (hi, lo) f32 pair
+    via ONE associative_scan — ~2^-48 relative accuracy, matching the host
+    path's f64 prefix sums at f32 output precision (the compensated
+    running sums VERDICT r4 item 7 asks for). ``flag`` marks segment
+    starts. The two_sum inside the combiner pins through a NaN-shaped
+    predicate (v == v) XLA cannot constant-fold, so the compensation
+    survives the simplifier (mesh_plan._opaque_pin discipline)."""
+    z = jnp.float32(0.0)
+
+    def comb(a, b):
+        af, ah, al = a
+        bf, bh, bl = b
+        s = ah + bh
+        t = jnp.where(s == s, s - ah, z)  # unfoldable pin
+        e = (ah - (s - t)) + (bh - t)
+        lo = e + al + bl
+        hi2 = s + lo
+        lo2 = lo - jnp.where(hi2 == hi2, hi2 - s, z)
+        return (af | bf, jnp.where(bf, bh, hi2), jnp.where(bf, bl, lo2))
+
+    _f, hi, lo = jax.lax.associative_scan(comb, (flag, v, jnp.zeros_like(v)))
+    return hi, lo
+
+
+def _seg_scan_extreme(jax, jnp, v, flag, is_min):
+    """Segmented inclusive running min/max via one associative_scan."""
+    op = jnp.minimum if is_min else jnp.maximum
+
+    def comb(a, b):
+        af, avv = a
+        bf, bvv = b
+        return (af | bf, jnp.where(bf, bvv, op(avv, bvv)))
+
+    _f, out = jax.lax.associative_scan(comb, (flag, v))
+    return out
+
+
 class _PallasLowerer(_Lowerer):
     """Same AST→closure lowering as _Lowerer, but the closures run INSIDE
     the Pallas fused-plan kernel (ops/pallas_sql.py): columns resolve to
@@ -350,6 +572,11 @@ class _PallasLowerer(_Lowerer):
     def __init__(self, table: Table):
         super().__init__(table)
         self.weight_arrays: list = []  # flat [wT, b, ...] np arrays
+
+    def _lower_window(self, wf):
+        # windows need a global sort — impossible inside the tile-local
+        # kernel; the XLA fused program carries them instead
+        raise _Unsupported("window functions stay on the XLA program")
 
     def _lower_predict(self, expr: A.FuncCall, out_col: int | None = None):
         if (not expr.args or not isinstance(expr.args[0], A.Literal)
@@ -1414,6 +1641,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
             else:
                 return None
             return ("hll", (key, str(d.dtype)))
+        if name in ("sum", "min", "max") and _contains_int_window(arg):
+            return None  # host keeps the BIGINT typing of ranking windows
         # exact int64: sum/avg/min/max over a plain no-NULL integer column
         if name in ("sum", "avg", "mean", "min", "max") and isinstance(
                 arg, A.ColumnRef):
@@ -1567,6 +1796,8 @@ def try_execute_on_device(conn, sel: A.Select, table: Table,
 
     conn._mesh_plan_used = False
     mesh = get_mesh(conn)
+    if mesh is not None and lowerer.has_window:
+        mesh = None  # a row-sharded window sort would split partitions
     if mesh is not None:
         mesh_sharded = dict(lowerer.used_columns)
         for k in int_cols:

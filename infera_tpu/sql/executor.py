@@ -609,6 +609,45 @@ class Connection:
                         else path_base)
                     return fused
 
+        # 1a'. windowed-subquery fusion (round 5): flatten an eligible
+        # window-bearing subquery scan into the fused device plan BEFORE
+        # the host executes the inner projection — the [n]-row window
+        # result stays device-resident inside ONE program and only the
+        # [G] group table returns (sql/window_fusion.py)
+        if isinstance(sel.from_, A.SubqueryRef):
+            from .device_plan import try_execute_on_device
+            from .window_fusion import flatten_windowed_scan
+
+            flat = flatten_windowed_scan(sel)
+            if flat is not None and isinstance(
+                    flat.from_, (A.BaseTable, A.TableFunction)):
+                try:
+                    base = Scope(self._execute_from(flat.from_))
+                except SqlError:
+                    base = None
+                fused = (try_execute_on_device(self, flat, base.table)
+                         if base is not None else None)
+                if fused is not None:
+                    try:
+                        if flat.order_by:
+                            fused = self._order_by(
+                                fused, flat.order_by, Scope(fused),
+                                head=_head_rows(flat))
+                    except SqlError:
+                        fused = None
+                    if fused is not None:
+                        if flat.offset is not None or flat.limit is not None:
+                            start = flat.offset or 0
+                            stop = (start + flat.limit
+                                    if flat.limit is not None
+                                    else fused.num_rows)
+                            fused = fused.slice(start, stop)
+                        self._exec_path = (
+                            "device_plan_mesh"
+                            if getattr(self, "_mesh_plan_used", False)
+                            else "device_plan")
+                        return fused
+
         # 1. FROM
         if sel.from_ is not None:
             scope = Scope(self._execute_from(sel.from_))

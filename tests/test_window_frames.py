@@ -217,6 +217,78 @@ def test_device_window_int_sum_overflow_falls_back(monkeypatch):
         assert s == run, (i, s, run)
 
 
+def test_windowed_subquery_fuses_on_device(monkeypatch):
+    """Round 5 (VERDICT r4 item 7): aggregate-over-window subqueries
+    flatten into the fused device plan — the window computes on device
+    (one sort + segmented double-single scans) and only the group table
+    returns. Results match the host path's f64 windows."""
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    c = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    c.execute(f"create table wt as select x % 8 as p, x % 5 as g, "
+              f"(x * 2654435761) % 9973 as k, "
+              f"((x * 13) % 97)::float - 48.0 as v from range({n}) r(x)")
+    qs = [
+        ("select g, avg(w) a, max(w) m from (select g, sum(v) over "
+         "(partition by p order by k) as w from wt) sub "
+         "group by g order by g"),
+        ("select g, avg(r) s from (select g, rank() over (partition by p "
+         "order by k) as r from wt) sub group by g order by g"),
+        ("select count(*), avg(w) from (select min(v) over (partition by "
+         "p order by k) as w, v from wt) sub where w < -20.0"),
+        ("select g, avg(w) from (select g, avg(v) over (partition by p "
+         "order by k rows between unbounded preceding and current row) "
+         "as w from wt) sub group by g order by g"),
+        ("select g, sum(w) from (select g, max(v) over (partition by p) "
+         "as w from wt) sub group by g order by g"),
+    ]
+    import infera_tpu.sql.device_plan as dp
+
+    host = Connection()
+    host.catalog = c.catalog
+    for q in qs:
+        rows = c.execute(q).rows
+        assert c._exec_path == "device_plan", q
+        with monkeypatch.context() as m:
+            m.setattr(dp, "try_execute_on_device", lambda *a, **k: None)
+            hrows = host.execute(q).rows
+        assert host._exec_path == "host"
+        assert len(rows) == len(hrows), q
+        for a, b in zip(rows, hrows):
+            for x, y in zip(a, b):
+                if isinstance(y, float):
+                    assert x == pytest.approx(y, rel=1e-6, abs=1e-6), (q, x, y)
+                else:
+                    assert x == y, (q, x, y)
+
+
+def test_windowed_subquery_ineligible_stays_host(monkeypatch):
+    """Unsupported frames / bare windowed outputs keep the host path with
+    identical answers."""
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    c = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    c.execute(f"create table wh as select x % 4 as p, x as k, "
+              f"(x % 50)::float as v from range({n}) r(x)")
+    # sliding frame → host
+    c.execute("select avg(w) from (select sum(v) over (partition by p "
+              "order by k rows between 2 preceding and current row) as w "
+              "from wh) sub")
+    assert c._exec_path == "host"
+    # bare window output column (no aggregate consumer) → host
+    c.execute("select w from (select sum(v) over (order by k) as w "
+              "from wh) sub limit 5")
+    assert c._exec_path == "host"
+    # SUM over a ranking window must keep the host's BIGINT typing
+    rows = c.execute("select sum(r) from (select rank() over (order by k) "
+                     "as r from wh) sub").rows
+    assert c._exec_path == "host"
+    n2 = c.catalog.get("wh").num_rows
+    assert rows[0][0] == n2 * (n2 + 1) // 2
+
+
 def test_device_window_route_matches_host(monkeypatch):
     """INFERA_WINDOW_DEVICE=1 routes ranking/running aggregates through
     the accelerator; results must match the host-vectorized path."""
