@@ -433,7 +433,10 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
         elif name in ("argmn", "argmx"):
             finalize.append((name, _push_slot(name, fn[0], "all")))
         elif name == "hll":
-            if n_groups * 2048 > (1 << 21):
+            # registers pack 4-per-int32 (6-bit values), so the exchange
+            # volume bound admits 4x the groups (round 5, VERDICT r4
+            # item 8 — register-bound relief)
+            if n_groups * 512 > (1 << 21):
                 return None  # exchange-volume bound for the register table
             finalize.append(("hll", _push_slot("hllreg", fn, "all")))
         elif name in ("isum", "iavg"):
@@ -620,7 +623,12 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                 regs = jnp.maximum(jax.ops.segment_max(
                     jnp.where(mask_i, rho, 0), segk,
                     num_segments=G * 2048), 0)
-                arrs = [regs.reshape(G, 2048)]
+                # pack 4 registers (<= 54 < 2^8) per int32 word: the
+                # exchange moves [G, 512] instead of [G, 2048]
+                r4 = regs.reshape(G, 512, 4)
+                packed = (r4[..., 0] | (r4[..., 1] << 8)
+                          | (r4[..., 2] << 16) | (r4[..., 3] << 24))
+                arrs = [packed]
             elif kind == "ilimb":
                 lo, hi = cols[payload + "#lo"], cols[payload + "#hi"]
                 limbs, est = device_limb_sums(
@@ -790,10 +798,17 @@ def execute_fused_on_mesh(conn, mesh, *, n, plan_key, sharded_columns,
                     num_segments=GS)
                 merged[si] = (m_k[:G], m_r[:G])
             elif kind == "hllreg":
+                # unpack the 4-per-int32 register words, bytewise max-merge
+                # across source devices, re-expand to [G, 2048]
                 live2 = live[:, None]
-                merged[si] = (jnp.maximum(jax.ops.segment_max(
-                    jnp.where(live2, rs[0], 0), mkeys,
-                    num_segments=GS)[:G], 0),)
+                byte_maxes = []
+                for bj in range(4):
+                    b = (rs[0] >> jnp.int32(8 * bj)) & jnp.int32(0xFF)
+                    byte_maxes.append(jnp.maximum(jax.ops.segment_max(
+                        jnp.where(live2, b, 0), mkeys,
+                        num_segments=GS)[:G], 0))
+                regs = jnp.stack(byte_maxes, axis=-1).reshape(G, 2048)
+                merged[si] = (regs,)
             elif kind == "qsel":
                 # identical global values on every source device: the
                 # owner's merge is a live-masked max passthrough
