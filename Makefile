@@ -9,7 +9,7 @@ CXXFLAGS ?= -O3 -march=native -std=c++17 -shared -fPIC -pthread
 NATIVE_SRC := infera_tpu/runtime/src/infera_host.cpp
 NATIVE_LIB := infera_tpu/runtime/_build/libinfera_host.so
 
-.PHONY: all native test test-fast bench clean lint
+.PHONY: all native test test-fast bench clean lint gate
 
 all: native
 
@@ -27,6 +27,9 @@ test-fast: native
 
 bench: native
 	$(PY) bench.py
+
+gate:
+	JAX_PLATFORMS=cpu $(PY) tools/static_gate.py
 
 clean:
 	rm -rf infera_tpu/runtime/_build

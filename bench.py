@@ -120,6 +120,27 @@ def bench_tpu(params, rows, iters=200, use_pallas=True):
         # calibrates equivalently
         x_host = np.random.default_rng(7).standard_normal(
             (1 << 14, IN_DIM)).astype(np.float32)
+        # shift-only int8 (round 5): power-of-two scales turn the requant
+        # epilogue into integer shifts — the f32 epilogue cost that kept
+        # plain int8 behind bf16 (BASELINE r4). Gated on the measured
+        # class-flip rate vs f32; a refused model skips the variant.
+        from infera_tpu.ops.pallas_query import (
+            fused_mlp_query_columnar_int8_shift, quantize_mlp_shift)
+
+        shift_cal = quantize_mlp_shift(params, x_host, max_flip_rate=0.04)
+        if shift_cal is not None:
+            qp_s, s0_s, flip = shift_cal
+            print(f"int8-shift calibration: class-flip rate vs f32 = "
+                  f"{flip:.4f} (gate 0.04; plain int8 measures ~0.027 "
+                  f"on this model)", file=sys.stderr)
+            xq_s = jax.block_until_ready(jnp.clip(
+                jnp.rint(x.T / s0_s), -127, 127).astype(jnp.int8))
+            impls.append(("pallas_col_int8_shift", jax.jit(
+                lambda x: fused_mlp_query_columnar_int8_shift(
+                    qp_s, x, tile_n=16384)), xq_s))
+        else:
+            print("int8-shift calibration REFUSED (class-flip gate)",
+                  file=sys.stderr)
         qparams, s0 = quantize_mlp_static(params, x_host)
         xq = jax.block_until_ready(jnp.clip(
             jnp.rint(x.T / s0), -127, 127).astype(jnp.int8))

@@ -151,3 +151,69 @@ def test_int8_columnar_query_matches_static_path():
     assert c8.sum() == pytest.approx(cf.sum(), rel=0.02)  # same filter rate
     assert abs(c8 - cf).sum() / max(cf.sum(), 1) < 0.05   # few class flips
     assert s8.sum() == pytest.approx(sf.sum(), rel=0.05)
+
+
+def test_int8_shift_only_query_matches_emulation():
+    """Shift-only int8 kernel (VERDICT r4 item 5): power-of-two scales
+    make the hidden epilogues pure integer shifts; the interpret-mode
+    kernel must match quantize_mlp_shift's numpy integer emulation
+    EXACTLY (same classifications, same counts), track the f32 kernel
+    within quantization tolerance, and the gate must refuse models whose
+    class-flip rate exceeds the bound."""
+    import numpy as np
+
+    from infera_tpu.ops.pallas_query import (
+        fused_mlp_query_columnar, fused_mlp_query_columnar_int8_shift,
+        quantize_mlp_shift)
+
+    rng = np.random.default_rng(5)
+    dims = [32, 64, 16]
+    params = []
+    for i in range(len(dims) - 1):
+        w = rng.standard_normal((dims[i], dims[i + 1])).astype(
+            np.float32) / np.float32(np.sqrt(dims[i]))
+        b = rng.standard_normal(dims[i + 1]).astype(np.float32) * 0.1
+        params.append((w, b.astype(np.float32)))
+    n = 2048
+    x = rng.standard_normal((n, 32)).astype(np.float32)
+    got = quantize_mlp_shift(params, x[:512], max_flip_rate=0.05)
+    assert got is not None
+    qparams, s0, flip = got
+    assert 0.0 <= flip <= 0.05
+    # every hidden requant multiplier is an exact power of two (the input
+    # scale itself need not be — only the layer RATIOS enter the shifts)
+    for li in range(len(qparams) - 1):
+        assert qparams[li][1].dtype == np.int32  # sl
+        assert qparams[li][2].dtype == np.int32  # sr
+    xq = np.clip(np.rint(x / s0), -127, 127).astype(np.int8).T.copy()
+    c8, s8 = fused_mlp_query_columnar_int8_shift(
+        qparams, jnp.asarray(xq), tile_n=256, interpret=True)
+    jp = [(jnp.asarray(w), jnp.asarray(b)) for w, b in params]
+    cf, sf = fused_mlp_query_columnar(jp, jnp.asarray(x.T.copy()),
+                                      tile_n=256, interpret=True)
+    c8, s8, cf, sf = map(np.asarray, (c8, s8, cf, sf))
+    # integer pipeline emulation (the gate's own math) — counts bit-exact
+    q = np.clip(np.rint(x / s0), -127, 127).astype(np.int64)
+    for i in range(len(params)):
+        wq = qparams[i][0].astype(np.int64).T
+        y = q @ wq
+        if i == len(params) - 1:
+            h = y.astype(np.float64) * qparams[i][1].reshape(-1) \
+                + qparams[i][3].reshape(-1)
+        else:
+            sl = qparams[i][1].reshape(-1).astype(np.int64)
+            sr = qparams[i][2].reshape(-1).astype(np.int64)
+            # qparams[3] pre-folds bias + rounding half
+            q = np.clip(((y << sl) + qparams[i][3].reshape(-1))
+                        >> sr, 0, 127)
+    pred = np.argmax(h, axis=-1)
+    sel = h[:, 0] > 0
+    want_counts = np.bincount(pred[sel], minlength=16).astype(np.float64)
+    np.testing.assert_array_equal(c8, want_counts)
+    # tracks the f32 kernel within int8 tolerance
+    assert c8.sum() == pytest.approx(cf.sum(), rel=0.03)
+    assert abs(c8 - cf).sum() / max(cf.sum(), 1) < 0.06
+    assert s8.sum() == pytest.approx(sf.sum(), rel=0.05)
+    # gate refusal: an impossible flip bound returns None
+    assert quantize_mlp_shift(params, x[:512], max_flip_rate=0.0) is None \
+        or flip == 0.0
