@@ -221,7 +221,22 @@ class _Lowerer:
         col = self.table.columns.get(key)
         if col is None:
             for k in self.table.columns:
-                if k.split(".")[-1].lower() == name.lower():
+                parts = k.split(".")
+                if qualifier is not None:
+                    # EXACT qualified match only (case-insensitive): a
+                    # bare-name fallback here captured OTHER tables'
+                    # qualified refs — a correlated subquery's `o.k`
+                    # silently bound to the inner `i.k`, turning the
+                    # correlation predicate into a tautology and the
+                    # whole subquery into its global aggregate (round-5
+                    # fix, found extending decorrelation)
+                    if len(parts) >= 2 \
+                            and parts[0].lower() == qualifier.lower() \
+                            and parts[-1].lower() == name.lower():
+                        col = self.table.columns[k]
+                        key = k
+                        break
+                elif parts[-1].lower() == name.lower():
                     col = self.table.columns[k]
                     key = k
                     break

@@ -4,11 +4,11 @@ Runs the streaming fused-aggregate plan (sql/streaming_plan.py) over an
 out-of-core 1e9-row columnar table on ONE chip, asserting the fixed-HBM
 discipline (chunked memmap scan, int64 limb exactness, f64 combine) holds
 at BASELINE.json config 5's scale axis. The table is generated once by the
-companion generator (deterministic formulas: g = x %% 16, v = 3e12 + 7x,
+companion generator (deterministic formulas: g = x %% 16, v = 3e10 + 7x,
 f = (x %% 1000) / 8) so every aggregate asserts in closed form:
 
     count(g)  = N / 16                       (exact)
-    sum(v)    = 3e12*N + 7 * sum(x over g)   (exact int64 limb sums,
+    sum(v)    = 3e10*cnt + 7 * sum(x over g) (exact int64 limb sums,
                                               ~2^61 — far past f64's 2^53)
     sum(f)    per group in closed form        (f64-combined)
 
@@ -47,7 +47,7 @@ def main(path: str = "/root/bench_data/billion") -> dict:
         assert c == cnt, (g, c, cnt)
         # sum of x over the group: arithmetic series
         sx = cnt * g + 16 * (cnt * (cnt - 1) // 2)
-        want_v = 3_000_000_000_000 * cnt + 7 * sx
+        want_v = 30_000_000_000 * cnt + 7 * sx
         assert sv == want_v, (g, sv, want_v)  # exact past 2^53
         # f = (x % 1000)/8 with x = g + 16k: x % 1000 cycles with period
         # lcm(16,1000)/16 = 125 over k — fold the cycle in closed form

@@ -99,3 +99,64 @@ def test_correlated_case_memoization_uses_all_refs():
     rows = c.execute(
         "select (select case when o.a > 0 then o.b else o.c end) from o").rows
     assert [r[0] for r in rows] == [10, 7, 10]
+
+
+def test_correlated_ref_never_binds_inner_on_device_plan():
+    """Round-5 fix: the device plan's bare-name column fallback captured
+    OTHER tables' qualified refs — `o.k` inside a correlated subquery
+    bound to the inner `i.k`, turning the correlation into a tautology
+    and the subquery into its GLOBAL aggregate (silently wrong counts on
+    any device-eligible inner table)."""
+    import numpy as np
+
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    c = Connection()
+    n = MIN_DEVICE_ROWS * 4
+    c.execute(f"create table oc as select x % 300 as k, "
+              f"((x % 300) * 100 + (x % 50) - 25)::float as v "
+              f"from range({n}) r(x)")
+    c.execute(f"create table ic as select x % 300 as k, "
+              f"((x % 300) * 100)::float + (x % 9) as w from range({n}) r(x)")
+    rows = c.execute(
+        "select count(*) from oc where v > "
+        "(select avg(w) from ic i where i.k = oc.k)").rows
+    x = np.arange(n)
+    k = x % 300
+    v = (k * 100 + (x % 50) - 25).astype(np.float64)
+    w = (k * 100).astype(np.float64) + (x % 9)
+    avg = np.zeros(300)
+    np.add.at(avg, k, w)
+    avg /= np.bincount(k, minlength=300)
+    assert rows[0][0] == int((v > avg[k]).sum())
+
+
+def test_grouped_decorrelation_matches_nested_loop(monkeypatch):
+    """Round 5: equality-correlated aggregate subqueries execute ONCE as
+    a grouped select; results (incl. empty groups → aggregate-over-empty
+    and NULL keys → no match) must equal the nested-loop semantics."""
+    import infera_tpu.sql.executor as E
+
+    c = Connection()
+    c.execute("create table o2 as select x % 40 as k, x as r, "
+              "(x % 13)::float as v from range(400) r(x)")
+    # inner covers only HALF the outer keys; some NULL keys too
+    c.execute("create table i2 as select case when x % 3 = 0 then NULL "
+              "else x % 20 end as k, (x % 7)::float as w "
+              "from range(300) r(x)")
+    qs = [
+        "select o2.r, (select sum(w) from i2 where i2.k = o2.k) s "
+        "from o2 order by o2.r limit 80",
+        "select o2.r, (select count(*) from i2 where i2.k = o2.k) c "
+        "from o2 order by o2.r limit 80",
+        "select count(*) from o2 where exists "
+        "(select max(w) from i2 where i2.k = o2.k and i2.w > 5.0)",
+        "select o2.r, (select avg(w) from i2 where i2.k = o2.k "
+        "and i2.w < 4.0) a from o2 order by o2.r limit 60",
+    ]
+    got = [c.execute(q).rows for q in qs]
+    with monkeypatch.context() as m:
+        m.setattr(E.Connection, "_try_decorrelate_grouped",
+                  lambda self, q, s, col: None)
+        want = [c.execute(q).rows for q in qs]
+    assert got == want
