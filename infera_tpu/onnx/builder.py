@@ -167,6 +167,84 @@ def gbt_regressor_model(
     return Model(graph=g, opset_imports=[("", 13), ("ai.onnx.ml", 3)])
 
 
+def gbt_classifier_model(
+    n_features: int = 8,
+    n_trees: int = 8,
+    depth: int = 4,
+    n_classes: int = 3,
+    labels: list | None = None,
+    seed: int = 0,
+) -> Model:
+    """A gradient-boosted-trees CLASSIFIER (ai.onnx.ml
+    TreeEnsembleClassifier) with complete heap-layout trees — the config-4
+    companion to gbt_regressor_model. ``labels`` default to
+    [10, 20, 30, ...] so the label-mapping path (not just argmax index)
+    is exercised."""
+    rng = np.random.default_rng(seed)
+    n_internal = (1 << depth) - 1
+    n_nodes = (1 << (depth + 1)) - 1
+    labels = labels if labels is not None else \
+        [10 * (i + 1) for i in range(n_classes)]
+
+    nodes_treeids, nodes_nodeids, nodes_featureids = [], [], []
+    nodes_modes, nodes_values = [], []
+    nodes_true, nodes_false = [], []
+    c_treeids, c_nodeids, c_ids, c_weights = [], [], [], []
+
+    for t in range(n_trees):
+        for nd in range(n_nodes):
+            nodes_treeids.append(t)
+            nodes_nodeids.append(nd)
+            if nd < n_internal:
+                nodes_featureids.append(int(rng.integers(0, n_features)))
+                nodes_modes.append("BRANCH_LEQ")
+                nodes_values.append(float(rng.standard_normal()))
+                nodes_true.append(2 * nd + 1)
+                nodes_false.append(2 * nd + 2)
+            else:
+                nodes_featureids.append(0)
+                nodes_modes.append("LEAF")
+                nodes_values.append(0.0)
+                nodes_true.append(0)
+                nodes_false.append(0)
+                for cid in range(n_classes):
+                    c_treeids.append(t)
+                    c_nodeids.append(nd)
+                    c_ids.append(cid)
+                    c_weights.append(float(rng.standard_normal()) * 0.1)
+
+    attrs = {
+        "classlabels_int64s": Attribute.make("classlabels_int64s", labels),
+        "nodes_treeids": Attribute.make("nodes_treeids", nodes_treeids),
+        "nodes_nodeids": Attribute.make("nodes_nodeids", nodes_nodeids),
+        "nodes_featureids": Attribute.make("nodes_featureids",
+                                           nodes_featureids),
+        "nodes_modes": Attribute.make("nodes_modes", nodes_modes),
+        "nodes_values": Attribute.make("nodes_values", nodes_values),
+        "nodes_truenodeids": Attribute.make("nodes_truenodeids", nodes_true),
+        "nodes_falsenodeids": Attribute.make("nodes_falsenodeids",
+                                             nodes_false),
+        "class_treeids": Attribute.make("class_treeids", c_treeids),
+        "class_nodeids": Attribute.make("class_nodeids", c_nodeids),
+        "class_ids": Attribute.make("class_ids", c_ids),
+        "class_weights": Attribute.make("class_weights", c_weights),
+        "post_transform": Attribute.make("post_transform", "SOFTMAX"),
+    }
+    g = Graph(
+        name="GbtClassifier",
+        nodes=[Node(op_type="TreeEnsembleClassifier", domain="ai.onnx.ml",
+                    inputs=["X"], outputs=["label", "scores"],
+                    attributes=attrs)],
+        inputs=[ValueInfo(name="X", elem_type=DataType.FLOAT,
+                          shape=[-1, n_features])],
+        outputs=[ValueInfo(name="label", elem_type=DataType.INT64,
+                           shape=[-1]),
+                 ValueInfo(name="scores", elem_type=DataType.FLOAT,
+                           shape=[-1, n_classes])],
+    )
+    return Model(graph=g, opset_imports=[("", 13), ("ai.onnx.ml", 3)])
+
+
 def mobilenet_like_model(seed: int = 0, n_classes: int = 1000) -> Model:
     """MobileNetV3-Small topology at the REAL input shape (round-3 depth).
 

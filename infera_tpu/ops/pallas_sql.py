@@ -254,7 +254,9 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                 jnp.max(badv.reshape(1, tile // 128, 128), axis=1))
             ohd = (onehot & okv).astype(jnp.float32)      # [G, tile]
             vb = jnp.broadcast_to(vt, (128, tile))
-            lane = jax.lax.broadcasted_iota(jnp.float32, (128, tile), 0)
+            # tpu.iota is integer-only — build int32 then widen
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (128, tile), 0).astype(jnp.float32)
             for b in range(bank_list[di]):
                 ohv = jnp.where(vb == lane + jnp.float32(b * 128),
                                 jnp.float32(1.0), jnp.float32(0.0))

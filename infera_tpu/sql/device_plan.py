@@ -97,6 +97,10 @@ def _contains_int_window(e) -> bool:
 
 BLOCK_PAD = 4096  # LCM of the pallas tile sizes (2048/4096)
 
+# {(source array ids, n_pad): (pinned arrays, device block)} — global so
+# every Connection over the same catalog shares one upload
+_TABLE_BLOCK_CACHE: dict = {}
+
 
 def _block_eligible(col) -> bool:
     d = col.data
@@ -140,10 +144,10 @@ def get_table_block(conn, table):
         pin[i] = table.columns[k].data
     n_pad = -(-max(n, 1) // BLOCK_PAD) * BLOCK_PAD
     bkey = (tuple(id(a) for a in arrs), n_pad)
-    cache = getattr(conn, "_table_block_cache", None)
-    if cache is None:
-        cache = {}
-        conn._table_block_cache = cache
+    # process-global cache: connections sharing a catalog share the
+    # device-resident block (a per-connection cache re-uploaded 111 ms of
+    # identical data on the round-5 TPU session)
+    cache = _TABLE_BLOCK_CACHE
     ent = cache.get(bkey)
     if ent is None:
         import jax.numpy as jnp
@@ -612,8 +616,9 @@ class _PallasLowerer(_Lowerer):
         from ..onnx.fusion import detect_tree
 
         tree = detect_tree(model.graph)
-        if tree is not None and not tree[1]:
-            return self._lower_tree(expr, model, tree[0], out_col)
+        if tree is not None:
+            return self._lower_tree(expr, model, tree[0], out_col,
+                                    is_classifier=tree[1])
         raise _Unsupported("pallas plan needs an MLP or tree-forest model")
 
     def _lower_mlp(self, expr, model, plan, out_col, *, bf16=False):
@@ -667,17 +672,37 @@ class _PallasLowerer(_Lowerer):
 
         return run
 
-    def _lower_tree(self, expr, model, node, out_col):
+    def _lower_tree(self, expr, model, node, out_col, is_classifier=False):
         """In-kernel GEMM forest (VERDICT r4 item 1): the strip-packed
         tables from _PackedTrees.pallas_forest evaluate the whole ensemble
         as per-chunk [128,128]-class matmuls — the tree-query class
         (BASELINE config 4) joins the device_plan_pallas tier instead of
-        riding the scatter-prone XLA aggregate tail. Regressors only
-        (classifier argmax/label mapping stays on XLA)."""
+        riding the scatter-prone XLA aggregate tail. Round 5: classifiers
+        too — per-class base values add in-kernel, monotone post
+        transforms skip (argmax-invariant), and the label resolves via a
+        first-tie argmax + one-hot label map, matching jnp.argmax."""
         import jax
         import jax.numpy as jnp
 
-        from ..onnx import ml_ops as ML
+        if is_classifier:
+            labels_int = node.attr("classlabels_int64s")
+            labels_str = node.attr("classlabels_strings")
+            n_cls = len(labels_int or labels_str or [])
+            if n_cls == 0:
+                raise _Unsupported("classifier without class labels")
+            post = node.attr("post_transform", "NONE")
+            if isinstance(post, bytes):
+                post = post.decode()
+            # argmax-invariant transforms only (SOFTMAX_ZERO is not)
+            if post not in (None, "NONE", "SOFTMAX", "LOGISTIC", "PROBIT"):
+                raise _Unsupported(f"post_transform {post}")
+            if labels_int is not None and any(
+                    abs(int(v)) > (1 << 24) for v in labels_int):
+                raise _Unsupported("class label beyond f32 exactness")
+            return self._lower_tree_tables(
+                expr, model, node, out_col, n_out_attr=n_cls,
+                weights_key="class", classifier=(labels_int, n_cls),
+                post="NONE", agg="SUM")
 
         n_targets = int(node.attr("n_targets", 1))
         agg = node.attr("aggregate_function", "SUM")
@@ -690,16 +715,32 @@ class _PallasLowerer(_Lowerer):
             post = post.decode()
         if post not in (None, "NONE", "LOGISTIC"):
             raise _Unsupported(f"post_transform {post}")
+        return self._lower_tree_tables(
+            expr, model, node, out_col, n_out_attr=n_targets,
+            weights_key="target", classifier=None, post=post, agg=agg)
+
+    def _lower_tree_tables(self, expr, model, node, out_col, *, n_out_attr,
+                           weights_key, classifier, post, agg):
+        import jax
+        import jax.numpy as jnp
+
+        from ..onnx import ml_ops as ML
+
         ishape = model.input_shape
         d_in = ishape[1] if len(ishape) > 1 and ishape[1] > 0 else None
         if d_in is None:
             d_in = len(expr.args) - 1
-        packed = ML._cached_pack(node, n_targets, "target")
+        packed = ML._cached_pack(node, n_out_attr, weights_key)
         tables = packed.pallas_forest(d_in)
         if tables is None:
             raise _Unsupported("forest exceeds the strip-packing limits")
         n_out = tables["n_out"]
-        oc = self._pick_out_col(out_col, n_out)
+        if classifier is not None:
+            labels_int, n_cls = classifier
+            # the classifier's OUTPUT is one label column
+            oc = self._pick_out_col(out_col, 1)
+        else:
+            oc = self._pick_out_col(out_col, n_out)
         feature_fns = [self.lower(a) for a in expr.args[1:]]
         if len(feature_fns) != d_in:
             raise _Unsupported("feature count mismatch (host path reports it)")
@@ -708,11 +749,17 @@ class _PallasLowerer(_Lowerer):
         strip = tables["strip"]
         strict = tables["strict"]
         bvals = node.attr("base_values")
-        # bias/scale must NOT be captured arrays (pallas kernels reject
-        # closure constants): AVERAGE folds into the weight table, the
-        # per-output base value applies as a Python scalar after slicing
+        # AVERAGE folds into the weight table; scalar per-output bias
+        # applies post-slice, per-class biases ride a weight-array row
+        # (pallas kernels reject captured closure arrays)
         wT = tables["wT"]
-        bias_oc = float(bvals[oc]) if bvals else 0.0
+        bias_oc = 0.0
+        bias_arr = None
+        if bvals:
+            if classifier is not None:
+                bias_arr = np.asarray(bvals, np.float32).reshape(-1, 1)
+            else:
+                bias_oc = float(bvals[oc])
         if agg == "AVERAGE":
             # XLA path divides AFTER the base add (ml_ops._tree_regressor)
             wT = wT * np.float32(1.0 / packed.n_trees)
@@ -720,6 +767,17 @@ class _PallasLowerer(_Lowerer):
         base = len(self.weight_arrays)
         self.weight_arrays.extend(
             [tables["sel"], tables["th"], tables["C"], tables["D"], wT])
+        extra = len(self.weight_arrays)
+        if bias_arr is not None:
+            self.weight_arrays.append(bias_arr)
+        lab_idx = None
+        if classifier is not None and labels_int is not None:
+            larr = np.asarray(labels_int, np.float32).reshape(-1, 1)
+            if not np.array_equal(larr.reshape(-1),
+                                  np.arange(len(larr), dtype=np.float32)):
+                lab_idx = len(self.weight_arrays)
+                self.weight_arrays.append(larr)
+        bias_idx = extra if bias_arr is not None else None
         hi = jax.lax.Precision.HIGHEST
         lo = jax.lax.Precision.DEFAULT
 
@@ -752,12 +810,32 @@ class _PallasLowerer(_Lowerer):
                     Wc, hit, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=hi)
                 acc = contrib if acc is None else acc + contrib
-            y = acc[oc:oc + 1, :]
-            if bias_oc:
-                y = y + jnp.float32(bias_oc)
-            if post == "LOGISTIC":
-                y = jax.nn.sigmoid(y)
-            return y
+            if classifier is None:
+                y = acc[oc:oc + 1, :]
+                if bias_oc:
+                    y = y + jnp.float32(bias_oc)
+                if post == "LOGISTIC":
+                    y = jax.nn.sigmoid(y)
+                return y
+            # classifier tail: base add → (binary expand) → argmax with
+            # FIRST-index tie-break (jnp.argmax parity) → label map
+            scores = acc
+            if bias_idx is not None:
+                scores = scores + wr[bias_idx]
+            if n_cls == 2 and scores.shape[0] == 1:
+                scores = jnp.concatenate([-scores, scores], axis=0)
+            m = jnp.max(scores, axis=0, keepdims=True)
+            # tpu.iota is integer-only — build int32 then widen
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 0).astype(jnp.float32)
+            idx = jnp.min(jnp.where(scores == m, iota,
+                                    jnp.float32(1 << 20)),
+                          axis=0, keepdims=True)
+            if lab_idx is None:
+                return idx  # labels are 0..n-1 (or string → index)
+            onehot = jnp.where(iota == idx, jnp.float32(1.0),
+                               jnp.float32(0.0))
+            return jnp.sum(onehot * wr[lab_idx], axis=0, keepdims=True)
 
         return run
 

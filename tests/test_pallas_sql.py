@@ -133,6 +133,28 @@ def test_pallas_gbt_where_filter_on_prediction(pconn, tmp_path, monkeypatch):
     _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-5)
 
 
+def test_pallas_gbt_classifier_in_kernel(pconn, tmp_path, monkeypatch):
+    """Round 5: tree CLASSIFIERS lower in-kernel too — per-class base,
+    first-tie argmax, and the int label map — matching the XLA/host
+    executor's labels exactly."""
+    conn, n = pconn
+    from infera_tpu.onnx.builder import gbt_classifier_model
+
+    p = tmp_path / "gbc.onnx"
+    p.write_bytes(gbt_classifier_model(
+        n_features=4, n_trees=8, depth=3, n_classes=3,
+        labels=[7, 19, 42], seed=3).serialize())
+    it.load_model("gbc", str(p))
+    q = ("select g, count(*) c, avg(infera_predict('gbc', f1, f2, f3, f4))"
+         " al, min(infera_predict('gbc', f1, f2, f3, f4)) ml from big "
+         "group by g order by g")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    _assert_rows_close(rows, _host_rows(conn, q, monkeypatch), rel=1e-6)
+    # labels appear verbatim (7/19/42 via the one-hot label map)
+    assert all(r[3] in (7.0, 19.0, 42.0) for r in rows)
+
+
 def test_pallas_bf16_mlp_in_kernel(pconn, tmp_path, monkeypatch):
     """bf16-precision MLPs lower in-kernel with _policy_dot's bf16
     semantics (bf16 operands, f32 accumulation) instead of forcing XLA."""
