@@ -416,14 +416,22 @@ def quantize_mlp_shift(params, x_sample, max_flip_rate=0.05):
             ).astype(np.int32)
             half = np.where(sr > 0, 1 << np.maximum(sr - 1, 0),
                             0).astype(np.int32)
+            bconst = (bias_pre.astype(np.int64)
+                      + half.astype(np.int64))
+            # SOUND int32 headroom guard (round-5 review fix): the
+            # epilogue computes (y << sl) + bconst in int32 — bound the
+            # whole expression for ANY input (|y| <= 127*127*din), and
+            # bconst itself must fit int32 (np.astype would wrap silently)
+            ymax = 127 * 127 * w.shape[0]
+            worst = (ymax << sl.astype(np.int64).reshape(-1)) \
+                + np.abs(bconst.reshape(-1))
+            if int(worst.max()) >= (1 << 31) or \
+                    int(np.abs(bconst).max()) >= (1 << 31):
+                return None
             qparams.append((np.ascontiguousarray(wq.T),
                             sl.reshape(-1, 1), sr.reshape(-1, 1),
-                            (bias_pre + half).reshape(-1, 1)))
+                            bconst.astype(np.int32).reshape(-1, 1)))
             exps.append((sl, sr))
-            # int32 headroom: |y| <= 127*127*din, shifted left by sl
-            if int(sl.max()) > 0 and \
-                    127 * 127 * w.shape[0] * (1 << int(sl.max())) >= (1 << 31):
-                return None
 
     # exact numpy emulation of the kernel's integer pipeline
     s0 = np.float32(acts[0])

@@ -340,3 +340,26 @@ class Load(Statement):
 class SetStmt(Statement):
     name: str
     value: object
+
+
+def contains_node(e, pred) -> bool:
+    """True when ``pred`` holds for ``e`` or any descendant expression.
+    One shared dataclass walk (round-5 review: window_fusion and
+    device_plan each grew a private near-copy)."""
+    import dataclasses
+
+    if pred(e):
+        return True
+    if not dataclasses.is_dataclass(e):
+        return False
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, (Expr, Select)) and contains_node(v, pred):
+            return True
+        if isinstance(v, list):
+            for x in v:
+                if isinstance(x, (Expr, Select)) and contains_node(x, pred):
+                    return True
+                if isinstance(x, OrderItem) and contains_node(x.expr, pred):
+                    return True
+    return False

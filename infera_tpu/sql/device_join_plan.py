@@ -219,8 +219,12 @@ def _try_pallas_join(conn, sel, fact, fnames, dim, dnames, fkey_ref,
             m = val == "matched"
             if pname in ("sum", "avg", "mean"):
                 if m:
-                    sum_fns.append(
-                        lambda cols, f=arg_fn: f(cols) * matched_row(cols))
+                    # select, not multiply: unmatched rows gather dim row
+                    # 0 garbage and NaN*0 = NaN would poison the group
+                    # (round-5 review fix)
+                    sum_fns.append(lambda cols, f=arg_fn: jnp.where(
+                        cols_bool(matched_row(cols)), f(cols),
+                        jnp.float32(0.0)))
                     slot_map.append((pname, len(sum_fns) - 1, wm_idx()))
                 else:
                     sum_fns.append(arg_fn)

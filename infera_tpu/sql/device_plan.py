@@ -68,22 +68,9 @@ def _contains_int_window(e) -> bool:
     """True when the expression contains an integer-valued window
     (ranking / count) — their consuming SUM/MIN/MAX render BIGINT on the
     host, which the f32 fused carrier would demote to DOUBLE."""
-    import dataclasses
-
-    if isinstance(e, A.WindowFunc) and e.name.lower() in (
-            "row_number", "rank", "dense_rank", "ntile", "count"):
-        return True
-    if not dataclasses.is_dataclass(e):
-        return False
-    for f in dataclasses.fields(e):
-        v = getattr(e, f.name)
-        if isinstance(v, A.Expr) and _contains_int_window(v):
-            return True
-        if isinstance(v, list) and any(
-                isinstance(x, A.Expr) and _contains_int_window(x)
-                for x in v):
-            return True
-    return False
+    return A.contains_node(
+        e, lambda x: isinstance(x, A.WindowFunc) and x.name.lower() in (
+            "row_number", "rank", "dense_rank", "ntile", "count"))
 
 
 # --- shared device-resident table block (VERDICT r4 item 3b) --------------
@@ -388,8 +375,32 @@ class _Lowerer:
         part_fns = [self.lower(e) for e in wf.partition_by]
         ord_specs = [(self.lower(oi.expr), oi.ascending)
                      for oi in wf.order_by]
+        wf_key = repr(wf)
 
         def run(cols):
+            # one sort+scan per DISTINCT window expression per trace: the
+            # flattened query references the window output in several
+            # aggregate slots, each holding its own closure copy
+            # (round-5 review fix — the cache rides the per-trace cols
+            # dict, so retraces never see stale arrays)
+            wcache = cols.setdefault("__window_cache__", {})
+            if wf_key in wcache:
+                return wcache[wf_key]
+            out = self._run_window(cols, part_fns, ord_specs, arg_fn,
+                                   name, fkind)
+            wcache[wf_key] = out
+            return out
+
+        return run
+
+    @staticmethod
+    def _run_window(cols, part_fns, ord_specs, arg_fn, name, fkind):
+        import functools as _ft
+
+        import jax
+        import jax.numpy as jnp
+
+        if True:
             parts = [jnp.asarray(f(cols), jnp.float32) for f in part_fns]
             orders = []
             for f, asc in ord_specs:
@@ -467,8 +478,6 @@ class _Lowerer:
                     cntf = (hi_pos - pstart + 1).astype(jnp.float32)
                     out_s = run_sum / cntf
             return jnp.zeros(n, jnp.float32).at[r_s].set(out_s)
-
-        return run
 
     def _require_float_refs(self, e):
         refs: list = []
@@ -693,8 +702,11 @@ class _PallasLowerer(_Lowerer):
             post = node.attr("post_transform", "NONE")
             if isinstance(post, bytes):
                 post = post.decode()
-            # argmax-invariant transforms only (SOFTMAX_ZERO is not)
-            if post not in (None, "NONE", "SOFTMAX", "LOGISTIC", "PROBIT"):
+            # argmax-invariant transforms only (SOFTMAX_ZERO is not;
+            # PROBIT's erf_inv is NaN outside [0,1] and raw ensemble
+            # scores routinely leave that range — host argmax over NaN
+            # differs, so it stays on XLA — round-5 review fix)
+            if post not in (None, "NONE", "SOFTMAX", "LOGISTIC"):
                 raise _Unsupported(f"post_transform {post}")
             if labels_int is not None and any(
                     abs(int(v)) > (1 << 24) for v in labels_int):

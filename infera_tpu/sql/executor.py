@@ -422,6 +422,7 @@ class Connection:
         )
         device = False
         fused_join = False
+        window_fused = False
         if isinstance(sel.from_, A.BaseTable):
             from .device_plan import try_execute_on_device
 
@@ -433,6 +434,23 @@ class Connection:
                 )
             except SqlError:
                 pass
+        elif isinstance(sel.from_, A.SubqueryRef):
+            # windowed-subquery fusion (round 5): report the flattened
+            # plan's eligibility instead of "host/hybrid"
+            from .device_plan import try_execute_on_device
+            from .window_fusion import flatten_windowed_scan
+
+            flat = flatten_windowed_scan(sel)
+            if flat is not None and isinstance(flat.from_, A.BaseTable):
+                try:
+                    table = _qualify(
+                        self.catalog.get(flat.from_.name),
+                        flat.from_.alias or flat.from_.name)
+                    window_fused = bool(try_execute_on_device(
+                        self, flat, table, analyze_only=True))
+                    device = window_fused
+                except SqlError:
+                    pass
         elif isinstance(sel.from_, A.Join):
             from .device_join_plan import try_execute_join_on_device
             from .shuffle_join_plan import try_execute_shuffle_join
@@ -457,7 +475,9 @@ class Connection:
                 lines.append(
                     f"{pad}  GROUPING SETS [{len(gs)} sets → UNION ALL]")
             lines.append(f"{pad}  AGGREGATE [group keys: {keys}]"
-                         + (" ← fused device plan (single XLA program)"
+                         + (" ← fused device plan (window computed "
+                            "in-program)" if window_fused
+                            else " ← fused device plan (single XLA program)"
                             if device else " ← host/hybrid operators"))
         if sel.order_by:
             lines.append(f"{pad}  ORDER BY [{len(sel.order_by)} keys]")
@@ -1620,7 +1640,13 @@ def _row_codes(tables: list):
             elif kinds <= set("f"):
                 vals = np.concatenate(
                     [a.astype(np.float64) for a in arrs]) + 0.0
-                code = vals.view(np.int64)
+                code = vals.view(np.int64).copy()
+                # tuple-loop parity: NaN != NaN, so every NaN row gets a
+                # UNIQUE code (bitcast would collapse equal payloads —
+                # round-5 review fix)
+                nanm = np.isnan(vals)
+                if nanm.any():
+                    code[nanm] = -(1 << 62) - np.flatnonzero(nanm)
                 rng = None  # bitcast codes span int64
             elif kinds <= set("fiub"):
                 # mixed int/float: value equality via f64 — exact only
@@ -1632,7 +1658,10 @@ def _row_codes(tables: list):
                     return None
                 vals = np.concatenate(
                     [a.astype(np.float64) for a in arrs]) + 0.0
-                code = vals.view(np.int64)
+                code = vals.view(np.int64).copy()
+                nanm = np.isnan(vals)
+                if nanm.any():
+                    code[nanm] = -(1 << 62) - np.flatnonzero(nanm)
                 rng = None
             else:
                 vals = np.concatenate([a for a in arrs])

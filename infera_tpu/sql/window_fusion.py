@@ -29,18 +29,7 @@ from . import ast as A
 
 
 def _contains_window(e) -> bool:
-    if isinstance(e, A.WindowFunc):
-        return True
-    if not dataclasses.is_dataclass(e):
-        return False
-    for f in dataclasses.fields(e):
-        v = getattr(e, f.name)
-        if isinstance(v, A.Expr) and _contains_window(v):
-            return True
-        if isinstance(v, list) and any(
-                isinstance(x, A.Expr) and _contains_window(x) for x in v):
-            return True
-    return False
+    return A.contains_node(e, lambda x: isinstance(x, A.WindowFunc))
 
 
 def _rewrite(e, mapping: dict, sub_names: set, star: bool):
@@ -57,7 +46,11 @@ def _rewrite(e, mapping: dict, sub_names: set, star: bool):
                 raise KeyError(e.name)
             # passthrough base column: strip the subquery alias
             return A.ColumnRef(e.name, None)
-        return e
+        # a qualifier that is NOT the subquery alias cannot be valid
+        # through the subquery boundary — flattening would silently bind
+        # it against the base table while the host path raises the
+        # Binder Error (round-5 review fix: error parity)
+        raise KeyError(f"{e.table}.{e.name}")
     if not dataclasses.is_dataclass(e) or not isinstance(e, A.Expr):
         return e
     kwargs = {}

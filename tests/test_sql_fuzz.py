@@ -524,3 +524,19 @@ def test_differential_join_tiers_fuzz(monkeypatch):
                             (q, mode, x, y)
                     else:
                         assert x == y, (q, mode, x, y)
+
+
+def test_set_ops_nan_semantics_match_loop():
+    """Round-5 review fix: NaN != NaN in the tuple-loop set-op path, so
+    the vectorized row codes give every NaN row a unique code — DISTINCT
+    over NaNs must not collapse above the vectorization threshold."""
+    conn = Connection()
+    conn.execute("create table nb as select sqrt(-1.0) as v "
+                 "from range(4096) r(x)")
+    big = conn.execute("select count(*) from (select distinct v from nb) "
+                       "t").rows[0][0]
+    conn.execute("create table ns as select sqrt(-1.0) as v "
+                 "from range(100) r(x)")
+    small = conn.execute("select count(*) from (select distinct v from ns)"
+                         " t").rows[0][0]
+    assert big == 4096 and small == 100  # every NaN distinct, both paths

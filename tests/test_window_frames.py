@@ -329,3 +329,18 @@ def test_device_window_count_is_row_count(monkeypatch):
     monkeypatch.setenv("INFERA_WINDOW_DEVICE", "0")
     host = c.execute(q).rows
     assert [r[0] for r in dev] == [r[0] for r in host]
+
+
+def test_windowed_subquery_flattening_preserves_binder_errors():
+    """Round-5 review fix: a qualified ref that is invalid through the
+    subquery boundary must raise the Binder Error on the fused path too
+    (flattening previously re-bound it against the base table)."""
+    from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
+
+    c = Connection()
+    n = MIN_DEVICE_ROWS * 2
+    c.execute(f"create table wq as select x % 4 as p, x as k, "
+              f"(x % 9)::float as v from range({n}) r(x)")
+    with pytest.raises(SqlError, match="Referenced column"):
+        c.execute("select avg(wq.v) from (select sum(v) over "
+                  "(partition by p order by k) as w from wq) sub")
