@@ -469,9 +469,9 @@ def test_differential_predict_tiers_fuzz(monkeypatch, tmp_path,
 
 
 def test_differential_join_tiers_fuzz(monkeypatch):
-    """Differential fuzz over the JOIN tiers: random fact→dim INNER join
-    aggregates agree across the host join, the XLA join plan, and the
-    pallas join plan."""
+    """Differential fuzz over the JOIN tiers: random fact→dim INNER and
+    LEFT join aggregates agree across the host join, the XLA join plan,
+    and the pallas join plan (round 5 added outer joins to the kernel)."""
     import os
 
     from infera_tpu.sql.device_plan import MIN_DEVICE_ROWS
@@ -487,19 +487,27 @@ def test_differential_join_tiers_fuzz(monkeypatch):
     host.catalog = conn.catalog
     agg_pool = ["count(*)", "sum(v)", "sum(w)", "sum(v * w)", "avg(w)",
                 "min(v)", "max(w)"]
+    # LEFT joins: dim-side group keys would be NULL on unmatched rows
+    # (host-only), so outer trials group by the FACT side
+    left_aggs = ["count(*)", "count(w)", "sum(v)", "sum(w)", "avg(w)",
+                 "min(w)", "max(w)"]
     wheres = ["", " where v > 2.0", " where v + 1.0 < 9.0"]
 
     import infera_tpu.sql.device_join_plan as djp
 
     orig = djp.try_execute_join_on_device
-    for trial in range(12):
+    for trial in range(20):
+        outer = trial >= 12
+        pool = left_aggs if outer else agg_pool
         k = int(rng.integers(1, 4))
-        aggs = list(rng.choice(agg_pool, size=k, replace=False))
+        aggs = list(rng.choice(pool, size=k, replace=False))
         grouped = bool(rng.integers(0, 2))
-        sel = ", ".join((["cat"] if grouped else []) + aggs)
-        q = (f"select {sel} from jf join jd on jf.k = jd.k"
+        gkey = "g" if outer else "cat"
+        sel = ", ".join(([gkey] if grouped else []) + aggs)
+        kind = "left join" if outer else "join"
+        q = (f"select {sel} from jf {kind} jd on jf.k = jd.k"
              f"{rng.choice(wheres)}"
-             + (" group by cat order by cat" if grouped else ""))
+             + (f" group by {gkey} order by {gkey}" if grouped else ""))
         outs = {}
         for mode in ("auto", "1", "host"):
             if mode == "host":
