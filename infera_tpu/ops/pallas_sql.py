@@ -66,7 +66,8 @@ def _kernel(body, n_weights, n_outs, x_ref, *refs):
 
 def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                           n_groups, sum_fns, min_fns, max_fns, n_valid,
-                          n_pad, tile, interpret, dist_fns=()):
+                          n_pad, tile, interpret, dist_fns=(),
+                          arg_specs=()):
     """Build the jitted pallas_call for one fused plan.
 
     Closures (where_fn/key_fns/sum_fns/min_fns/max_fns) take a dict mapping
@@ -100,6 +101,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
     G = int(n_groups)
     S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
     D = len(dist_fns)
+    AG = len(arg_specs)
     bank_list = [(int(v) + 127) // 128 for _fn, v in dist_fns]
     banks_total = sum(bank_list)
     n_cols = len(col_keys)
@@ -108,6 +110,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
     rows_max = max((X + K) * G, 8)
     rows_flag = K + 1 + D
     rows_pres = max(banks_total * G, 8)
+    rows_arg = max(AG * G, 8)
 
     def _row(v, zeros):
         v = jnp.asarray(v, jnp.float32)
@@ -116,7 +119,8 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
         return v
 
     def body(x_ref, w_vals, out_refs):
-        sum_ref, comp_ref, min_ref, max_ref, flag_ref, pres_ref = out_refs
+        (sum_ref, comp_ref, min_ref, max_ref, flag_ref, pres_ref,
+         args_ref, argr_ref) = out_refs
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -126,6 +130,13 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
             max_ref[:] = jnp.full_like(max_ref, -_BIG)
             flag_ref[:] = jnp.zeros_like(flag_ref)
             pres_ref[:] = jnp.zeros_like(pres_ref)
+            for ai_, (_f, is_min_) in enumerate(arg_specs):
+                args_ref[ai_ * G:(ai_ + 1) * G, :] = jnp.full(
+                    (G, 128), _BIG if is_min_ else -_BIG, jnp.float32)
+            if AG:
+                argr_ref[:] = jnp.full_like(argr_ref, _BIG)
+            else:
+                argr_ref[:] = jnp.zeros_like(argr_ref)
 
         zeros = jnp.zeros((1, tile), jnp.float32)
         cols = {k: x_ref[i:i + 1, :] for i, k in enumerate(col_keys)}
@@ -268,6 +279,36 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                 pres_ref[lo:lo + G, :] = pres_ref[lo:lo + G, :] + counts
             row_off += bank_list[di]
 
+        # arg_min/arg_max (round 5): lexicographic (value, rowid)
+        # accumulators — the winning ROW ID per group, first-occurrence
+        # tie-break, matching the XLA slots' semantics. NaN values map to
+        # +BIG (the f32-bitcast sortable order puts NaN above +inf, so
+        # NaN never wins MIN and does win MAX, like the XLA skey).
+        ridf = ridx.astype(jnp.float32)
+        for ai_, (afn, is_min_) in enumerate(arg_specs):
+            v = _row(afn(cols), zeros)
+            v = jnp.where(v != v, jnp.float32(_BIG), v)
+            fill = jnp.float32(_BIG if is_min_ else -_BIG)
+            s_full = jnp.where(onehot, jnp.broadcast_to(v, (G, tile)),
+                               fill)
+            s_arr = s_full.reshape(G, tile // 128, 128)
+            red = jnp.min if is_min_ else jnp.max
+            s_strip = red(s_arr, axis=1)                 # [G, 128]
+            r_full = jnp.broadcast_to(ridf, (G, tile)).reshape(
+                G, tile // 128, 128)
+            r_strip = jnp.min(jnp.where(
+                s_arr == s_strip[:, None, :], r_full,
+                jnp.float32(_BIG)), axis=1)              # [G, 128]
+            lo = ai_ * G
+            s_acc = args_ref[lo:lo + G, :]
+            r_acc = argr_ref[lo:lo + G, :]
+            better = (s_strip < s_acc) if is_min_ else (s_strip > s_acc)
+            eq = s_strip == s_acc
+            args_ref[lo:lo + G, :] = jnp.where(better, s_strip, s_acc)
+            argr_ref[lo:lo + G, :] = jnp.where(
+                better, r_strip,
+                jnp.where(eq, jnp.minimum(r_acc, r_strip), r_acc))
+
     weight_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                                  memory_space=pltpu.VMEM) for w in weights]
     out_specs = [
@@ -283,6 +324,10 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows_pres, 128), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_arg, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_arg, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((rows_sum, 128), jnp.float32),
@@ -291,6 +336,8 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
         jax.ShapeDtypeStruct((rows_max, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows_flag, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows_pres, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_arg, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_arg, 128), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -321,7 +368,8 @@ def _two_sum(jnp, a, b, pin):
 
 
 @functools.lru_cache(maxsize=32)
-def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=()):
+def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
+               arg_shape=()):
     """Second (plain-XLA, pallas-free) jit: fold the 128 lane columns of
     each accumulator down to scalars per group slot. Sums fold through a
     compensation-carrying pairwise tree (f32 pair out; the final f64 fold
@@ -330,11 +378,15 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=()):
     int_agg.presence_reduce 7-bit split, lanes = value index). One jit per
     buffer geometry, one small device→host transfer for everything.
 
-    ``dist_shape``: ((banks, v_dom, G), ...) static per-slot geometry."""
+    ``dist_shape``: ((banks, v_dom, G), ...) static per-slot geometry.
+    ``arg_shape``: ((is_min, G), ...) — arg_min/arg_max slots fold to the
+    winning row id: lane extreme of the value accumulator, then the min
+    row id among lanes attaining it (first-occurrence tie-break)."""
     import jax
     import jax.numpy as jnp
 
-    def fold(sumbuf, compbuf, minbuf, maxbuf, flagbuf, presbuf):
+    def fold(sumbuf, compbuf, minbuf, maxbuf, flagbuf, presbuf,
+             argsbuf, argrbuf):
         pred = flagbuf[0, 0] > -1.0  # runtime-true: pins the error terms
         # against XLA's algebraic simplifier (see mesh_plan._opaque_pin)
 
@@ -367,9 +419,17 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=()):
             dcounts.append(dc)
             dlos.append(dl)
             dhis.append(dh)
+        arg_rids = []
+        for ai_, (is_min_, G) in enumerate(arg_shape):
+            sb = argsbuf[ai_ * G:(ai_ + 1) * G, :]
+            rb = argrbuf[ai_ * G:(ai_ + 1) * G, :]
+            s_g = (jnp.min if is_min_ else jnp.max)(sb, axis=1)
+            r_g = jnp.min(jnp.where(sb == s_g[:, None], rb,
+                                    jnp.float32(_BIG)), axis=1)
+            arg_rids.append(r_g)
         return (s[..., 0], c[..., 0], jnp.min(minbuf, axis=1),
                 jnp.max(maxbuf, axis=1), jnp.max(flagbuf, axis=1),
-                dcounts, dlos, dhis)
+                dcounts, dlos, dhis, arg_rids)
 
     return jax.jit(fold)
 
@@ -377,7 +437,7 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=()):
 def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
                        where_fn, key_fns, strides, n_groups, sum_fns,
                        min_fns, max_fns, n, interpret, dist_fns=(),
-                       xc_dev=None):
+                       arg_specs=(), xc_dev=None):
     """Upload (cached), run the kernel jit + fold jit, return host arrays:
 
     dict(count [G], sums [(s, c) f32 pairs per slot], mins [M][G],
@@ -394,6 +454,7 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     D = len(dist_fns)
     dist_shape = tuple(((int(v) + 127) // 128, int(v), G)
                        for _fn, v in dist_fns)
+    arg_shape = tuple((bool(m), G) for _fn, m in arg_specs)
 
     if xc_dev is not None:
         # per-query view of the shared per-connection table block
@@ -443,12 +504,13 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
             col_keys=col_keys, weights=weights, where_fn=where_fn,
             key_fns=key_fns, strides=strides, n_groups=G, sum_fns=sum_fns,
             min_fns=min_fns, max_fns=max_fns, n_valid=n, n_pad=n_pad,
-            tile=tile, interpret=interpret, dist_fns=dist_fns)
+            tile=tile, interpret=interpret, dist_fns=dist_fns,
+            arg_specs=arg_specs)
         if split:
             compiled = kernel
         else:
             fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1 + D,
-                               dist_shape)
+                               dist_shape, arg_shape)
             compiled = jax.jit(lambda xcx, *ws: fold0(*kernel(xcx, *ws)))
         if len(cache) >= 16:
             cache.pop(next(iter(cache)))
@@ -459,11 +521,11 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         if split:
             bufs = compiled(xc, *w_dev)
             fold = _fold_call(rows_sum, rows_min, rows_max, K + 1 + D,
-                              dist_shape)
-            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f = \
+                              dist_shape, arg_shape)
+            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f = \
                 jax.device_get(fold(*bufs))
         else:
-            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f = \
+            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f = \
                 jax.device_get(compiled(xc, *w_dev))
     except Exception:
         return None
@@ -484,6 +546,7 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         "dlos": [np.asarray(dl_f[i]) for i in range(D)],
         "dhis": [np.asarray(dh_f[i]) for i in range(D)],
         "dbads": [bool(flag_f[K + 1 + i] > 0.0) for i in range(D)],
+        "argrids": [np.asarray(ar_f[i]) for i in range(len(arg_specs))],
     }
     return out
 
@@ -586,8 +649,8 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
                  for k in fact_names]
                 + [device_column_array(dim_cols[k]) for k in dim_names]
                 + [jnp.asarray(w) for w in weights])
-        s_f, c_f, min_f, max_f, flag_f, _dc, _dl, _dh = jax.device_get(
-            compiled(jnp.asarray(lookup), *args))
+        (s_f, c_f, min_f, max_f, flag_f, _dc, _dl, _dh,
+         _ar) = jax.device_get(compiled(jnp.asarray(lookup), *args))
     except Exception:
         return None
 

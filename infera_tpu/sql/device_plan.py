@@ -883,7 +883,7 @@ class _PallasLowerer(_Lowerer):
 _PALLAS_OK_AGGS = frozenset(
     {"key", "count", "count_star", "sum", "avg", "mean", "min", "max",
      "var", "cif", "band", "bor", "prod", "isum", "iavg",
-     "dcount", "dsum", "davg"})
+     "dcount", "dsum", "davg", "argmn", "argmx"})
 
 # DISTINCT slots: value index rides the kernel lanes, <= 4 banks of 128
 PALLAS_MAX_DIST_DOMAIN = 512
@@ -934,6 +934,7 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
         min_fns: list = []
         max_fns: list = []
         dist_fns: list = []
+        arg_specs: list = []  # (skey fn, is_min) arg_min/arg_max slots
         slot_map: list = []  # per agg_plans entry
         nodes = [node for _k, node in items_plan] + list(having_aggs)
         for ai, ((pname, payload), node) in enumerate(zip(agg_plans, nodes)):
@@ -988,6 +989,13 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
                 arg_fn = pl_low.lower(node.args[0])
                 dist_fns.append((arg_fn, int(v_dom)))
                 slot_map.append((pname, len(dist_fns) - 1))
+                continue
+            if pname in ("argmn", "argmx"):
+                # winning row id in-kernel (lexicographic value+rowid
+                # accumulators); the host gathers the arg — any type
+                skey_fn = pl_low.lower(node.args[1])
+                arg_specs.append((skey_fn, pname == "argmn"))
+                slot_map.append((pname, len(arg_specs) - 1))
                 continue
             arg_fn = pl_low.lower(node.args[0])
             if pname in ("sum", "avg", "mean"):
@@ -1064,7 +1072,7 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
         weights=pl_low.weight_arrays, where_fn=where_fn, key_fns=key_fns,
         strides=strides, n_groups=n_groups, sum_fns=sum_fns,
         min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret,
-        dist_fns=dist_fns, xc_dev=xc_dev)
+        dist_fns=dist_fns, arg_specs=arg_specs, xc_dev=xc_dev)
     if res is None:
         return None
 
@@ -1096,6 +1104,8 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
             results.append(np.asarray(res["maxs"][si]))
         elif spec == "dcount":
             results.append((res["dcounts"][si], res["dbads"][si]))
+        elif spec in ("argmn", "argmx"):
+            results.append((res["argrids"][si],))
         else:  # dsum / davg
             results.append((res["dcounts"][si], res["dlos"][si],
                             res["dhis"][si], res["dbads"][si]))

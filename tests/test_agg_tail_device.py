@@ -152,7 +152,7 @@ def test_argmax_string_payload(monkeypatch):
               f"'name_' || (x % 11)::varchar as nm from range({N}) r(x)")
     rows = c.execute(
         "select g, arg_max(nm, v) from s group by g order by g").rows
-    assert c._exec_path == "device_plan"
+    assert c._exec_path.startswith("device_plan")  # knob-aware (r5 kernel)
     x = np.arange(N)
     for key, nm in rows:
         m = x % 4 == key

@@ -236,16 +236,35 @@ def test_pallas_int_sum_overflow_and_bigvals(monkeypatch, model_dir,
         conn.execute("select g, sum(v) from ov group by g")
 
 
+def test_pallas_arg_min_max_in_kernel(pconn, monkeypatch):
+    """Round 5: arg_min/arg_max winning row ids resolve IN the kernel
+    (lexicographic value+rowid lane accumulators, first-occurrence
+    tie-break); the host gathers the arg column — any return type."""
+    conn, n = pconn
+    conn.execute(f"create table sarg as select x % 16 as g, "
+                 f"((x * 13) % 97)::float as v, 'n' || (x % 11) as nm, "
+                 f"x % 23 as iv from range({n}) r(x)")
+    qs = [
+        "select g, arg_min(iv, v) am, arg_max(iv, v) ax from sarg "
+        "group by g order by g",
+        "select g, arg_max(nm, v) from sarg group by g order by g",
+        "select arg_min(iv, v), arg_max(nm, v) from sarg where v > 5.0",
+    ]
+    got = []
+    for q in qs:  # run all device queries BEFORE _host_rows disables them
+        got.append(conn.execute(q).rows)
+        assert conn._exec_path == "device_plan_pallas", q
+    for q, rows in zip(qs, got):
+        assert rows == _host_rows(conn, q, monkeypatch), q
+
+
 def test_pallas_ineligible_falls_back(pconn, monkeypatch):
-    """Sort-backed (median/quantile) and two-level-selection (arg_min,
-    int64 min) families stay off the kernel — answered identically by the
-    XLA program or host."""
+    """Sort-backed (median/quantile) and lexicographic-int64 families stay
+    off the kernel — answered identically by the XLA program or host."""
     conn, n = pconn
     conn.execute("select g, median(f1) from big group by g")
     assert conn._exec_path == "device_plan"
     conn.execute("select g, min(h) from big group by g")  # imin (lex words)
-    assert conn._exec_path == "device_plan"
-    conn.execute("select g, arg_min(h, f1) from big group by g")
     assert conn._exec_path == "device_plan"
 
 
