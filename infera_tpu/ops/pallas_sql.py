@@ -67,7 +67,7 @@ def _kernel(body, n_weights, n_outs, x_ref, *refs):
 def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                           n_groups, sum_fns, min_fns, max_fns, n_valid,
                           n_pad, tile, interpret, dist_fns=(),
-                          arg_specs=()):
+                          arg_specs=(), lex_specs=()):
     """Build the jitted pallas_call for one fused plan.
 
     Closures (where_fn/key_fns/sum_fns/min_fns/max_fns) take a dict mapping
@@ -102,6 +102,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
     S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
     D = len(dist_fns)
     AG = len(arg_specs)
+    LX = len(lex_specs)
     bank_list = [(int(v) + 127) // 128 for _fn, v in dist_fns]
     banks_total = sum(bank_list)
     n_cols = len(col_keys)
@@ -111,6 +112,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
     rows_flag = K + 1 + D
     rows_pres = max(banks_total * G, 8)
     rows_arg = max(AG * G, 8)
+    rows_lex = max(4 * LX * G, 8)
 
     def _row(v, zeros):
         v = jnp.asarray(v, jnp.float32)
@@ -120,7 +122,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
 
     def body(x_ref, w_vals, out_refs):
         (sum_ref, comp_ref, min_ref, max_ref, flag_ref, pres_ref,
-         args_ref, argr_ref) = out_refs
+         args_ref, argr_ref, lex_ref) = out_refs
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -137,6 +139,10 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                 argr_ref[:] = jnp.full_like(argr_ref, _BIG)
             else:
                 argr_ref[:] = jnp.zeros_like(argr_ref)
+            for li_, (_bk, lex_min_) in enumerate(lex_specs):
+                lex_ref[4 * li_ * G:4 * (li_ + 1) * G, :] = jnp.full(
+                    (4 * G, 128),
+                    float(1 << 17) if lex_min_ else -1.0, jnp.float32)
 
         zeros = jnp.zeros((1, tile), jnp.float32)
         cols = {k: x_ref[i:i + 1, :] for i, k in enumerate(col_keys)}
@@ -309,6 +315,47 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                 better, r_strip,
                 jnp.where(eq, jnp.minimum(r_acc, r_strip), r_acc))
 
+        # exact int64 MIN/MAX (round 5): lexicographic cascade over the
+        # four 16-bit words of the sign-biased value (each word f32-exact)
+        # built from the column's byte-limb block rows. Strip reduction
+        # cascades word-by-word (masking to rows attaining the prefix
+        # extreme), then merges into 4 [G, 128] accumulators with a
+        # lexicographic better/equal chain.
+        for li_, (bkeys, lex_min_) in enumerate(lex_specs):
+            b = [cols[k] for k in bkeys]  # b0..b7 byte rows [1, tile]
+            b7x = jnp.where(b[7] >= 128.0, b[7] - 128.0, b[7] + 128.0)
+            words = [b7x * 256.0 + b[6], b[5] * 256.0 + b[4],
+                     b[3] * 256.0 + b[2], b[1] * 256.0 + b[0]]
+            fillw = jnp.float32((1 << 17) if lex_min_ else -1.0)
+            red = jnp.min if lex_min_ else jnp.max
+            strips = []
+            sel_mask = None
+            w_arrs = []
+            for wv in words:
+                w_full = jnp.where(onehot, jnp.broadcast_to(wv, (G, tile)),
+                                   fillw)
+                w_arr = w_full.reshape(G, tile // 128, 128)
+                if sel_mask is not None:
+                    w_arr = jnp.where(sel_mask, w_arr, fillw)
+                w_strip = red(w_arr, axis=1)
+                upd = w_arr == w_strip[:, None, :]
+                sel_mask = upd if sel_mask is None else (sel_mask & upd)
+                strips.append(w_strip)
+                w_arrs.append(w_arr)
+            base_l = 4 * li_ * G
+            accs = [lex_ref[base_l + j * G:base_l + (j + 1) * G, :]
+                    for j in range(4)]
+            eq_c = None
+            better = None
+            for j in range(4):
+                cmp_j = (strips[j] < accs[j]) if lex_min_                     else (strips[j] > accs[j])
+                eq_j = strips[j] == accs[j]
+                bj = cmp_j if eq_c is None else (eq_c & cmp_j)
+                better = bj if better is None else (better | bj)
+                eq_c = eq_j if eq_c is None else (eq_c & eq_j)
+            for j in range(4):
+                lex_ref[base_l + j * G:base_l + (j + 1) * G, :] =                     jnp.where(better, strips[j], accs[j])
+
     weight_specs = [pl.BlockSpec(w.shape, lambda i, nd=w.ndim: (0,) * nd,
                                  memory_space=pltpu.VMEM) for w in weights]
     out_specs = [
@@ -328,6 +375,8 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rows_arg, 128), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_lex, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((rows_sum, 128), jnp.float32),
@@ -338,6 +387,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
         jax.ShapeDtypeStruct((rows_pres, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows_arg, 128), jnp.float32),
         jax.ShapeDtypeStruct((rows_arg, 128), jnp.float32),
+        jax.ShapeDtypeStruct((rows_lex, 128), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -369,7 +419,7 @@ def _two_sum(jnp, a, b, pin):
 
 @functools.lru_cache(maxsize=32)
 def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
-               arg_shape=()):
+               arg_shape=(), lex_shape=()):
     """Second (plain-XLA, pallas-free) jit: fold the 128 lane columns of
     each accumulator down to scalars per group slot. Sums fold through a
     compensation-carrying pairwise tree (f32 pair out; the final f64 fold
@@ -386,7 +436,7 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
     import jax.numpy as jnp
 
     def fold(sumbuf, compbuf, minbuf, maxbuf, flagbuf, presbuf,
-             argsbuf, argrbuf):
+             argsbuf, argrbuf, lexbuf):
         pred = flagbuf[0, 0] > -1.0  # runtime-true: pins the error terms
         # against XLA's algebraic simplifier (see mesh_plan._opaque_pin)
 
@@ -419,6 +469,22 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
             dcounts.append(dc)
             dlos.append(dl)
             dhis.append(dh)
+        lex_words = []
+        for li_, (lex_min_, G) in enumerate(lex_shape):
+            base_l = 4 * li_ * G
+            red = jnp.min if lex_min_ else jnp.max
+            fillw = jnp.float32((1 << 17) if lex_min_ else -1.0)
+            sel = None
+            outw = []
+            for j in range(4):
+                wb = lexbuf[base_l + j * G:base_l + (j + 1) * G, :]
+                if sel is not None:
+                    wb = jnp.where(sel, wb, fillw)
+                w_g = red(wb, axis=1)
+                upd = wb == w_g[:, None]
+                sel = upd if sel is None else (sel & upd)
+                outw.append(w_g)
+            lex_words.append(outw)
         arg_rids = []
         for ai_, (is_min_, G) in enumerate(arg_shape):
             sb = argsbuf[ai_ * G:(ai_ + 1) * G, :]
@@ -429,7 +495,7 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
             arg_rids.append(r_g)
         return (s[..., 0], c[..., 0], jnp.min(minbuf, axis=1),
                 jnp.max(maxbuf, axis=1), jnp.max(flagbuf, axis=1),
-                dcounts, dlos, dhis, arg_rids)
+                dcounts, dlos, dhis, arg_rids, lex_words)
 
     return jax.jit(fold)
 
@@ -437,7 +503,7 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
 def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
                        where_fn, key_fns, strides, n_groups, sum_fns,
                        min_fns, max_fns, n, interpret, dist_fns=(),
-                       arg_specs=(), xc_dev=None):
+                       arg_specs=(), lex_specs=(), xc_dev=None):
     """Upload (cached), run the kernel jit + fold jit, return host arrays:
 
     dict(count [G], sums [(s, c) f32 pairs per slot], mins [M][G],
@@ -455,6 +521,7 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     dist_shape = tuple(((int(v) + 127) // 128, int(v), G)
                        for _fn, v in dist_fns)
     arg_shape = tuple((bool(m), G) for _fn, m in arg_specs)
+    lex_shape = tuple((bool(m), G) for _bk, m in lex_specs)
 
     if xc_dev is not None:
         # per-query view of the shared per-connection table block
@@ -505,12 +572,12 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
             key_fns=key_fns, strides=strides, n_groups=G, sum_fns=sum_fns,
             min_fns=min_fns, max_fns=max_fns, n_valid=n, n_pad=n_pad,
             tile=tile, interpret=interpret, dist_fns=dist_fns,
-            arg_specs=arg_specs)
+            arg_specs=arg_specs, lex_specs=lex_specs)
         if split:
             compiled = kernel
         else:
             fold0 = _fold_call(rows_sum, rows_min, rows_max, K + 1 + D,
-                               dist_shape, arg_shape)
+                               dist_shape, arg_shape, lex_shape)
             compiled = jax.jit(lambda xcx, *ws: fold0(*kernel(xcx, *ws)))
         if len(cache) >= 16:
             cache.pop(next(iter(cache)))
@@ -521,12 +588,12 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         if split:
             bufs = compiled(xc, *w_dev)
             fold = _fold_call(rows_sum, rows_min, rows_max, K + 1 + D,
-                              dist_shape, arg_shape)
-            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f = \
-                jax.device_get(fold(*bufs))
+                              dist_shape, arg_shape, lex_shape)
+            (s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f,
+             lx_f) = jax.device_get(fold(*bufs))
         else:
-            s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f = \
-                jax.device_get(compiled(xc, *w_dev))
+            (s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f,
+             lx_f) = jax.device_get(compiled(xc, *w_dev))
     except Exception:
         return None
 
@@ -547,6 +614,8 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
         "dhis": [np.asarray(dh_f[i]) for i in range(D)],
         "dbads": [bool(flag_f[K + 1 + i] > 0.0) for i in range(D)],
         "argrids": [np.asarray(ar_f[i]) for i in range(len(arg_specs))],
+        "lexwords": [[np.asarray(w) for w in lx_f[i]]
+                     for i in range(len(lex_specs))],
     }
     return out
 
@@ -649,8 +718,8 @@ def execute_fused_join_plan(conn, *, plan_key, col_keys, fact_cols,
                  for k in fact_names]
                 + [device_column_array(dim_cols[k]) for k in dim_names]
                 + [jnp.asarray(w) for w in weights])
-        (s_f, c_f, min_f, max_f, flag_f, _dc, _dl, _dh,
-         _ar) = jax.device_get(compiled(jnp.asarray(lookup), *args))
+        (s_f, c_f, min_f, max_f, flag_f, _dc, _dl, _dh, _ar,
+         _lx) = jax.device_get(compiled(jnp.asarray(lookup), *args))
     except Exception:
         return None
 

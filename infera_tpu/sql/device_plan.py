@@ -883,7 +883,7 @@ class _PallasLowerer(_Lowerer):
 _PALLAS_OK_AGGS = frozenset(
     {"key", "count", "count_star", "sum", "avg", "mean", "min", "max",
      "var", "cif", "band", "bor", "prod", "isum", "iavg",
-     "dcount", "dsum", "davg", "argmn", "argmx"})
+     "dcount", "dsum", "davg", "argmn", "argmx", "imin", "imax"})
 
 # DISTINCT slots: value index rides the kernel lanes, <= 4 banks of 128
 PALLAS_MAX_DIST_DOMAIN = 512
@@ -935,6 +935,7 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
         max_fns: list = []
         dist_fns: list = []
         arg_specs: list = []  # (skey fn, is_min) arg_min/arg_max slots
+        lex_specs: list = []  # (byte-row keys, is_min) int64 min/max
         slot_map: list = []  # per agg_plans entry
         nodes = [node for _k, node in items_plan] + list(having_aggs)
         for ai, ((pname, payload), node) in enumerate(zip(agg_plans, nodes)):
@@ -945,6 +946,13 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
                 # device-eligible columns carry no NULLs → count(expr)
                 # counts exactly the selected rows (same as the XLA path)
                 slot_map.append(("count", None))
+                continue
+            if pname in ("imin", "imax"):
+                # exact int64 extremes: lexicographic 16-bit word cascade
+                # over the byte-limb rows (round 5)
+                lex_specs.append((tuple(_byte_keys(payload)),
+                                  pname == "imin"))
+                slot_map.append((pname, len(lex_specs) - 1))
                 continue
             if pname in ("isum", "iavg"):
                 # 8-bit limb rows (f32-exact) + a magnitude-estimate row
@@ -1072,7 +1080,8 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
         weights=pl_low.weight_arrays, where_fn=where_fn, key_fns=key_fns,
         strides=strides, n_groups=n_groups, sum_fns=sum_fns,
         min_fns=min_fns, max_fns=max_fns, n=n, interpret=interpret,
-        dist_fns=dist_fns, arg_specs=arg_specs, xc_dev=xc_dev)
+        dist_fns=dist_fns, arg_specs=arg_specs, lex_specs=lex_specs,
+        xc_dev=xc_dev)
     if res is None:
         return None
 
@@ -1106,6 +1115,25 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
             results.append((res["dcounts"][si], res["dbads"][si]))
         elif spec in ("argmn", "argmx"):
             results.append((res["argrids"][si],))
+        elif spec in ("imin", "imax"):
+            # 16-bit sign-biased words -> the finalize's (hi, lo_biased)
+            # int32 convention (int_agg.fold_lex_host)
+            w3, w2, w1, w0 = [np.rint(np.asarray(w, np.float64))
+                              .astype(np.int64)
+                              for w in res["lexwords"][si]]
+            u_hi = np.clip(w3, 0, None) * 65536 + np.clip(w2, 0, None)
+            u_lo = np.clip(w1, 0, None) * 65536 + np.clip(w0, 0, None)
+            dead = (w3 < 0) | (w3 >= (1 << 16))  # fill -> empty group
+            hi = (u_hi - (1 << 31)).astype(np.int64)
+            lo_biased = ((u_lo ^ (1 << 31)) - (1 << 32) * (u_lo >= (1 << 31))
+                         ).astype(np.int64)
+            # empty groups: mirror the XLA identities (INT32_MAX / MIN
+            # words) so dead slots fold to harmless extremes
+            if bool(dead.any()):
+                hi = np.where(dead, np.int64(2**31 - 1), hi)
+                lo_biased = np.where(dead, np.int64(2**31 - 1), lo_biased)
+            results.append((hi.astype(np.int32),
+                            lo_biased.astype(np.int32)))
         else:  # dsum / davg
             results.append((res["dcounts"][si], res["dlos"][si],
                             res["dhis"][si], res["dbads"][si]))

@@ -258,13 +258,27 @@ def test_pallas_arg_min_max_in_kernel(pconn, monkeypatch):
         assert rows == _host_rows(conn, q, monkeypatch), q
 
 
+def test_pallas_int64_min_max_in_kernel(pconn, monkeypatch):
+    """Round 5: exact int64 MIN/MAX resolve in the kernel via a
+    lexicographic 16-bit word cascade over the byte-limb rows — exact for
+    the full int64 range, matching the XLA lex-word slots."""
+    conn, n = pconn
+    big = (1 << 44) + 5
+    conn.execute(f"create table lx as select x % 16 as g, "
+                 f"(case when x % 3 = 0 then -1 else 1 end) * "
+                 f"({big} + x * 7) as v, x % 9 as sm from range({n}) r(x)")
+    q = ("select g, min(v) mn, max(v) mx, min(sm) sn, max(sm) sx "
+         "from lx group by g order by g")
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    assert rows == _host_rows(conn, q, monkeypatch)
+
+
 def test_pallas_ineligible_falls_back(pconn, monkeypatch):
-    """Sort-backed (median/quantile) and lexicographic-int64 families stay
-    off the kernel — answered identically by the XLA program or host."""
+    """Sort-backed (median/quantile) families stay off the kernel —
+    answered identically by the XLA program or host."""
     conn, n = pconn
     conn.execute("select g, median(f1) from big group by g")
-    assert conn._exec_path == "device_plan"
-    conn.execute("select g, min(h) from big group by g")  # imin (lex words)
     assert conn._exec_path == "device_plan"
 
 
