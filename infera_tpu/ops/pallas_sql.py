@@ -54,7 +54,11 @@ def pallas_sql_mode() -> str:
 
 
 def pick_tile(n_groups: int) -> int:
-    # bound the [G, tile] one-hot working set to ~4 MB of VMEM f32
+    # bound the [G, tile] one-hot working set to ~4 MB of VMEM f32.
+    # G is capped at 512: a G=1800/tile=512 probe OOM'd Mosaic's 16 MB
+    # scoped vmem (36.9 MB stack) on-chip — the accumulator buffers plus
+    # the [G, tile] masked broadcasts scale with G, so bigger groups ride
+    # the XLA program's GEMM group-by instead.
     return 2048 if n_groups > 256 else 4096
 
 
@@ -565,6 +569,16 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     rows_min = max((M + K) * G, 8)
     rows_max = max((X + K) * G, 8)
     full_key = ("pallas", plan_key, tile, split, n_pad)
+    # a plan whose kernel failed once (e.g. a Mosaic compile rejection at
+    # this geometry) must NOT re-pay the failing compile on every
+    # execution — the round-5 TPU session measured 14 s/query re-failing
+    # at G=1800. Blacklist by plan key; the XLA program serves instead.
+    failed = getattr(conn, "_pallas_failed_plans", None)
+    if failed is None:
+        failed = set()
+        conn._pallas_failed_plans = failed
+    if full_key in failed:
+        return None
     compiled = cache.get(full_key)
     if compiled is None:
         kernel = build_fused_plan_call(
@@ -595,6 +609,9 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
             (s_f, c_f, min_f, max_f, flag_f, dc_f, dl_f, dh_f, ar_f,
              lx_f) = jax.device_get(compiled(xc, *w_dev))
     except Exception:
+        failed.add(full_key)
+        if len(failed) > 64:
+            failed.pop()
         return None
 
     if float(flag_f[K]) > 0.0:
