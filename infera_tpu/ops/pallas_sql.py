@@ -95,7 +95,9 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
                                        (VERDICT r4 item 2)
 
     ``dist_fns``: [(fn, v_domain), ...] — COUNT/SUM/AVG(DISTINCT expr)
-    slots over probed integer domains (v_domain <= 512 = 4 banks).
+    AND MODE slots over probed integer domains (v_domain <= 512 = 4
+    banks); both accumulate the same per-(group, value) count matrix —
+    the fold decides (presence reduction vs unique-max selection).
     """
     import jax
     import jax.numpy as jnp
@@ -107,7 +109,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
     D = len(dist_fns)
     AG = len(arg_specs)
     LX = len(lex_specs)
-    bank_list = [(int(v) + 127) // 128 for _fn, v in dist_fns]
+    bank_list = [(int(v) + 127) // 128 for _fn, v, *_k in dist_fns]
     banks_total = sum(bank_list)
     n_cols = len(col_keys)
     rows_sum = (1 + S) * G
@@ -264,7 +266,7 @@ def build_fused_plan_call(*, col_keys, weights, where_fn, key_fns, strides,
         # counts summed across tiles (exact in f32: total <= n < 2^24);
         # the fold reduces presence = counts > 0 to dcount/dsum limbs.
         row_off = 0
-        for di, (dfn, v_dom) in enumerate(dist_fns):
+        for di, (dfn, v_dom, *_k) in enumerate(dist_fns):
             v = _row(dfn(cols), zeros)
             vt = jnp.trunc(v)
             okv = (v == vt) & (v >= 0.0) & (v < jnp.float32(v_dom))
@@ -455,11 +457,35 @@ def _fold_call(rows_sum, rows_min, rows_max, rows_flag, dist_shape=(),
             c = c[..., :h] + c[..., h:] + e
         dcounts, dlos, dhis = [], [], []
         row_off = 0
-        for banks, v_dom, G in dist_shape:
+        for banks, v_dom, G, kind in dist_shape:
+            lane = jnp.arange(128, dtype=jnp.int32)
+            if kind == "mode":
+                # unique-max selection over the count matrix: the mode's
+                # value when exactly ONE value attains the max count per
+                # group; a tie raises the per-group flag (host fallback
+                # keeps the first-occurrence tie-break semantics)
+                mcount = jnp.full((G,), -1.0, jnp.float32)
+                for b in range(banks):
+                    lo = (row_off + b) * G
+                    mcount = jnp.maximum(
+                        mcount, jnp.max(presbuf[lo:lo + G, :], axis=1))
+                n_at = jnp.zeros((G,), jnp.float32)
+                mval = jnp.zeros((G,), jnp.float32)
+                for b in range(banks):
+                    lo = (row_off + b) * G
+                    cb = presbuf[lo:lo + G, :]
+                    at = (cb == mcount[:, None]).astype(jnp.float32)
+                    n_at = n_at + jnp.sum(at, axis=1)
+                    val = (lane + jnp.int32(b * 128)).astype(jnp.float32)
+                    mval = mval + jnp.sum(at * val[None, :], axis=1)
+                row_off += banks
+                dcounts.append(mcount)
+                dlos.append(mval)       # value (valid when n_at == 1)
+                dhis.append(n_at)       # tie count
+                continue
             dc = jnp.zeros((G,), jnp.float32)
             dl = jnp.zeros((G,), jnp.float32)
             dh = jnp.zeros((G,), jnp.float32)
-            lane = jnp.arange(128, dtype=jnp.int32)
             for b in range(banks):
                 lo = (row_off + b) * G
                 pres = (presbuf[lo:lo + G, :] > 0).astype(jnp.float32)
@@ -522,8 +548,10 @@ def execute_fused_plan(conn, *, plan_key, col_arrays, col_keys, weights,
     tile = pick_tile(G)
     S, M, X, K = len(sum_fns), len(min_fns), len(max_fns), len(key_fns)
     D = len(dist_fns)
-    dist_shape = tuple(((int(v) + 127) // 128, int(v), G)
-                       for _fn, v in dist_fns)
+    dist_shape = tuple(
+        ((int(v) + 127) // 128, int(v), G,
+         rest[0] if rest else "dist")
+        for _fn, v, *rest in dist_fns)
     arg_shape = tuple((bool(m), G) for _fn, m in arg_specs)
     lex_shape = tuple((bool(m), G) for _bk, m in lex_specs)
 

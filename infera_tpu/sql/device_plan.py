@@ -883,7 +883,8 @@ class _PallasLowerer(_Lowerer):
 _PALLAS_OK_AGGS = frozenset(
     {"key", "count", "count_star", "sum", "avg", "mean", "min", "max",
      "var", "cif", "band", "bor", "prod", "isum", "iavg",
-     "dcount", "dsum", "davg", "argmn", "argmx", "imin", "imax"})
+     "dcount", "dsum", "davg", "argmn", "argmx", "imin", "imax",
+     "mode"})
 
 # DISTINCT slots: value index rides the kernel lanes, <= 4 banks of 128
 PALLAS_MAX_DIST_DOMAIN = 512
@@ -990,12 +991,13 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
                 sum_fns.append(sq_fn)
                 slot_map.append(("var", base_i))
                 continue
-            if pname in ("dcount", "dsum", "davg"):
+            if pname in ("dcount", "dsum", "davg", "mode"):
                 v_dom = dist_domains.get(ai)
                 if v_dom is None or v_dom > PALLAS_MAX_DIST_DOMAIN:
                     return None
                 arg_fn = pl_low.lower(node.args[0])
-                dist_fns.append((arg_fn, int(v_dom)))
+                dist_fns.append((arg_fn, int(v_dom),
+                                 "mode" if pname == "mode" else "dist"))
                 slot_map.append((pname, len(dist_fns) - 1))
                 continue
             if pname in ("argmn", "argmx"):
@@ -1111,6 +1113,16 @@ def _try_pallas_fused(conn, sel, table, n, n_groups, strides, agg_plans,
             results.append(np.asarray(res["mins"][si]))
         elif spec in ("max", "bor"):
             results.append(np.asarray(res["maxs"][si]))
+        elif spec == "mode":
+            # unique-max only: a tied max needs the host catalog's
+            # first-occurrence tie-break, which the XLA program carries
+            # (its first-seen matrix) — fall through to IT, not host.
+            # DEAD groups (count 0) "tie" trivially at count 0 — ignore.
+            live_g = np.asarray(res["count"]) > 0
+            if bool(((res["dhis"][si] > 1.0) & live_g).any()):
+                return None
+            results.append((res["dlos"][si], res["dcounts"][si],
+                            res["dbads"][si]))
         elif spec == "dcount":
             results.append((res["dcounts"][si], res["dbads"][si]))
         elif spec in ("argmn", "argmx"):

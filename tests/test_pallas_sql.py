@@ -467,3 +467,27 @@ def test_pallas_full_join_phantom_combine(pconn, monkeypatch):
                       lambda *a, **k: None)
             hrows = host.execute(q).rows
         _assert_rows_close(rows, hrows, rel=1e-5)
+
+
+def test_pallas_mode_unique_max(pconn, monkeypatch):
+    """Round 5: MODE resolves in the kernel when the max count is UNIQUE
+    per live group (the counts matrix the DISTINCT machinery already
+    accumulates); a tied max falls through to the XLA program whose
+    first-seen matrix carries the host's tie-break."""
+    conn, n = pconn
+    conn.execute(f"create table mu as select x % 4 as mg, "
+                 f"((x % 12) * (x % 5)) % 9 as v from range({n}) r(x)")
+    q = "select mg, mode(v) m, count(*) c from mu group by mg order by mg"
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan_pallas"
+    assert rows == _host_rows(conn, q, monkeypatch)
+
+
+def test_pallas_mode_tie_falls_to_xla(pconn, monkeypatch):
+    conn, n = pconn
+    conn.execute(f"create table mtie as select x % 4 as mg, x % 5 as v "
+                 f"from range({n}) r(x)")
+    q = "select mg, mode(v) from mtie group by mg order by mg"
+    rows = conn.execute(q).rows
+    assert conn._exec_path == "device_plan"  # XLA first-seen tie-break
+    assert rows == _host_rows(conn, q, monkeypatch)
