@@ -681,7 +681,11 @@ class Connection:
         # 1b. fused device path: aggregates over a single large numeric scan
         # (incl. infera_predict) compile to one XLA program (SURVEY.md §7.2
         # M2); ineligible/failed plans fall through to the host operators.
-        if isinstance(sel.from_, (A.BaseTable, A.TableFunction)):
+        # Round 5: a MATERIALIZED subquery/VALUES result is just a Table —
+        # the fused plan serves the aggregate over it the same way (plain
+        # `select agg from (select ...) s` ran fully host before).
+        if isinstance(sel.from_, (A.BaseTable, A.TableFunction,
+                                  A.SubqueryRef, A.ValuesRef)):
             from .device_plan import try_execute_on_device
             from .streaming_plan import STREAM_MIN_ROWS, try_execute_streaming
 

@@ -272,21 +272,35 @@ def test_windowed_subquery_ineligible_stays_host(monkeypatch):
     n = MIN_DEVICE_ROWS * 2
     c.execute(f"create table wh as select x % 4 as p, x as k, "
               f"(x % 50)::float as v from range({n}) r(x)")
-    # sliding frame → host
-    c.execute("select avg(w) from (select sum(v) over (partition by p "
-              "order by k rows between 2 preceding and current row) as w "
-              "from wh) sub")
-    assert c._exec_path == "host"
+    # sliding frame: the WINDOW computes on the host path (not fusable),
+    # and since round 5 the outer aggregate may still fuse over the
+    # materialized subquery — results must match the all-host answer
+    r = c.execute("select avg(w) from (select sum(v) over (partition by p "
+                  "order by k rows between 2 preceding and current row) "
+                  "as w from wh) sub").rows
+    import infera_tpu.sql.device_plan as dp
+    host = Connection()
+    host.catalog = c.catalog
+    with monkeypatch.context() as m:
+        m.setattr(dp, "try_execute_on_device", lambda *a, **k: None)
+        h = host.execute(
+            "select avg(w) from (select sum(v) over (partition by p "
+            "order by k rows between 2 preceding and current row) "
+            "as w from wh) sub").rows
+    assert r[0][0] == pytest.approx(h[0][0], rel=1e-9)
     # bare window output column (no aggregate consumer) → host
     c.execute("select w from (select sum(v) over (order by k) as w "
               "from wh) sub limit 5")
     assert c._exec_path == "host"
-    # SUM over a ranking window must keep the host's BIGINT typing
+    # SUM over a ranking window must keep the host's BIGINT typing: the
+    # window-FUSION path rejects it, and since round 5 the aggregate runs
+    # over the MATERIALIZED subquery via the exact int64 byte-limb slots
+    # (still BIGINT, still exact)
     rows = c.execute("select sum(r) from (select rank() over (order by k) "
                      "as r from wh) sub").rows
-    assert c._exec_path == "host"
     n2 = c.catalog.get("wh").num_rows
     assert rows[0][0] == n2 * (n2 + 1) // 2
+    assert isinstance(rows[0][0], int)
 
 
 def test_device_window_route_matches_host(monkeypatch):
